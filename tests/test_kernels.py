@@ -1,0 +1,123 @@
+"""Parity tests: JAX kernels vs reference-exact numpy oracles."""
+
+import numpy as np
+import pytest
+
+from archive_pdf_tools_tpu.ops import golden
+from archive_pdf_tools_tpu.ops.sauvola import sauvola_mask, threshold_image, sauvola_window
+from archive_pdf_tools_tpu.ops.optimise import optimise
+from archive_pdf_tools_tpu.ops.denoise import (
+    fast_mask_denoise_exact, fast_mask_denoise_jacobi)
+
+
+def synth_page(h, w, seed=0, noise=20):
+    """Synthetic scan: light paper, dark text strokes, gaussian noise."""
+    rng = np.random.default_rng(seed)
+    img = np.full((h, w), 235.0)
+    # text-ish strokes
+    for _ in range(60):
+        y = rng.integers(5, h - 15)
+        x = rng.integers(5, w - 40)
+        lw = rng.integers(10, 35)
+        th = rng.integers(2, 5)
+        img[y:y + th, x:x + lw] = rng.integers(10, 60)
+    img += rng.normal(0, noise, size=(h, w))
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+class TestSauvola:
+    @pytest.mark.parametrize('k', [0.34, 0.1, -0.2])
+    @pytest.mark.parametrize('win', [15, 51])
+    def test_matches_golden(self, k, win):
+        img = synth_page(200, 300, seed=hash((k, win)) % 2**31)
+        ref = golden.sauvola_mask_ref(img, win, win, k)
+        got = np.asarray(sauvola_mask(img[None], win, win, k))[0]
+        agree = (ref == got).mean()
+        assert agree >= 0.99999, f'agreement {agree}'
+
+    def test_uniform_image(self):
+        img = np.full((64, 64), 128, np.uint8)
+        ref = golden.sauvola_mask_ref(img, 15, 15, 0.34)
+        got = np.asarray(sauvola_mask(img[None], 15, 15, 0.34))[0]
+        assert (ref == got).all()
+
+    def test_batched(self):
+        imgs = np.stack([synth_page(96, 128, seed=s) for s in range(3)])
+        got = np.asarray(sauvola_mask(imgs, 21, 21, 0.34))
+        for i in range(3):
+            ref = golden.sauvola_mask_ref(imgs[i], 21, 21, 0.34)
+            assert (ref == got[i]).mean() >= 0.99999
+
+    def test_window_policy(self):
+        assert sauvola_window(None) == 51
+        assert sauvola_window(400) == 101
+        assert sauvola_window(300) == 75
+        assert sauvola_window(204) == 51
+
+    def test_threshold_image_shape(self):
+        img = synth_page(100, 150)
+        out = np.asarray(threshold_image(img[None], 300))
+        assert out.shape == (1, 100, 150) and out.dtype == bool
+
+
+class TestOptimise:
+    @pytest.mark.parametrize('n', [3, 10])
+    def test_gray_exact(self, n):
+        img = synth_page(90, 120, seed=n)
+        mask = golden.sauvola_mask_ref(img, 15, 15, 0.34)
+        ref = golden.optimise_ref(mask, img, n)
+        got = np.asarray(optimise(mask[None], img[None], n))[0]
+        assert (ref == got).all()
+
+    def test_rgb_exact(self):
+        rng = np.random.default_rng(7)
+        g = synth_page(80, 100, seed=3)
+        img = np.stack([g, np.clip(g + 10, 0, 255),
+                        np.clip(g - 10, 0, 255)], axis=-1).astype(np.uint8)
+        mask = golden.sauvola_mask_ref(g, 15, 15, 0.34)
+        ref = golden.optimise_ref(mask, img, 3)
+        got = np.asarray(optimise(mask[None], img[None], 3))[0]
+        assert (ref == got).all()
+
+    def test_empty_mask_is_zero(self):
+        img = synth_page(40, 50)
+        mask = np.zeros((40, 50), bool)
+        got = np.asarray(optimise(mask[None], img[None], 3))[0]
+        ref = golden.optimise_ref(mask, img, 3)
+        assert (ref == got).all()
+        assert got[0, 0] == 0  # no mask anywhere near, no history
+
+    def test_full_mask_passthrough(self):
+        img = synth_page(40, 50)
+        mask = np.ones((40, 50), bool)
+        got = np.asarray(optimise(mask[None], img[None], 3))[0]
+        assert (got == img).all()
+
+
+class TestDenoise:
+    def test_exact_matches_golden(self):
+        rng = np.random.default_rng(11)
+        mask = rng.random((80, 110)) < 0.25
+        ref = golden.fast_mask_denoise_ref(mask, 4, 2)
+        got = np.asarray(fast_mask_denoise_exact(mask[None], 4, 2))[0]
+        assert (ref == got).all()
+
+    def test_exact_on_text_mask(self):
+        img = synth_page(100, 140, seed=5)
+        mask = golden.sauvola_mask_ref(img, 15, 15, 0.34)
+        ref = golden.fast_mask_denoise_ref(mask, 4, 2)
+        got = np.asarray(fast_mask_denoise_exact(mask[None], 4, 2))[0]
+        assert (ref == got).all()
+
+    def test_jacobi_close(self):
+        img = synth_page(100, 140, seed=6)
+        mask = golden.sauvola_mask_ref(img, 15, 15, 0.34)
+        ref = golden.fast_mask_denoise_ref(mask, 4, 2)
+        got = np.asarray(fast_mask_denoise_jacobi(mask[None], 4, 2))[0]
+        assert (ref == got).mean() > 0.995
+
+    def test_removal_only(self):
+        rng = np.random.default_rng(2)
+        mask = rng.random((60, 60)) < 0.3
+        got = np.asarray(fast_mask_denoise_exact(mask[None], 4, 2))[0]
+        assert not (got & ~mask).any()
