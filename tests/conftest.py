@@ -1,14 +1,20 @@
 """Test config: run JAX on a virtual 8-device CPU mesh.
 
-Must set env vars before jax is imported anywhere.
+The image's sitecustomize imports jax and registers the axon TPU backend
+before conftest runs, so env vars alone are too late; we switch the
+platform via jax.config before any backend is initialized.
 """
 import os
 import sys
 
-os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+os.environ['JAX_PLATFORMS'] = 'cpu'
 flags = os.environ.get('XLA_FLAGS', '')
 if 'xla_force_host_platform_device_count' not in flags:
     os.environ['XLA_FLAGS'] = (
         flags + ' --xla_force_host_platform_device_count=8').strip()
+
+import jax  # noqa: E402
+
+jax.config.update('jax_platforms', 'cpu')
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
