@@ -1,0 +1,209 @@
+"""High-level MRC decomposition API.
+
+``decompose_pages`` is the batched TPU entry point: a list of same-sized
+pages in, (mask, fg, bg) numpy arrays out.  ``create_mrc_hocr_components``
+is a drop-in, generator-yielding equivalent of the reference API
+(``mrc.py:334-471``) built on a batch of one.
+
+Batching contract: all pages in one call share (height, width, mode,
+dpi-window); the pipeline caller groups pages into such buckets (book
+scans are naturally uniform).  Each distinct bucket costs one XLA
+compile, cached for the life of the process.
+"""
+
+import time as _time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from PIL import Image
+
+from ..const import (DENOISE_NONE, DENOISE_FAST, DENOISE_BREGMAN,
+                     RECODE_RUNTIME_WARNING_TOO_SMALL_TO_DOWNSAMPLE)
+from ..ops.sauvola import sauvola_window
+from ..ops.golden import estimate_sigma_np
+from ..ops.resize import thumbnail_size, resize
+from . import decompose as D
+from .hocr_prep import prepare_lines, paint_line_ids
+
+_LINE_CAP = 512  # per-batch hOCR line capacity (padded for segment sums)
+
+
+def _round_lines(n):
+    cap = 64
+    while cap < n + 1:
+        cap *= 2
+    return min(cap, 8192)
+
+
+class TimingData:
+    """Reference-compatible (stage, seconds) accumulator."""
+
+    def __init__(self, sink=None):
+        self.sink = sink
+
+    def add(self, key, t0):
+        if self.sink is not None:
+            self.sink.append((key, _time.time() - t0))
+
+
+def decompose_masks(np_images, word_datas, dpi=None, downsample=None,
+                    denoise_mask=DENOISE_FAST, exact_denoise=True,
+                    timing_data=None, errors=None):
+    """Mask phase for a uniform batch.
+
+    np_images: list of uint8 arrays, all (H, W) gray or (H, W, 3) RGB of
+    identical shape.  Returns bool (B, H, W) numpy mask array.
+    """
+    td = TimingData(timing_data)
+    imgs = np.stack(np_images)
+    rgb = imgs.ndim == 4
+    h, w = imgs.shape[1], imgs.shape[2]
+    window = sauvola_window(dpi)
+
+    t0 = _time.time()
+    dev_imgs = jnp.asarray(imgs)
+    if rgb:
+        gray = D.gray_601(dev_imgs)
+        td.add('grey_conversion', t0)
+    else:
+        gray = dev_imgs
+
+    # --- hOCR line thresholds ---
+    t0 = _time.time()
+    page_boxes = [prepare_lines(wd, w, h, downsample=downsample)
+                  for wd in word_datas]
+    total = sum(len(bx) for bx in page_boxes)
+    n_seg = _round_lines(total)
+    id_map, boxes, n_lines = paint_line_ids(page_boxes, h, w, n_seg - 1)
+
+    thres, thres_inv, ones, ones_inv, size = D.hocr_line_thresholds(
+        gray, jnp.asarray(id_map), jnp.asarray(boxes), window, n_seg)
+
+    ones = np.asarray(ones)
+    ones_inv = np.asarray(ones_inv)
+    size_np = np.asarray(size)
+
+    # host selection; exact wavelet sigma only for undecided lines
+    _page_cache = {}
+    _line_pages = {}
+    lid = 0
+    for p, bx in enumerate(page_boxes):
+        for _ in bx:
+            lid += 1
+            if lid < n_seg:
+                _line_pages[lid] = p
+
+    def fetch_maps(p):
+        if p not in _page_cache:
+            _page_cache[p] = (np.asarray(thres[p]), np.asarray(thres_inv[p]))
+        return _page_cache[p]
+
+    def sigma_fn(i):
+        p = _line_pages[i]
+        tmap, imap = fetch_maps(p)
+        tt, bb, ll, rr = boxes[0][i], boxes[1][i], boxes[2][i], boxes[3][i]
+        crop = tmap[tt:bb, ll:rr].astype(np.float64)
+        crop_inv = imap[tt:bb, ll:rr].astype(np.float64)
+        return estimate_sigma_np(crop), estimate_sigma_np(crop_inv)
+
+    use_plain, use_inv = D.select_lines(ones, ones_inv, size_np,
+                                        sigma_fn, n_lines)
+    td.add('hocr_mask_gen', t0)
+
+    # --- global threshold with noise-adaptive pre-blur ---
+    t0 = _time.time()
+    blurred_u8, sigma_est = D.global_threshold_input(gray)
+    td.add('est_1', t0)
+    t0 = _time.time()
+    gmask = D.global_threshold(blurred_u8, window)
+    td.add('threshold', t0)
+
+    mask = D.compose_mask(thres, thres_inv, jnp.asarray(use_plain),
+                          jnp.asarray(use_inv), jnp.asarray(id_map), gmask)
+
+    if denoise_mask is not None and denoise_mask != DENOISE_NONE:
+        t0 = _time.time()
+        mask = D.denoise_mask(mask, denoise_mask, exact_denoise)
+        td.add('fast_denoise' if denoise_mask == DENOISE_FAST else 'denoise',
+               t0)
+
+    return mask, dev_imgs
+
+
+def decompose_layers(mask, dev_imgs, bg_downsample=None, fg_downsample=None,
+                     timing_data=None, errors=None):
+    """fg/bg phase: radiate fills + optional layer downsampling.
+
+    mask: device bool (B, H, W); dev_imgs: device uint8 (B, H, W[, 3]).
+    Returns (fg, bg) numpy uint8 arrays (downsampled sizes if requested).
+    """
+    td = TimingData(timing_data)
+
+    t0 = _time.time()
+    fg = D.fg_layer(mask, dev_imgs)
+    fg.block_until_ready()
+    td.add('fg_partial_blur', t0)
+    if fg_downsample:
+        t0 = _time.time()
+        fg, ok = _downsample(fg, fg_downsample, errors)
+        td.add('fg_downsample', t0)
+
+    t0 = _time.time()
+    bg = D.bg_layer(mask, dev_imgs)
+    bg.block_until_ready()
+    td.add('bg_partial_blur', t0)
+    if bg_downsample:
+        t0 = _time.time()
+        bg, ok = _downsample(bg, bg_downsample, errors)
+        td.add('bg_downsample', t0)
+
+    return np.asarray(fg), np.asarray(bg)
+
+
+def _downsample(layer, factor, errors):
+    """Layer thumbnail semantics (``mrc.py:420-434``): box (w//f, h//f),
+    PIL aspect fit, warning when degenerate."""
+    chan = layer.ndim == 4
+    h, w = (layer.shape[1], layer.shape[2])
+    bw, bh = int(w / factor), int(h / factor)
+    if bw <= 0 or bh <= 0:
+        if errors is not None:
+            errors.add(RECODE_RUNTIME_WARNING_TOO_SMALL_TO_DOWNSAMPLE)
+        return layer, False
+    tgt = thumbnail_size(w, h, bw, bh)
+    if tgt is None:
+        return layer, True
+    tw, th = tgt
+    return resize(layer, th, tw, 'bicubic'), True
+
+
+def create_mrc_hocr_components(image, hocr_word_data, dpi=None,
+                               downsample=None, bg_downsample=None,
+                               fg_downsample=None, denoise_mask=None,
+                               timing_data=None, errors=None,
+                               exact_denoise=True):
+    """Drop-in generator equivalent of the reference API (``mrc.py:334``):
+    yields mask, then foreground, then background numpy arrays for one
+    PIL image page."""
+    grayscale = image.mode == 'L'
+    if not grayscale and image.mode != 'RGB':
+        t0 = _time.time()
+        image = image.convert('RGB')
+        if timing_data is not None:
+            timing_data.append(('grey_conversion', _time.time() - t0))
+
+    np_img = np.asarray(image)
+    mask, dev_imgs = decompose_masks(
+        [np_img], [hocr_word_data], dpi=dpi, downsample=downsample,
+        denoise_mask=denoise_mask or DENOISE_NONE,
+        exact_denoise=exact_denoise,
+        timing_data=timing_data, errors=errors)
+
+    yield np.asarray(mask[0])
+
+    fg, bg = decompose_layers(mask, dev_imgs, bg_downsample=bg_downsample,
+                              fg_downsample=fg_downsample,
+                              timing_data=timing_data, errors=errors)
+    yield fg[0]
+    yield bg[0]

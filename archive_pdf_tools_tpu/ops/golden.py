@@ -135,6 +135,41 @@ def optimise_ref(mask, img, n_size):
 
 
 # ---------------------------------------------------------------------------
+# wavelet MAD noise estimate (numpy mirror of ops/sigma.py)
+# ---------------------------------------------------------------------------
+
+_DB2_HI = np.array([-0.48296291314469025, 0.836516303737469,
+                    -0.22414386804185735, -0.12940952255092145])
+_MAD_DENOM = 0.6744897501960817
+
+
+def estimate_sigma_np(img):
+    """Single-level db2 diagonal-detail MAD estimator; numpy mirror of the
+    device kernel (same symmetric padding and stride-2 phase)."""
+    x = np.asarray(img, dtype=np.float64)
+    k = _DB2_HI[::-1]
+    L = len(k)
+
+    def hp(a, axis):
+        a = np.moveaxis(a, axis, -1)
+        n = a.shape[-1]
+        ap = np.pad(a, [(0, 0)] * (a.ndim - 1) + [(L - 1, L - 1)],
+                    mode='symmetric')
+        nout = (n + 2 * (L - 1) - L) // 2 + 1
+        out = np.zeros(a.shape[:-1] + (nout,))
+        for j in range(L):
+            out += k[j] * ap[..., j:j + 2 * nout:2][..., :nout]
+        return np.moveaxis(out, -1, axis)
+
+    dd = hp(hp(x, -2), -1)
+    flat = np.abs(dd).ravel()
+    nz = flat[flat > 0]
+    if nz.size == 0:
+        return 0.0
+    return float(np.median(nz) / _MAD_DENOM)
+
+
+# ---------------------------------------------------------------------------
 # fast mask despeckle (optimiser.pyx:436-472 semantics)
 # ---------------------------------------------------------------------------
 

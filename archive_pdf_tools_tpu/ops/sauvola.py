@@ -92,3 +92,49 @@ def threshold_image(img, dpi, k=0.34):
     window from DPI, k default 0.34, R=128, returns bool ink mask."""
     win = sauvola_window(dpi)
     return sauvola_mask(img, win, win, k, 128.0)
+
+
+@functools.partial(jax.jit, static_argnames=('window_width', 'window_height'))
+def sauvola_mask_valid(img, valid_h, valid_w, window_width, window_height,
+                       k, R=128.0):
+    """Sauvola over a *dynamic* valid region of a padded buffer.
+
+    img: uint8 (B, H, W) buffers; each crop occupies the top-left
+    (valid_h[b], valid_w[b]) region.  Window sums count only valid
+    pixels, which reproduces the reference's border clamping at the true
+    crop boundary (used for per-hOCR-line thresholds, ``mrc.py:230``).
+    Pixels outside the valid region return False.
+    """
+    h, w = img.shape[-2], img.shape[-1]
+    row_off, col_off = _offsets(window_width, window_height)
+
+    rows = jnp.arange(h, dtype=jnp.int32)
+    cols = jnp.arange(w, dtype=jnp.int32)
+    vr = rows[None, :] < valid_h[:, None]                  # (B, H)
+    vc = cols[None, :] < valid_w[:, None]                  # (B, W)
+    valid = (vr[:, :, None] & vc[:, None, :])
+
+    x = jnp.where(valid, img, 0).astype(jnp.uint32)
+    s = box_sum_2d(x, row_off, col_off)
+    s2 = box_sum_2d(x * x, row_off, col_off)
+    cnt = box_sum_2d(valid.astype(jnp.uint32), row_off, col_off)
+    cnt = jnp.maximum(cnt, 1)
+
+    mean_i = s // cnt
+    var_i = s2 // cnt - mean_i * mean_i
+
+    mean = mean_i.astype(jnp.float32)
+    var = var_i.astype(jnp.float32)
+    px = img.astype(jnp.float32)
+
+    k = jnp.float32(k)
+    R = jnp.float32(R)
+    k2 = k * k / R / R
+    t = px + mean * (k - 1.0)
+    rhs = mean * mean * k2 * var
+    t2 = t * t
+
+    pos = jnp.logical_or(t <= 0.0, t2 <= rhs)
+    neg = jnp.logical_and(t <= 0.0, t2 >= rhs)
+    out = jnp.where(k >= 0.0, pos, neg)
+    return jnp.logical_and(out, valid)

@@ -53,6 +53,17 @@ def diagonal_detail(img):
     return _dwt1d(d, _DB2_HI, axis=-1)
 
 
+def _masked_median(flat, keep):
+    """Median over entries where ``keep``; 0 when none survive."""
+    n = jnp.sum(keep, axis=-1)
+    s = jnp.sort(jnp.where(keep, flat, jnp.inf), axis=-1)
+    lo_i = jnp.maximum((n - 1) // 2, 0)
+    hi_i = jnp.maximum(n // 2, 0)
+    lo = jnp.take_along_axis(s, lo_i[..., None], axis=-1)[..., 0]
+    hi = jnp.take_along_axis(s, hi_i[..., None], axis=-1)[..., 0]
+    return jnp.where(n > 0, 0.5 * (lo + hi), 0.0)
+
+
 @jax.jit
 def estimate_sigma(img):
     """MAD noise sigma from the nonzero diagonal detail coefficients.
@@ -63,17 +74,58 @@ def estimate_sigma(img):
     """
     dd = diagonal_detail(img)
     flat = jnp.abs(dd.reshape(dd.shape[:-2] + (-1,)))
-    nz = flat > 0
-    # median over nonzero entries: sort with zeros pushed to +inf, pick
-    # the middle of the nonzero count
-    n = jnp.sum(nz, axis=-1)
-    s = jnp.sort(jnp.where(nz, flat, jnp.inf), axis=-1)
-    lo_i = jnp.maximum((n - 1) // 2, 0)
-    hi_i = jnp.maximum(n // 2, 0)
-    lo = jnp.take_along_axis(s, lo_i[..., None], axis=-1)[..., 0]
-    hi = jnp.take_along_axis(s, hi_i[..., None], axis=-1)[..., 0]
-    med = jnp.where(n > 0, 0.5 * (lo + hi), 0.0)
+    med = _masked_median(flat, flat > 0)
     return med / _MAD_DENOM
+
+
+def _reflect_idx(pos, n):
+    """Edge-inclusive symmetric reflection of positions into [0, n)."""
+    r = jnp.mod(pos, 2 * n)
+    return jnp.where(r < n, r, 2 * n - 1 - r)
+
+
+@jax.jit
+def estimate_sigma_valid(img, valid_h, valid_w):
+    """estimate_sigma over dynamic top-left (valid_h, valid_w) crops of
+    padded (B, H, W) buffers, with symmetric extension at the true crop
+    boundary (matching a DWT of the exact crop)."""
+    b, h, w = img.shape
+    pad = len(_DB2_HI) - 1                               # 3
+    rows = jnp.arange(-pad, h + pad, dtype=jnp.int32)
+    cols = jnp.arange(-pad, w + pad, dtype=jnp.int32)
+    ri = _reflect_idx(rows[None, :], valid_h[:, None])   # (B, H+2p)
+    ci = _reflect_idx(cols[None, :], valid_w[:, None])   # (B, W+2p)
+    g = jnp.take_along_axis(img.astype(jnp.float32),
+                            ri[:, :, None].astype(jnp.int32)
+                            * jnp.ones((1, 1, w), jnp.int32), axis=1)
+    g = jnp.take_along_axis(
+        g, ci[:, None, :] * jnp.ones((1, ri.shape[1], 1), jnp.int32), axis=2)
+
+    # high-pass both axes, stride 2, no further padding (already padded)
+    def hp(x, axis):
+        xp = jnp.moveaxis(x, axis, -1)
+        shape = xp.shape
+        flat = xp.reshape(-1, 1, shape[-1])
+        kern = jnp.asarray(_DB2_HI[::-1].copy())[None, None, :]
+        out = jax.lax.conv_general_dilated(
+            flat, kern, window_strides=(2,), padding='VALID',
+            dimension_numbers=('NCH', 'OIH', 'NCH'),
+            precision=jax.lax.Precision.HIGHEST)
+        out = out.reshape(shape[:-1] + (out.shape[-1],))
+        return jnp.moveaxis(out, -1, axis)
+
+    dd = hp(hp(g, -2), -1)
+    oh, ow = dd.shape[-2], dd.shape[-1]
+    # coefficient i spans padded positions [2i, 2i+3] i.e. crop coords
+    # [2i - pad, 2i - pad + 3]; keep those within one reflection period
+    io = jnp.arange(oh, dtype=jnp.int32)[None, :]
+    jo = jnp.arange(ow, dtype=jnp.int32)[None, :]
+    vr = 2 * io <= valid_h[:, None] + pad - 1
+    vc = 2 * jo <= valid_w[:, None] + pad - 1
+    keep2d = vr[:, :, None] & vc[:, None, :]
+    flat = jnp.abs(dd.reshape(b, -1))
+    keep = keep2d.reshape(b, -1) & (flat > 0)
+    return _masked_median(flat, keep) / _MAD_DENOM
 
 
 def estimate_noise(img):

@@ -1,0 +1,144 @@
+"""End-to-end MRC decompose parity: device pipeline vs numpy reference.
+
+The numpy reference reproduces the reference tool's whole mask pipeline
+(``mrc.py:334-399``) from the already-validated per-kernel oracles:
+per-line dual Sauvola thresholds + ratio/sigma selection, noise-adaptive
+pre-blur, global Sauvola, OR-composition, sequential despeckle.
+"""
+
+import numpy as np
+from scipy import ndimage
+
+from archive_pdf_tools_tpu.ops import golden
+from archive_pdf_tools_tpu.mrc.api import (
+    decompose_masks, decompose_layers, create_mrc_hocr_components)
+from archive_pdf_tools_tpu.ops.sauvola import sauvola_window
+
+from tests.test_kernels import synth_page
+
+
+def synth_word_data(h, w, n_lines=4, seed=0):
+    """Paragraph/line/word structure shaped like archive-hocr-tools out."""
+    rng = np.random.default_rng(seed)
+    lines = []
+    y = 10
+    for i in range(n_lines):
+        lh = int(rng.integers(18, 30))
+        x1 = int(rng.integers(5, 20))
+        x2 = int(w - rng.integers(5, 30))
+        if y + lh >= h:
+            break
+        lines.append({
+            'bbox': [x1, y, x2, y + lh],
+            'baseline': (0.0, 0),
+            'words': [{'text': 'word%d' % i, 'bbox': [x1, y, x2, y + lh],
+                       'confidence': 90, 'writing_direction': 0,
+                       'fontsize': 8}],
+        })
+        y += lh + int(rng.integers(8, 20))
+    return [{'lines': lines}]
+
+
+def mask_pipeline_ref(gray, word_data, dpi, denoise='fast'):
+    """Numpy mirror of the reference mask path."""
+    h, w = gray.shape
+    win = sauvola_window(dpi)
+    mask = np.zeros((h, w), bool)
+
+    # hOCR line masks (mrc.py:188-270)
+    for para in word_data:
+        for line in para['lines']:
+            text = ' '.join(wd['text'] for wd in line['words'])
+            confs = [wd['confidence'] for wd in line['words']]
+            conf = sum(confs) / len(confs) if confs else 0
+            if text.strip() == '' or conf < 20:
+                continue
+            x1, y1, x2, y2 = [int(c) for c in line['bbox']]
+            if x1 == x2 or y1 == y2 or x1 >= x2 or y1 >= y2:
+                continue
+            if x1 < 0 or x2 > w or y1 < 0 or y2 > h:
+                continue
+            crop = gray[y1:y2, x1:x2]
+            thres = golden.sauvola_mask_ref(crop, win, win, 0.1)
+            inv = golden.sauvola_mask_ref(255 - crop, win, win, 0.1)
+            ones = thres.sum()
+            ratio = ones / crop.size
+            inv_ratio = inv.sum() / crop.size
+            th = None
+            if ratio < 0.3 or inv_ratio < 0.3:
+                if inv_ratio > 0.2 and ratio < 0.2:
+                    th = thres
+                else:
+                    rs = golden.estimate_sigma_np(thres.astype(np.float64))
+                    irs = golden.estimate_sigma_np(inv.astype(np.float64))
+                    if inv_ratio < 0.3 and inv_ratio < ratio and \
+                            (irs < rs or (rs < 0.1 and irs < 0.1)):
+                        th = inv
+                    elif ratio < 0.2:
+                        th = thres
+            if th is not None:
+                mask[y1:y2, x1:x2] = th
+
+    # global threshold with noise-adaptive blur (mrc.py:273-329)
+    imgf = gray.astype(np.float64)
+    mul = 4
+    hs, he = int(h / 2 - h / mul), int(h / 2 + h / mul)
+    ws, we = int(w / 2 - w / mul), int(w / 2 + w / mul)
+    sigma_est = golden.estimate_sigma_np(imgf[hs:he, ws:we])
+    if sigma_est > 1.0:
+        imgf = ndimage.gaussian_filter(imgf, sigma=sigma_est * 0.1)
+    mask |= golden.sauvola_mask_ref(imgf.astype(np.uint8), win, win, 0.34)
+
+    if denoise == 'fast':
+        mask = golden.fast_mask_denoise_ref(mask, 4, 2)
+    return mask
+
+
+class TestDecomposeMask:
+    def test_mask_parity_gray(self):
+        img = synth_page(200, 300, seed=42, noise=25)
+        wd = synth_word_data(200, 300)
+        ref = mask_pipeline_ref(img, wd, dpi=80)
+        mask, _ = decompose_masks([img], [wd], dpi=80)
+        got = np.asarray(mask)[0]
+        agree = (ref == got).mean()
+        assert agree >= 0.999, f'mask agreement {agree}'
+
+    def test_mask_parity_batch(self):
+        imgs = [synth_page(160, 240, seed=s, noise=15) for s in range(3)]
+        wds = [synth_word_data(160, 240, seed=s) for s in range(3)]
+        mask, _ = decompose_masks(imgs, wds, dpi=100)
+        got = np.asarray(mask)
+        for i in range(3):
+            ref = mask_pipeline_ref(imgs[i], wds[i], dpi=100)
+            agree = (ref == got[i]).mean()
+            assert agree >= 0.999, f'page {i}: {agree}'
+
+    def test_generator_api_full(self):
+        img = synth_page(140, 200, seed=7)
+        wd = synth_word_data(140, 200, seed=7)
+        from PIL import Image
+        gen = create_mrc_hocr_components(Image.fromarray(img), wd, dpi=100,
+                                         denoise_mask='fast',
+                                         bg_downsample=3)
+        mask = next(gen)
+        fg = next(gen)
+        bg = next(gen)
+        assert mask.shape == (140, 200) and mask.dtype == bool
+        assert fg.shape == (140, 200)
+        assert bg.shape[0] < 140 and bg.shape[1] < 200
+
+        # fg parity against the exact oracle given the produced mask
+        ref_fg = golden.optimise_ref(mask, img, 3)
+        assert (ref_fg == fg).all()
+
+    def test_rgb_page(self):
+        g = synth_page(120, 160, seed=3)
+        img = np.stack([g, np.clip(g + 5, 0, 255),
+                        np.clip(g - 5, 0, 255)], -1).astype(np.uint8)
+        wd = synth_word_data(120, 160, seed=3)
+        mask, dev = decompose_masks([img], [wd], dpi=100)
+        fg, bg = decompose_layers(mask, dev)
+        assert fg.shape == (1, 120, 160, 3)
+        m = np.asarray(mask)[0]
+        assert (fg[0][m] == img[m]).all()
