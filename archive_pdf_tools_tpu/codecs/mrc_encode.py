@@ -1,0 +1,133 @@
+"""MRC component encoding: mask/fg/bg arrays -> compressed streams.
+
+In-memory re-architecture of the reference's encode layer
+(``mrc.py:474-673``): where the reference writes every layer through
+tempfiles and subprocesses, we encode in-process by default (own JBIG2,
+Pillow JPEG2000/JPEG/PNG, libtiff G4) and only touch the filesystem for
+the optional external Kakadu/Grok/OpenJPEG backends.
+
+Mask polarity: the mask arrays are True at ink.  Following the
+reference's PNG convention (ink saved white, ``mrc.py:491-499``), ink
+pixels are encoded as JBIG2/CCITT *white* so PDF SMask decoding yields
+alpha 1 (opaque foreground) at text.
+"""
+
+import io
+import time as _time
+from collections import namedtuple
+from os import close, remove
+from tempfile import mkstemp
+
+import numpy as np
+from PIL import Image
+
+from ..const import (COMPRESSOR_JPEG, COMPRESSOR_JPEG2000, COMPRESSOR_JBIG2,
+                     COMPRESSOR_CCITT, JPEG2000_IMPL_PILLOW)
+from . import jbig2 as jbig2_codec
+from . import ccitt as ccitt_codec
+from . import jpeg as jpeg_codec
+from .jpeg2000 import encode_jpeg2000
+
+EncodedMask = namedtuple('EncodedMask', 'data fmt width height')
+EncodedLayer = namedtuple('EncodedLayer', 'data fmt width height gray')
+
+
+def encode_mrc_mask(np_mask, fmt=COMPRESSOR_JBIG2, embedded=True,
+                    timing_data=None, debug=False):
+    """Mask -> EncodedMask. fmt: jbig2 | ccitt | png (``mrc.py:474-520``)."""
+    t = _time.time()
+    m = np.asarray(np_mask).astype(bool)
+    h, w = m.shape
+    if fmt == COMPRESSOR_JBIG2:
+        data = jbig2_codec.encode_jbig2(~m, embedded=embedded)
+        key = 'mask_jbig2'
+    elif fmt == COMPRESSOR_CCITT:
+        data = ccitt_codec.encode_ccitt_g4(m)
+        key = 'mask_ccitt'
+    elif fmt == 'png':
+        buf = io.BytesIO()
+        Image.fromarray(m).save(buf, format='PNG', compress_level=0)
+        data = buf.getvalue()
+        key = 'mask_png'
+    else:
+        raise ValueError('unknown mask format: %r' % (fmt,))
+    if timing_data is not None:
+        timing_data.append((key, _time.time() - t))
+    return EncodedMask(data, fmt, w, h)
+
+
+def encode_mrc_img(np_img, img_compression_flags, imgtype=None,
+                   jpeg2000_implementation=JPEG2000_IMPL_PILLOW,
+                   mrc_image_format=COMPRESSOR_JPEG2000,
+                   tmp_dir=None, threads=None, timing_data=None,
+                   debug=False):
+    """fg/bg layer -> EncodedLayer (``mrc.py:523-580``)."""
+    t = _time.time()
+    if imgtype not in ('bg', 'fg'):
+        raise ValueError("imgtype should be 'bg' or 'fg'")
+    arr = np.asarray(np_img)
+    gray = arr.ndim == 2
+    h, w = arr.shape[:2]
+    img = Image.fromarray(arr)
+
+    if mrc_image_format == COMPRESSOR_JPEG:
+        data = jpeg_codec.encode_jpeg(img, img_compression_flags, debug=debug)
+    else:
+        if jpeg2000_implementation == JPEG2000_IMPL_PILLOW:
+            buf = io.BytesIO()
+            from .jpeg2000 import _pillow_kwargs
+            img.save(buf, format='JPEG2000',
+                     **_pillow_kwargs(img_compression_flags[0]))
+            data = buf.getvalue()
+        else:
+            fd, out_path = mkstemp(prefix=imgtype, suffix='.jp2', dir=tmp_dir)
+            close(fd)
+            remove(out_path)  # kakadu wants the file absent (mrc.py:555)
+            try:
+                encode_jpeg2000(img, out_path, jpeg2000_implementation,
+                                img_compression_flags, tmp_dir=tmp_dir,
+                                imgtype=imgtype, threads=threads, debug=debug)
+                with open(out_path, 'rb') as fp:
+                    data = fp.read()
+            finally:
+                try:
+                    remove(out_path)
+                except FileNotFoundError:
+                    pass
+    if timing_data is not None:
+        timing_data.append(('%s_jp2' % imgtype, _time.time() - t))
+    return EncodedLayer(data, mrc_image_format, w, h, gray)
+
+
+def encode_mrc_foreground(np_fg, fg_compression_flags, **kw):
+    """``mrc.py:608-630``"""
+    return encode_mrc_img(np_fg, fg_compression_flags, imgtype='fg', **kw)
+
+
+def encode_mrc_background(np_bg, bg_compression_flags, **kw):
+    """``mrc.py:583-605``"""
+    return encode_mrc_img(np_bg, bg_compression_flags, imgtype='bg', **kw)
+
+
+def encode_mrc_images(mask, fg, bg, bg_compression_flags=None,
+                      fg_compression_flags=None, mask_fmt=COMPRESSOR_JBIG2,
+                      embedded_jbig2=True,
+                      jpeg2000_implementation=JPEG2000_IMPL_PILLOW,
+                      mrc_image_format=COMPRESSOR_JPEG2000,
+                      tmp_dir=None, threads=None, timing_data=None,
+                      debug=False):
+    """All three MRC components -> (EncodedMask, EncodedLayer, EncodedLayer).
+    In-memory analog of ``mrc.py:633-673``."""
+    em = encode_mrc_mask(mask, fmt=mask_fmt, embedded=embedded_jbig2,
+                         timing_data=timing_data, debug=debug)
+    ef = encode_mrc_foreground(
+        fg, fg_compression_flags,
+        jpeg2000_implementation=jpeg2000_implementation,
+        mrc_image_format=mrc_image_format, tmp_dir=tmp_dir,
+        threads=threads, timing_data=timing_data, debug=debug)
+    eb = encode_mrc_background(
+        bg, bg_compression_flags,
+        jpeg2000_implementation=jpeg2000_implementation,
+        mrc_image_format=mrc_image_format, tmp_dir=tmp_dir,
+        threads=threads, timing_data=timing_data, debug=debug)
+    return em, eb, ef

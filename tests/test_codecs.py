@@ -1,0 +1,125 @@
+"""Codec layer tests: JBIG2 round-trip, CCITT polarity, JPEG size target,
+JPEG2000 in-process, MRC encode bundle."""
+
+import io
+
+import numpy as np
+from PIL import Image
+
+from archive_pdf_tools_tpu.codecs.jbig2 import encode_jbig2, decode_jbig2
+from archive_pdf_tools_tpu.codecs.ccitt import (
+    encode_ccitt_g4, decode_ccitt_g4)
+from archive_pdf_tools_tpu.codecs.jpeg import encode_jpeg
+from archive_pdf_tools_tpu.codecs.jpeg2000 import (
+    encode_jpeg2000, decode_jpeg2000, get_jpeg2000_info)
+from archive_pdf_tools_tpu.codecs.mrc_encode import (
+    encode_mrc_mask, encode_mrc_images)
+
+from tests.test_kernels import synth_page
+
+
+def text_mask(h=240, w=320, seed=0):
+    rng = np.random.default_rng(seed)
+    m = np.zeros((h, w), bool)
+    for _ in range(60):
+        y, x = rng.integers(0, h - 5), rng.integers(0, w - 40)
+        m[y:y + 3, x:x + int(rng.integers(8, 40))] = True
+    return m
+
+
+class TestJBIG2:
+    def test_roundtrip_masks(self):
+        for seed in range(3):
+            m = text_mask(seed=seed)
+            data = encode_jbig2(m)
+            assert (decode_jbig2(data, 320, 240) == m).all()
+
+    def test_standalone_has_file_header(self):
+        m = text_mask()
+        data = encode_jbig2(m, embedded=False)
+        assert data[:4] == b'\x97JB2'
+
+    def test_embedded_no_file_header(self):
+        m = text_mask()
+        data = encode_jbig2(m, embedded=True)
+        assert data[:4] != b'\x97JB2'
+
+    def test_compresses(self):
+        m = text_mask()
+        data = encode_jbig2(m)
+        assert len(data) < m.size // 8 // 3   # beats raw packed by 3x+
+
+
+class TestCCITT:
+    def test_roundtrip(self):
+        m = text_mask(seed=5)
+        data = encode_ccitt_g4(m)
+        back = decode_ccitt_g4(data, 320, 240)
+        assert (back == m).all()
+
+    def test_large_single_strip(self):
+        m = np.zeros((3000, 2400), bool)
+        m[::7] = True
+        data = encode_ccitt_g4(m)
+        assert (decode_ccitt_g4(data, 2400, 3000) == m).all()
+
+
+class TestJPEG:
+    def test_size_target(self):
+        img = Image.fromarray(synth_page(400, 500))
+        data = encode_jpeg(img, ['-S30'])
+        assert len(data) <= 30 * 1024
+        assert data[:2] == b'\xff\xd8'
+
+    def test_no_target(self):
+        img = Image.fromarray(synth_page(100, 100))
+        data = encode_jpeg(img)
+        assert data[:2] == b'\xff\xd8'
+
+
+class TestJP2:
+    def test_pillow_roundtrip(self, tmp_path):
+        img = Image.fromarray(synth_page(120, 150))
+        out = str(tmp_path / 'x.jp2')
+        encode_jpeg2000(img, out, 'pillow',
+                        ['quality_mode:"rates";quality_layers:[50]'])
+        size, mode = get_jpeg2000_info(out)
+        assert size == (150, 120)
+        back = decode_jpeg2000(out)
+        assert back.size == (150, 120)
+
+    def test_reduce(self, tmp_path):
+        img = Image.fromarray(synth_page(128, 160))
+        out = str(tmp_path / 'y.jp2')
+        encode_jpeg2000(img, out, 'pillow',
+                        ['quality_mode:"rates";quality_layers:[50]'])
+        back = decode_jpeg2000(out, reduce_=3)
+        assert back.size[0] < 160
+
+
+class TestMRCEncode:
+    def test_bundle(self):
+        mask = text_mask()
+        g = synth_page(240, 320)
+        em, eb, ef = encode_mrc_images(
+            mask, g, g,
+            bg_compression_flags=['quality_mode:"rates";quality_layers:[500]'],
+            fg_compression_flags=['quality_mode:"rates";quality_layers:[750]'])
+        assert em.fmt == 'jbig2' and em.width == 320 and em.height == 240
+        assert eb.data[:4] in (b'\x00\x00\x00\x0c', b'\xffO\xffQ')
+        assert ef.gray
+
+    def test_mask_polarity(self):
+        # ink must be encoded as JBIG2-white (bit 0): all-ink mask encodes
+        # to the same stream as an all-white jbig2 page
+        mask = np.ones((40, 60), bool)
+        d = encode_mrc_mask(mask).data
+        back = decode_jbig2(d, 60, 40)
+        assert not back.any()   # raw jbig2 bits are all 0 (white)
+
+    def test_png_mask(self):
+        mask = text_mask()
+        em = encode_mrc_mask(mask, fmt='png')
+        img = Image.open(io.BytesIO(em.data))
+        arr = np.asarray(img)
+        assert (arr == mask).all()   # True = white pixels
