@@ -1,0 +1,186 @@
+"""PDF layer tests: writer/builder round-trips through our reader,
+text layer math, page labels, metadata, PDF/A + UA scaffolding."""
+
+import io
+import zlib
+
+import numpy as np
+import pytest
+
+from archive_pdf_tools_tpu.pdf.writer import PdfWriter, Name, Stream
+from archive_pdf_tools_tpu.pdf.builder import DocumentBuilder
+from archive_pdf_tools_tpu.pdf.reader import PdfReader, PStream
+from archive_pdf_tools_tpu.pdf import pagenumbers as pn
+from archive_pdf_tools_tpu.pdf.textlayer import (
+    page_text_ops, codepoint_utf16be, clip_baseline)
+from archive_pdf_tools_tpu.codecs.mrc_encode import (
+    encode_mrc_mask, encode_mrc_images)
+
+from tests.test_kernels import synth_page
+from tests.test_codecs import text_mask
+from tests.test_decompose import synth_word_data
+
+
+def build_sample_doc(with_images=True, **meta):
+    b = DocumentBuilder()
+    wd = synth_word_data(400, 300)
+    b.add_text_page(wd, 300.0, 400.0, ppi=72.0)
+    b.add_text_page(wd, 300.0, 400.0, ppi=72.0)
+    if with_images:
+        mask = text_mask(400, 300)
+        g = synth_page(400, 300)
+        em, eb, ef = encode_mrc_images(
+            mask, g, g,
+            bg_compression_flags=['quality_mode:"rates";quality_layers:[500]'],
+            fg_compression_flags=['quality_mode:"rates";quality_layers:[750]'])
+        for idx in range(2):
+            b.insert_image(idx, eb, gray=True)
+            b.insert_image(idx, ef, gray=True, mask_enc=em)
+    b.write_pdfa()
+    b.write_basic_ua(language='en')
+    b.write_metadata(extra_metadata=dict(
+        title='Test Book', author='Test Author', url='https://x.test/b',
+        language=['en'], **meta))
+    buf = io.BytesIO()
+    b.save(buf)
+    return buf.getvalue()
+
+
+class TestBuilderReader:
+    def test_roundtrip_structure(self):
+        data = build_sample_doc()
+        assert data.startswith(b'%PDF-1.5')
+        r = PdfReader(data)
+        assert r.page_count() == 2
+        assert r.page_size(0) == (300.0, 400.0)
+        imgs = r.page_images(0)
+        assert len(imgs) == 2
+        filters = sorted(r.extract_image(s)[1] for _, _, s in imgs)
+        assert filters == ['JPXDecode', 'JPXDecode']
+        # fg must carry a JBIG2 SMask
+        smasks = [r.resolve(s.dict.get('SMask')) for _, _, s in imgs]
+        smasks = [s for s in smasks if s is not None]
+        assert len(smasks) == 1
+        assert str(r.resolve(smasks[0].dict['Filter'])) == 'JBIG2Decode'
+
+    def test_pdfa_bits(self):
+        r = PdfReader(build_sample_doc(with_images=False))
+        cat = r.catalog
+        intents = r.resolve(cat['OutputIntents'])
+        intent = r.resolve(intents[0])
+        assert str(r.resolve(intent['S'])) == 'GTS_PDFA1'
+        icc = r.resolve(intent['DestOutputProfile'])
+        assert isinstance(icc, PStream) and len(icc.decoded()) > 100
+        xmp = r.xmp_metadata().decode('utf-8')
+        assert '<pdfaid:part>3</pdfaid:part>' in xmp
+        assert '<pdfaid:conformance>B</pdfaid:conformance>' in xmp
+        assert 'Test Book' in xmp
+
+    def test_ua_bits(self):
+        r = PdfReader(build_sample_doc(with_images=False))
+        cat = r.catalog
+        root = r.resolve(cat['StructTreeRoot'])
+        assert str(root['Type']) == 'StructTreeRoot'
+        kids = r.resolve(root['K'])
+        assert len(kids) == 2
+        assert r.resolve(cat['MarkInfo'])['Marked'] is True
+        assert r.resolve(cat['Lang']) == b'en'
+        page = r.pages()[0]
+        assert r.resolve(page['StructParents']) == 0
+
+    def test_info_metadata(self):
+        r = PdfReader(build_sample_doc(with_images=False))
+        info = r.info()
+        assert info['Title'] == b'Test Book'
+        assert b'Internet Archive PDF' in bytes(info['Producer'])
+
+    def test_text_content_stream(self):
+        r = PdfReader(build_sample_doc(with_images=False))
+        ops = r.page_contents(0)
+        assert b'3 Tr' in ops          # invisible render mode
+        assert b'Tz' in ops and b'TJ' in ops
+        assert b'/f-0-0' in ops
+
+    def test_page_labels(self):
+        b = DocumentBuilder()
+        b.add_text_page([], 100.0, 100.0, ppi=72.0)
+        b.add_text_page([], 100.0, 100.0, ppi=72.0)
+        b.add_text_page([], 100.0, 100.0, ppi=72.0)
+        b.write_page_labels([None, 'i', '2'])
+        buf = io.BytesIO()
+        b.save(buf)
+        r = PdfReader(buf.getvalue())
+        labels = r.resolve(r.catalog['PageLabels'])
+        nums = r.resolve(labels['Nums'])
+        assert nums[0] == 0 and r.resolve(nums[1]) == {}
+        assert str(r.resolve(nums[3])['S']) == 'r'
+
+    def test_toc(self):
+        b = DocumentBuilder()
+        for _ in range(3):
+            b.add_text_page([], 100.0, 100.0, ppi=72.0)
+        b.write_toc([{'title': 'Ch 1', 'level': 1, 'accessible-page': 0},
+                     {'title': 'Ch 2', 'level': 1, 'accessible-page': 2}])
+        buf = io.BytesIO()
+        b.save(buf)
+        r = PdfReader(buf.getvalue())
+        outlines = r.resolve(r.catalog['Outlines'])
+        assert r.resolve(outlines['Count']) == 2
+        first = r.resolve(outlines['First'])
+        assert first['Title'] == b'Ch 1'
+
+
+class TestTextMath:
+    def test_codepoints(self):
+        assert codepoint_utf16be(ord('A')) == '0041'
+        assert codepoint_utf16be(0x1F600) == 'D83DDE00'
+        assert codepoint_utf16be(0xD800) is None
+
+    def test_clip_baseline_flattens(self):
+        x1, y1, x2, y2 = clip_baseline(72, 0, 10.0, 500, 11.0)
+        assert y1 == y2 == 10.5
+
+    def test_empty_word_data(self):
+        assert page_text_ops([], 100, 100, 72) == b''
+
+
+class TestPageNumbers:
+    def test_roman(self):
+        assert pn.roman_to_int('XIV') == 14
+        assert pn.roman_to_int('MCMXCIX') == 1999
+        with pytest.raises(pn.InvalidRomanNumeral):
+            pn.roman_to_int('IIII')
+
+    def test_types(self):
+        assert pn.value_type('12') == pn.ARABIC
+        assert pn.value_type('xiv') == pn.ROMAN_LOWER
+        assert pn.value_type('XIV') == pn.ROMAN_UPPER
+        assert pn.value_type(None) == pn.INVALID
+        with pytest.raises(ValueError):
+            pn.value_type('A-2')
+        assert pn.value_type('A-2', ignore_invalid=True) == pn.INVALID
+
+    def test_series_runs(self):
+        series = [None, 'i', 'ii', 'iii', '1', '2', '3', '5']
+        runs, ok = pn.parse_series(series)
+        assert ok
+        assert [r['start'] for r in runs] == [0, 1, 4, 7]
+        assert runs[1]['type'] == pn.ROMAN_LOWER
+        assert runs[2]['type'] == pn.ARABIC
+
+    def test_invalid_marks_not_ok(self):
+        # ignore_invalid classifies junk as INVALID without failing
+        runs, ok = pn.parse_series(['1', 'bogus str!'], ignore_invalid=True)
+        assert ok and runs[1]['type'] == pn.INVALID
+        # strict mode records the failure in all_ok
+        runs, ok = pn.parse_series(['1', '2', 'bogus str!'])
+        assert not ok
+
+    def test_reference_inline_case(self):
+        # shaped like pagenumbers.py:305 __main__ sample
+        series = [None, 'i', 'ii', 'iii', None, None, None, 'iv', 'v', 'v',
+                  'vi', '3', '4', '5', '4', '6', 'i', '7', None]
+        runs, ok = pn.parse_series(series)
+        assert ok
+        assert runs[0]['type'] == pn.INVALID
+        assert runs[1]['values'] == ['i', 'ii', 'iii']
