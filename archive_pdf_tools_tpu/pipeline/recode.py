@@ -1,0 +1,599 @@
+"""recode(): the end-to-end document pipeline.
+
+Reference contract: ``recode.py:562-796`` — two passes over the hOCR
+(text-only pages, then MRC images), page skip/DPI/HQ policy, PDF/A +
+page labels + TOC + UA + metadata finalization, compression-ratio
+report, runtime-warning set.
+
+TPU re-architecture: instead of the reference's strictly serial
+per-page loop (``recode.py:291``), pass 2 collects page jobs, groups
+them into same-shape/mode buckets, runs the MRC decomposition batched
+on device (mrc/api.py), and encodes mask/fg/bg on the host thread pool
+while the next batch computes.  Because our DocumentBuilder holds all
+pages from pass 1, encoded images are spliced in page order regardless
+of batch completion order.
+"""
+
+import io
+import json
+import os
+import subprocess
+import sys
+from concurrent.futures import ThreadPoolExecutor
+from glob import glob
+from time import time
+
+import numpy as np
+from PIL import Image
+
+from ..const import (IMAGE_MODE_PASSTHROUGH, IMAGE_MODE_PIXMAP,
+                     IMAGE_MODE_MRC, IMAGE_MODE_SKIP,
+                     COMPRESSOR_JPEG2000, COMPRESSOR_JPEG, COMPRESSOR_JBIG2,
+                     COMPRESSOR_CCITT, JPEG2000_IMPL_PILLOW, DENOISE_FAST,
+                     RECODE_RUNTIME_WARNING_INVALID_PAGE_SIZE)
+from ..inputs.hocr import (hocr_page_iterator, hocr_page_to_word_data,
+                           hocr_page_get_dimensions, hocr_page_get_scan_res)
+from ..inputs.scandata import Scandata
+from ..codecs.jpeg2000 import decode_jpeg2000, get_jpeg2000_info
+from ..codecs.mrc_encode import (encode_mrc_mask, encode_mrc_images,
+                                 EncodedLayer)
+from ..mrc.api import decompose_masks, decompose_layers
+from ..pdf.builder import DocumentBuilder
+from ..pdf.reader import PdfReader
+from .timing import get_timing_summary, Reporter
+
+PDFA_MIN_UNITS = 3
+PDFA_MAX_UNITS = 14400
+
+Image.MAX_IMAGE_PIXELS = 625000000
+
+DEFAULT_BATCH_PAGES = 8
+
+
+def guess_dpi(w, h, expected_format=(8.27, 11.69),
+              round_to=(72, 96, 150, 300, 600)):
+    """Best-matching DPI against an expected physical page size
+    (``recode.py:62-84``)."""
+    w_dpi = w / expected_format[0]
+    h_dpi = h / expected_format[1]
+    best = min(round_to, key=lambda dpi: abs(w_dpi - dpi) + abs(h_dpi - dpi))
+    return best
+
+
+def _page_geometry(imwidth, imheight, page_dpi, per_page_dpi, doc_dpi,
+                   verbose, errors):
+    """Page-size / DPI fallback policy (``recode.py:145-203``)."""
+    if page_dpi is None:
+        page_dpi = guess_dpi(imwidth, imheight)
+    page_width = imwidth / (page_dpi / 72)
+    if page_width <= PDFA_MIN_UNITS or page_width >= PDFA_MAX_UNITS:
+        if verbose:
+            print('Page size invalid with current image size and dpi.')
+            print('Image size: %d, %d. DPI: %d' % (imwidth, imheight,
+                                                   page_dpi))
+        if per_page_dpi is not None and doc_dpi:
+            page_width = imwidth / (doc_dpi / 72)
+        if page_width <= PDFA_MIN_UNITS or page_width >= PDFA_MAX_UNITS:
+            page_dpi = guess_dpi(imwidth, imheight)
+            page_width = imwidth / (page_dpi / 72)
+        if page_width <= PDFA_MIN_UNITS or page_width >= PDFA_MAX_UNITS:
+            page_width = PDFA_MIN_UNITS + 1
+        if errors is not None:
+            errors.add(RECODE_RUNTIME_WARNING_INVALID_PAGE_SIZE)
+    scaler = page_width / imwidth
+    ppi = 72.0 / scaler
+    return page_width, imheight * scaler, ppi
+
+
+def create_text_pages(builder, hocr_file, in_pdf=None, image_files=None,
+                      dpi=None, skip_pages=None, dpi_pages=None,
+                      reporter=None, verbose=False, stop_after=None,
+                      jpeg2000_implementation=JPEG2000_IMPL_PILLOW,
+                      errors=None):
+    """Pass 1 (``recode.py:87-234``): one invisible-text page per hOCR
+    page, honoring input-PDF page sizes or image dims + DPI policy."""
+    skipped_pages = 0
+    count = 0
+    t0 = time()
+    for idx, hocr_page in enumerate(hocr_page_iterator(hocr_file)):
+        w, h = hocr_page_get_dimensions(hocr_page)
+        hocr_dpi = hocr_page_get_scan_res(hocr_page)[1]
+
+        if skip_pages and idx in skip_pages:
+            skipped_pages += 1
+            continue
+        if stop_after is not None and (idx - skipped_pages) >= stop_after:
+            break
+
+        if in_pdf is not None:
+            width, height = in_pdf.page_size(idx - skipped_pages)
+            scaler = width / w
+            ppi = 72 / scaler
+        elif image_files is not None:
+            imgfile = image_files[idx]   # do not subtract skipped pages
+            if imgfile.endswith('.jp2'):
+                size, _ = get_jpeg2000_info(imgfile,
+                                            jpeg2000_implementation, errors)
+                imwidth, imheight = size
+            else:
+                with Image.open(imgfile) as img:
+                    imwidth, imheight = img.size
+
+            page_dpi = dpi
+            per_page_dpi = None
+            if dpi_pages is not None:
+                try:
+                    per_page_dpi = int(dpi_pages[idx - skipped_pages])
+                    page_dpi = per_page_dpi
+                except (TypeError, ValueError, IndexError):
+                    pass
+            width, height, ppi = _page_geometry(
+                imwidth, imheight, page_dpi, per_page_dpi, dpi,
+                verbose, errors)
+        else:
+            raise ValueError('need in_pdf or image_files')
+
+        if hocr_dpi is not None:
+            font_scaler = hocr_dpi / ppi
+        else:
+            font_scaler = 72.0 / ppi
+
+        word_data = hocr_page_to_word_data(hocr_page, font_scaler)
+        builder.add_text_page(word_data, width, height, ppi=ppi,
+                              hocr_ppi=hocr_dpi)
+        count += 1
+
+    if reporter and count:
+        ms = int(((time() - t0) / count) * 1000)
+        reporter.send({'text_pages': {'count': count, 'time-per': ms}})
+    return count
+
+
+class PageJob:
+    __slots__ = ('page_idx', 'src_idx', 'word_data', 'dpi', 'hq')
+
+    def __init__(self, page_idx, src_idx, word_data, dpi, hq):
+        self.page_idx = page_idx
+        self.src_idx = src_idx
+        self.word_data = word_data
+        self.dpi = dpi
+        self.hq = hq
+
+
+def _load_page_image(in_pdf, image_files, src_idx, downsample,
+                     jpeg2000_implementation, threads, debug, timing_data):
+    """Image load policy (``recode.py:318-372`` minus gray/downsample
+    steps that run on device)."""
+    t = time()
+    downsampled = False
+    if in_pdf is not None:
+        imgs = in_pdf.page_images(src_idx)
+        if not imgs:
+            raise ValueError('page %d has no images' % src_idx)
+        _, _, stream = imgs[0]
+        image = Image.open(io.BytesIO(stream.raw))
+        image.load()
+    else:
+        imgfile = image_files[src_idx]
+        if imgfile.endswith(('.jp2', '.jpx')):
+            image = decode_jpeg2000(imgfile, reduce_=downsample,
+                                    impl=jpeg2000_implementation,
+                                    threads=threads, debug=debug)
+            if downsample:
+                downsampled = True
+        else:
+            image = Image.open(imgfile)
+            image.load()
+        if image.mode == 'RGBA':
+            image = image.convert('RGB')
+        elif image.mode == 'LA':
+            image = image.convert('L')
+    if timing_data is not None:
+        timing_data.append(('image_load', time() - t))
+
+    if downsample is not None and not downsampled:
+        w, h = image.size
+        image.thumbnail((w / downsample, h / downsample),
+                        resample=Image.LANCZOS, reducing_gap=None)
+    return image
+
+
+def insert_images_mrc(builder, hocr_file, in_pdf=None, image_files=None,
+                      dpi=None, dpi_pages=None,
+                      bg_compression_flags=None, fg_compression_flags=None,
+                      skip_pages=None, img_dir=None, jbig2=True,
+                      downsample=None, bg_downsample=None, fg_downsample=None,
+                      denoise_mask=DENOISE_FAST, reporter=None,
+                      hq_pages=None, hq_bg_compression_flags=None,
+                      hq_fg_compression_flags=None,
+                      verbose=False, debug=False, tmp_dir=None,
+                      report_every=None, stop_after=None,
+                      grayscale_pdf=False, force_1bit_output=False,
+                      jpeg2000_implementation=JPEG2000_IMPL_PILLOW,
+                      mrc_image_format=COMPRESSOR_JPEG2000,
+                      mask_compression=COMPRESSOR_JBIG2,
+                      threads=None, errors=None,
+                      batch_pages=DEFAULT_BATCH_PAGES,
+                      exact_denoise=True):
+    """Pass 2 (``recode.py:266-529``), batched."""
+    timing_data = []
+    jobs = []
+    skipped_pages = 0
+    for idx, hocr_page in enumerate(hocr_page_iterator(hocr_file)):
+        if skip_pages and idx in skip_pages:
+            skipped_pages += 1
+            continue
+        out_idx = idx - skipped_pages
+        if stop_after is not None and out_idx >= stop_after:
+            break
+        picked_dpi = None
+        hocr_dpi = hocr_page_get_scan_res(hocr_page)
+        if dpi_pages is not None:
+            try:
+                picked_dpi = dpi_pages[out_idx]
+            except IndexError:
+                picked_dpi = None
+            if picked_dpi is None:
+                picked_dpi = hocr_dpi[1]
+        if picked_dpi is None:
+            picked_dpi = dpi
+        if picked_dpi is not None:
+            picked_dpi = int(picked_dpi)
+        hq = bool(hq_pages[out_idx]) if hq_pages else False
+        word_data = hocr_page_to_word_data(hocr_page)
+        jobs.append(PageJob(out_idx, idx, word_data, picked_dpi, hq))
+
+    mask_fmt = COMPRESSOR_JBIG2 if jbig2 else 'png'
+    if mask_compression == COMPRESSOR_CCITT:
+        mask_fmt = COMPRESSOR_CCITT
+
+    reporting_page_count = 0
+    last_time = time()
+    pool = ThreadPoolExecutor(max_workers=max(2, (threads or 4)))
+
+    def encode_and_insert(job, mask_np, fg_np, bg_np, image_mode):
+        nonlocal timing_data
+        bgf = hq_bg_compression_flags if job.hq else bg_compression_flags
+        fgf = hq_fg_compression_flags if job.hq else fg_compression_flags
+        em, eb, ef = encode_mrc_images(
+            mask_np, fg_np, bg_np,
+            bg_compression_flags=bgf, fg_compression_flags=fgf,
+            mask_fmt=mask_fmt, embedded_jbig2=True,
+            jpeg2000_implementation=jpeg2000_implementation,
+            mrc_image_format=mrc_image_format, tmp_dir=tmp_dir,
+            threads=threads, timing_data=timing_data, debug=debug)
+        if img_dir is not None:
+            ext = {'jbig2': 'jbig2', 'ccitt': 'g4', 'png': 'png'}[em.fmt]
+            with open(os.path.join(img_dir, '%.6d_mask.%s'
+                                   % (job.page_idx, ext)), 'wb') as fp:
+                fp.write(em.data)
+            with open(os.path.join(img_dir, '%.6d_bg.jp2'
+                                   % job.page_idx), 'wb') as fp:
+                fp.write(eb.data)
+            with open(os.path.join(img_dir, '%.6d_fg.jp2'
+                                   % job.page_idx), 'wb') as fp:
+                fp.write(ef.data)
+        t = time()
+        gray = image_mode == 'L'
+        builder.insert_image(job.page_idx, eb, gray=gray)
+        builder.insert_image(job.page_idx, ef, gray=gray, mask_enc=em)
+        timing_data.append(('page_image_insertion', time() - t))
+
+    # group jobs into batches of equal image shape/mode/dpi-window
+    def process_batch(batch_jobs, batch_images):
+        nonlocal reporting_page_count, last_time, timing_data
+        mode = batch_images[0].mode
+        arrs = [np.asarray(im) for im in batch_images]
+
+        if mode == '1':
+            # bitonal source: mask-only page (``recode.py:376-396``)
+            for job, arr in zip(batch_jobs, arrs):
+                em = encode_mrc_mask(arr.astype(bool), fmt=mask_fmt,
+                                     embedded=True, timing_data=timing_data,
+                                     debug=debug)
+                t = time()
+                builder.insert_raw_mask_page(job.page_idx, em)
+                timing_data.append(('page_image_insertion', time() - t))
+            return
+
+        if grayscale_pdf and mode not in ('L', 'LA'):
+            t = time()
+            from ..ops.grayconvert import special_gray_convert
+            g = np.asarray(special_gray_convert(np.stack(arrs)))
+            arrs = [g[i] for i in range(len(arrs))]
+            mode = 'L'
+            timing_data.append(('special_gray_convert', time() - t))
+
+        dpi0 = batch_jobs[0].dpi
+        mask_dev, dev_imgs = decompose_masks(
+            arrs, [j.word_data for j in batch_jobs], dpi=dpi0,
+            downsample=downsample, denoise_mask=denoise_mask,
+            exact_denoise=exact_denoise,
+            timing_data=timing_data, errors=errors)
+
+        if force_1bit_output:
+            masks = np.asarray(mask_dev)
+            for i, job in enumerate(batch_jobs):
+                inv = ~masks[i]
+                em = encode_mrc_mask(inv, fmt=mask_fmt, embedded=True,
+                                     timing_data=timing_data, debug=debug)
+                t = time()
+                builder.insert_raw_mask_page(job.page_idx, em)
+                timing_data.append(('page_image_insertion', time() - t))
+            return
+
+        any_hq = any(j.hq for j in batch_jobs)
+        all_hq = all(j.hq for j in batch_jobs)
+        bgd = None if all_hq else bg_downsample
+        fgd = None if all_hq else fg_downsample
+        fg_np, bg_np = decompose_layers(
+            mask_dev, dev_imgs,
+            bg_downsample=bgd, fg_downsample=fgd,
+            timing_data=timing_data, errors=errors)
+        # HQ pages keep full-res layers: recompute individually if the
+        # batch is mixed (rare; HQ is typically first/last pages)
+        masks = np.asarray(mask_dev)
+        hq_layers = {}
+        if any_hq and not all_hq and (bg_downsample or fg_downsample):
+            for i, job in enumerate(batch_jobs):
+                if job.hq:
+                    f, b = decompose_layers(
+                        mask_dev[i:i + 1], dev_imgs[i:i + 1],
+                        bg_downsample=None, fg_downsample=None,
+                        timing_data=timing_data, errors=errors)
+                    hq_layers[i] = (f[0], b[0])
+
+        futures = []
+        for i, job in enumerate(batch_jobs):
+            if i in hq_layers:
+                f_np, b_np = hq_layers[i]
+            else:
+                f_np, b_np = fg_np[i], bg_np[i]
+            futures.append(pool.submit(encode_and_insert, job, masks[i],
+                                       f_np, b_np, mode))
+        for fut in futures:
+            fut.result()
+
+    # iterate jobs, load images, flush batches on shape/mode change
+    batch_jobs, batch_images, batch_key = [], [], None
+    processed = 0
+
+    def flush():
+        nonlocal batch_jobs, batch_images, batch_key
+        nonlocal reporting_page_count, last_time, timing_data, processed
+        if not batch_jobs:
+            return
+        process_batch(batch_jobs, batch_images)
+        processed += len(batch_jobs)
+        reporting_page_count += len(batch_jobs)
+        if report_every is not None and reporting_page_count >= report_every:
+            print('Processed %d PDF pages.' % processed)
+            sys.stdout.flush()
+            if reporter:
+                ms = int(((time() - last_time) / reporting_page_count) * 1000)
+                reporter.send({
+                    'compress_pages': {'count': reporting_page_count,
+                                       'time-per': ms},
+                    'page_time_breakdown': get_timing_summary(timing_data)})
+                timing_data = []
+                last_time = time()
+            reporting_page_count = 0
+        batch_jobs, batch_images, batch_key = [], [], None
+
+    for job in jobs:
+        image = _load_page_image(in_pdf, image_files, job.src_idx
+                                 if image_files else job.page_idx,
+                                 downsample, jpeg2000_implementation,
+                                 threads, debug, timing_data)
+        key = (image.size, image.mode if image.mode in ('1', 'L', 'RGB')
+               else 'RGB', job.dpi)
+        if image.mode not in ('1', 'L', 'RGB'):
+            image = image.convert('RGB')
+        if batch_key is not None and (key != batch_key
+                                      or len(batch_jobs) >= batch_pages):
+            flush()
+        batch_key = key
+        batch_jobs.append(job)
+        batch_images.append(image)
+    flush()
+
+    if reporter and reporting_page_count:
+        ms = int(((time() - last_time) / max(reporting_page_count, 1)) * 1000)
+        reporter.send({'compress_pages': {'count': reporting_page_count,
+                                          'time-per': ms},
+                       'page_time_breakdown': get_timing_summary(timing_data)})
+    if verbose and timing_data:
+        print('MRC time breakdown:', get_timing_summary(timing_data))
+    pool.shutdown()
+    return timing_data
+
+
+def insert_images_legacy(builder, in_pdf, mode, report_every=None,
+                         stop_after=None):
+    """Image modes 0/1 (``recode.py:532-558``): pass existing page images
+    through (0) or re-encode decoded pixmaps (1)."""
+    for idx in range(min(in_pdf.page_count(), len(builder.pages))):
+        if stop_after is not None and idx >= stop_after:
+            break
+        imgs = in_pdf.page_images(idx)
+        if not imgs:
+            continue
+        _, _, stream = imgs[0]
+        raw, filt, w, h, cs = in_pdf.extract_image(stream)
+        gray = cs in ('DeviceGray', None)
+        if mode == IMAGE_MODE_PASSTHROUGH and filt in ('DCTDecode',
+                                                       'JPXDecode'):
+            fmt = (COMPRESSOR_JPEG if filt == 'DCTDecode'
+                   else COMPRESSOR_JPEG2000)
+            builder.insert_image(idx, EncodedLayer(raw, fmt, w, h, gray),
+                                 gray=gray)
+        else:
+            img = Image.open(io.BytesIO(raw))
+            buf = io.BytesIO()
+            img.save(buf, format='JPEG', quality=90)
+            builder.insert_image(
+                idx, EncodedLayer(buf.getvalue(), COMPRESSOR_JPEG,
+                                  img.size[0], img.size[1],
+                                  img.mode == 'L'),
+                gray=img.mode == 'L')
+        if report_every is not None and idx % report_every == 0:
+            print('Processed %d PDF pages.' % (idx + 1))
+            sys.stdout.flush()
+
+
+def recode(from_pdf=None, from_imagestack=None, dpi=None, hocr_file=None,
+           scandata_file=None, out_pdf=None, out_dir=None,
+           reporter=None, grayscale_pdf=False, force_1bit_output=False,
+           image_mode=IMAGE_MODE_MRC, jbig2=False, verbose=False,
+           debug=False, tmp_dir=None, report_every=None, stop_after=None,
+           jpeg2000_implementation=JPEG2000_IMPL_PILLOW,
+           bg_compression_flags=None, fg_compression_flags=None,
+           mrc_image_format=COMPRESSOR_JPEG2000,
+           downsample=None, bg_downsample=None, fg_downsample=None,
+           denoise_mask=DENOISE_FAST, hq_pages=None,
+           hq_bg_compression_flags=None, hq_fg_compression_flags=None,
+           threads=None, render_text_lines=False,
+           metadata_url=None, metadata_title=None, metadata_author=None,
+           metadata_creator=None, metadata_language=None,
+           metadata_subject=None, metadata_creatortool=None,
+           ignore_invalid_pagenumbers=False,
+           mask_compression=COMPRESSOR_JBIG2,
+           batch_pages=DEFAULT_BATCH_PAGES, exact_denoise=True):
+    """Whole-tool pipeline (``recode.py:562-796``); returns
+    {'errors': set, 'compression_ratio': float}."""
+    errors = set()
+    start_time = time()
+
+    in_pdf = PdfReader(from_pdf) if from_pdf else None
+    image_files = sorted(glob(from_imagestack)) if from_imagestack else None
+
+    stop = stop_after
+    if stop is not None:
+        stop -= 1
+
+    reporter = Reporter(reporter)
+
+    skip_pages = []
+    dpi_pages = None
+    if scandata_file is not None:
+        sd = Scandata(scandata_file)
+        skip_pages = sd.skip_pages()
+        dpi_pages = sd.dpi_per_page()
+        scandata_doc_dpi = sd.document_dpi()
+        if scandata_doc_dpi is not None:
+            dpi = scandata_doc_dpi
+
+    builder = DocumentBuilder(render_text_lines=render_text_lines)
+
+    if verbose:
+        print('Creating text only PDF')
+    create_text_pages(builder, hocr_file, in_pdf=in_pdf,
+                      image_files=image_files, dpi=dpi,
+                      skip_pages=skip_pages, dpi_pages=dpi_pages,
+                      reporter=reporter, verbose=verbose, stop_after=stop,
+                      jpeg2000_implementation=jpeg2000_implementation,
+                      errors=errors)
+
+    hq = [False] * len(builder.pages)
+    if hq_pages:
+        for i in map(int, hq_pages.split(',')):
+            if i > 0:
+                i -= 1
+            if abs(i) >= len(hq):
+                continue   # silently ignore out of range (recode.py:666-672)
+            hq[i] = True
+
+    if verbose:
+        print('Converting with image mode:', image_mode)
+    if image_mode == IMAGE_MODE_MRC:
+        insert_images_mrc(
+            builder, hocr_file, in_pdf=in_pdf, image_files=image_files,
+            dpi=dpi, dpi_pages=dpi_pages,
+            bg_compression_flags=bg_compression_flags,
+            fg_compression_flags=fg_compression_flags,
+            skip_pages=skip_pages, img_dir=out_dir, jbig2=jbig2,
+            downsample=downsample, bg_downsample=bg_downsample,
+            fg_downsample=fg_downsample, denoise_mask=denoise_mask,
+            reporter=reporter, hq_pages=hq,
+            hq_bg_compression_flags=hq_bg_compression_flags,
+            hq_fg_compression_flags=hq_fg_compression_flags,
+            verbose=verbose, debug=debug, tmp_dir=tmp_dir,
+            report_every=report_every, stop_after=stop,
+            grayscale_pdf=grayscale_pdf,
+            force_1bit_output=force_1bit_output,
+            jpeg2000_implementation=jpeg2000_implementation,
+            mrc_image_format=mrc_image_format,
+            mask_compression=mask_compression,
+            threads=threads, errors=errors, batch_pages=batch_pages,
+            exact_denoise=exact_denoise)
+    elif image_mode in (IMAGE_MODE_PASSTHROUGH, IMAGE_MODE_PIXMAP):
+        insert_images_legacy(builder, in_pdf, image_mode,
+                             report_every=report_every, stop_after=stop)
+    elif image_mode == IMAGE_MODE_SKIP:
+        pass
+
+    builder.write_pdfa()
+    if scandata_file is not None:
+        builder.write_page_labels(sd.page_numbers(), errors=errors,
+                                  ignore_invalid=ignore_invalid_pagenumbers)
+        builder.write_toc(sd.toc())
+
+    lang_if_any = metadata_language[0] if metadata_language else None
+    builder.write_basic_ua(language=lang_if_any)
+
+    extra_metadata = {}
+    for key, val in (('url', metadata_url), ('title', metadata_title),
+                     ('creator', metadata_creator),
+                     ('author', metadata_author),
+                     ('language', metadata_language),
+                     ('subject', metadata_subject),
+                     ('creatortool', metadata_creatortool)):
+        if val:
+            extra_metadata[key] = val
+    from_docinfo = None
+    from_xmp = None
+    if in_pdf is not None:
+        from_docinfo = {}
+        info = in_pdf.info()
+        for k_ours, k_pdf in (('creationDate', 'CreationDate'),):
+            v = info.get(k_pdf)
+            if v is not None:
+                from_docinfo[k_ours] = v.decode('latin-1') \
+                    if isinstance(v, bytes) else str(v)
+        xmp = in_pdf.xmp_metadata()
+        if xmp:
+            from_xmp = xmp.decode('utf-8', 'replace')
+    builder.write_metadata(extra_metadata=extra_metadata,
+                           from_docinfo=from_docinfo, from_xmp=from_xmp)
+
+    if verbose:
+        print('Saving PDF now')
+    t = time()
+    builder.save(out_pdf, deflate=True)
+    save_time_ms = int((time() - t) * 1000)
+    reporter.send({'time_to_save': {'time': save_time_ms}})
+
+    end_time = time()
+    n_pages = max(len(builder.pages), 1)
+    print('Processed %d pages at %.2f seconds/page'
+          % (len(builder.pages), (end_time - start_time) / n_pages))
+
+    if from_pdf is not None:
+        oldsize = os.path.getsize(from_pdf)
+    else:
+        oldsize = 0
+        skipped = 0
+        for idx, fname in enumerate(image_files):
+            if skip_pages and idx in skip_pages:
+                skipped += 1
+                continue
+            if stop_after is not None and (idx - skipped) > stop_after:
+                break
+            oldsize += os.path.getsize(fname)
+
+    newsize = os.path.getsize(out_pdf)
+    compression_ratio = oldsize / newsize if newsize else 0.0
+    if verbose:
+        print('Compression ratio: %f' % compression_ratio)
+
+    return {'errors': errors, 'compression_ratio': compression_ratio}
