@@ -239,25 +239,35 @@ def select_lines(ones, ones_inv, size, sigma_fn, n_lines):
     return use_plain, use_inv
 
 
-@functools.partial(jax.jit, static_argnames=('mode', 'exact'))
 def denoise_mask(mask, mode, exact=True):
     """Mask despeckle dispatch (``mrc.py:384-396``)."""
     if mode == DENOISE_FAST:
-        fn = fast_mask_denoise_exact if exact else fast_mask_denoise_jacobi
-        return fn(mask, 4, 2)
+        if not exact:
+            return fast_mask_denoise_jacobi(mask, 4, 2)
+        from ..utils.backend import use_pallas
+        if use_pallas():
+            from ..ops.denoise_pallas import fast_mask_denoise_pallas
+            return fast_mask_denoise_pallas(mask, 4, 2)
+        return fast_mask_denoise_exact(mask, 4, 2)
     if mode == DENOISE_BREGMAN:
         return denoise_bregman(mask)
     return mask
 
 
-@jax.jit
+def _optimise_dispatch(mask, img, n):
+    from ..utils.backend import use_pallas
+    if use_pallas():
+        from ..ops.optimise_pallas import optimise_pallas
+        return optimise_pallas(mask, img, n)
+    return optimise(mask, img, n)
+
+
 def fg_layer(mask, img):
     """Foreground radiate fill, n=3 (``mrc.py:408-415``)."""
-    return optimise(mask, img, 3)
+    return _optimise_dispatch(mask, img, 3)
 
 
-@jax.jit
 def bg_layer(mask, img):
     """Background radiate fill with inverted mask, n=10
     (``mrc.py:439-449``)."""
-    return optimise(jnp.logical_not(mask), img, 10)
+    return _optimise_dispatch(jnp.logical_not(mask), img, 10)

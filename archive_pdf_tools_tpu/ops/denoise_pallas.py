@@ -1,0 +1,148 @@
+"""Fused Pallas TPU kernel for the exact sequential mask despeckle.
+
+Same bit-exact semantics as ops.denoise.fast_mask_denoise_exact (see
+there for the derivation from ``optimiser.pyx:436-472``), restructured
+as one streamed row walk: grid (H + n,) with n warmup steps priming the
+below-window column sums; VMEM scratch holds the last n produced rows
+(TOP contributions, via a ring) and the original-row column sums of the
+lookahead window (BOT).  The in-row recurrence over the last n produced
+bits runs as a lane-parallel prefix composition of packed 2^n-state
+transition tables (pure shift/mask arithmetic, log2(W) doubling steps).
+Layout (H, B, W): rows lead the grid, batch on sublanes, width on lanes.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .optimise_pallas import (_cumsum_lanes, _shift_right_zero,
+                              _shift_left_edge)
+
+
+def _compose(a, b, nbits, nstates, mf):
+    """Packed-table composition: out[s] = b[a[s]] for n-bit fields."""
+    out = jnp.zeros_like(a)
+    for s in range(nstates):
+        a_s = (a >> (nbits * s)) & mf
+        b_at = (b >> (nbits * a_s)) & mf
+        out = out | (b_at << (nbits * s))
+    return out
+
+
+def _prefix_compose(tables, width, nbits, nstates, mf, identity):
+    """P_x = T_0 o ... o T_x along the lane axis via doubling."""
+    lanes = jax.lax.broadcasted_iota(jnp.int32, tables.shape,
+                                     tables.ndim - 1)
+    p = tables
+    k = 1
+    while k < width:
+        shifted = jnp.where(lanes >= k,
+                            jnp.roll(p, k, axis=p.ndim - 1), identity)
+        p = _compose(shifted, p, nbits, nstates, mf)
+        k *= 2
+    return p
+
+
+def _make_kernel(n, mincnt, h, w, wp, nstates, mf, identity):
+    def kernel(msk_a_ref, msk_y_ref, out_ref, botcol, topcol, ring):
+        s = pl.program_id(0)
+        y = s - n
+
+        @pl.when(s == 0)
+        def _():
+            botcol[...] = jnp.zeros_like(botcol)
+            topcol[...] = jnp.zeros_like(topcol)
+            ring[...] = jnp.zeros_like(ring)
+
+        # BOT add: original row s enters the lookahead window [y+1, y+n]
+        @pl.when(s < h)
+        def _():
+            botcol[...] = botcol[...] + msk_a_ref[0].astype(jnp.int32)
+
+        @pl.when(y >= 0)
+        def _():
+            m_row = msk_y_ref[0].astype(jnp.int32)       # (B, Wp)
+            # BOT remove: row y leaves the below-window
+            botcol[...] = botcol[...] - m_row
+
+            # horizontal [x-n, x+n] windows of top/bot column sums
+            def win(colv):
+                f = _cumsum_lanes(colv, wp)
+                return (_shift_left_edge(f, n, wp)
+                        - _shift_right_zero(f, n + 1))
+
+            top = win(topcol[...])
+            bot = win(botcol[...])
+            # CUR: original row y, cols [x+1, x+n]
+            fr = _cumsum_lanes(m_row, wp)
+            cur = _shift_left_edge(fr, n, wp) - fr
+
+            tau = mincnt - top - bot - cur
+
+            lanes = jax.lax.broadcasted_iota(jnp.int32, m_row.shape, 1)
+            border = jnp.logical_or(
+                jnp.logical_or(lanes < n, lanes >= w - n),
+                jnp.logical_or(y < n, y >= h - n))
+            forced = jnp.logical_or(m_row == 0, border)
+
+            table = jnp.zeros_like(m_row)
+            for st in range(nstates):
+                pc = bin(st).count('1')
+                u = jnp.where(forced, m_row, (pc >= tau).astype(jnp.int32))
+                nxt = ((st << 1) | u) & mf
+                table = table | (nxt << (n * st))
+
+            prefix = _prefix_compose(table, wp, n, nstates, mf, identity)
+            out_row = prefix & mf & 1    # newest bit of state from s0=0
+
+            out_ref[0] = out_row.astype(jnp.uint8)
+
+            slot = y % n
+            oldest = ring[pl.ds(slot, 1)][0]
+            topcol[...] = topcol[...] + out_row - oldest
+            ring[pl.ds(slot, 1)] = out_row[None]
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=('mincnt', 'n_size', 'interpret'))
+def fast_mask_denoise_pallas(mask, mincnt=4, n_size=2, interpret=False):
+    """Drop-in for fast_mask_denoise_exact; bool (B, H, W) in/out."""
+    n = int(n_size)
+    assert 1 <= n <= 3
+    nstates = 1 << n
+    mf = nstates - 1
+    identity = 0
+    for st in range(nstates):
+        identity |= st << (n * st)
+
+    b, h, w = mask.shape
+    wp = -(-w // 128) * 128
+    mi = jnp.transpose(mask.astype(jnp.uint8), (1, 0, 2))   # (H, B, W)
+    if wp != w:
+        mi = jnp.pad(mi, ((0, 0), (0, 0), (0, wp - w)))
+
+    add_row = lambda s: jnp.minimum(s, h - 1)
+    out_row = lambda s: jnp.maximum(s - n, 0)
+
+    def spec(f):
+        return pl.BlockSpec((1, b, wp), lambda s: (f(s), 0, 0))
+
+    out = pl.pallas_call(
+        _make_kernel(n, mincnt, h, w, wp, nstates, mf, identity),
+        grid=(h + n,),
+        in_specs=[spec(add_row), spec(out_row)],
+        out_specs=pl.BlockSpec((1, b, wp), lambda s: (out_row(s), 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((h, b, wp), jnp.uint8),
+        scratch_shapes=[
+            pltpu.VMEM((b, wp), jnp.int32),       # botcol
+            pltpu.VMEM((b, wp), jnp.int32),       # topcol
+            pltpu.VMEM((n, b, wp), jnp.int32),    # ring
+        ],
+        interpret=interpret,
+    )(mi, mi)
+
+    return jnp.transpose(out, (1, 0, 2))[:, :, :w].astype(bool)

@@ -1,0 +1,176 @@
+"""Fused Pallas TPU kernel for the fg/bg 'optimise' radiate fill.
+
+Same exact semantics as ops/optimise.py (see there for the derivation
+from ``optimiser.pyx:153-429``), but implemented as a single Mosaic
+kernel that walks rows once with all pages and channels riding the
+vector registers (layout (H, C, B, W): one row block per grid step,
+batch on sublanes, width on lanes):
+
+  grid = (H + n - 1,): n-1 warmup steps prime the FIR column
+  accumulators, then one output row per step.  VMEM scratch carries the
+  incremental state the reference keeps in serial cursors: masked-FIR
+  column sums/counts (window rows [y-n, y+n)), the IIR column sums of
+  the last n produced rows, and an n-row ring buffer.  Per step: three
+  log-shift lane prefix sums, edge-clamped window shifts, and the
+  count-weighted fill.
+
+Integer division note: the fill is floor(val / cnt) with val < 2^17 and
+cnt <= (2n)^2 + n^2; both are exact in f32, and a non-integer rational
+val/cnt is at least 1/cnt ~ 2e-3 away from an integer while the f32
+quotient errs by ~2e-5, so floor of the f32 divide equals the exact
+integer floor everywhere.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _cumsum_lanes(x, width):
+    """Inclusive prefix sum along the last (lane) axis via log shifts."""
+    lanes = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+    k = 1
+    while k < width:
+        shifted = jnp.roll(x, k, axis=x.ndim - 1)
+        x = x + jnp.where(lanes >= k, shifted, 0)
+        k *= 2
+    return x
+
+
+def _shift_right_zero(x, k):
+    """y[i] = x[i-k] with zero fill (k static)."""
+    lanes = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+    return jnp.where(lanes >= k, jnp.roll(x, k, axis=x.ndim - 1), 0)
+
+
+def _shift_left_edge(x, k, width):
+    """y[i] = x[min(i+k, W-1)] for a nondecreasing x (edge fill = max)."""
+    lanes = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+    rolled = jnp.roll(x, -k, axis=x.ndim - 1)
+    last = jnp.max(x, axis=-1, keepdims=True)
+    return jnp.where(lanes < width - k, rolled, last)
+
+
+def _make_kernel(n, h, wp):
+    def kernel(img_a_ref, msk_a_ref, img_r_ref, msk_r_ref,
+               img_y_ref, msk_y_ref, out_ref,
+               fir_val, fir_cnt, colsum, ring):
+        s = pl.program_id(0)
+        y = s - (n - 1)
+
+        @pl.when(s == 0)
+        def _():
+            fir_val[...] = jnp.zeros_like(fir_val)
+            fir_cnt[...] = jnp.zeros_like(fir_cnt)
+            colsum[...] = jnp.zeros_like(colsum)
+            ring[...] = jnp.zeros_like(ring)
+
+        # FIR add: row s enters the window (rows [y-n, y+n))
+        @pl.when(s < h)
+        def _():
+            m = msk_a_ref[0].astype(jnp.int32)          # (1, B, Wp)
+            v = img_a_ref[0].astype(jnp.int32)          # (C, B, Wp)
+            fir_val[...] = fir_val[...] + v * m
+            fir_cnt[...] = fir_cnt[...] + m
+
+        # FIR remove: row s - 2n leaves the window
+        @pl.when(s - 2 * n >= 0)
+        def _():
+            m = msk_r_ref[0].astype(jnp.int32)
+            v = img_r_ref[0].astype(jnp.int32)
+            fir_val[...] = fir_val[...] - v * m
+            fir_cnt[...] = fir_cnt[...] - m
+
+        @pl.when(y >= 0)
+        def _():
+            img_row = img_y_ref[0].astype(jnp.int32)    # (C, B, Wp)
+            msk_row = msk_y_ref[0].astype(jnp.int32)    # (1, B, Wp)
+
+            # horizontal FIR window [x-n, x+n)
+            f_val = _cumsum_lanes(fir_val[...], wp)
+            f_cnt = _cumsum_lanes(fir_cnt[...], wp)
+            fir_v = (_shift_left_edge(f_val, n - 1, wp)
+                     - _shift_right_zero(f_val, n + 1))
+            fir_c = (_shift_left_edge(f_cnt, n - 1, wp)
+                     - _shift_right_zero(f_cnt, n + 1))
+
+            # IIR: exclusive prefix of finished-rows column sums,
+            # window cols [x-n, x)
+            p = _cumsum_lanes(colsum[...], wp)
+            e = p - colsum[...]
+            iir_v = e - _shift_right_zero(e, n)
+            lanes = jax.lax.broadcasted_iota(jnp.int32, msk_row.shape, 2)
+            iir_c = jnp.minimum(y, n) * jnp.minimum(lanes, n)
+
+            cnt = fir_c + iir_c                          # (1, B, Wp)
+            val = fir_v + iir_v                          # (C, B, Wp)
+            q = val.astype(jnp.float32) / \
+                jnp.maximum(cnt, 1).astype(jnp.float32)
+            filled = jnp.where(cnt > 0, jnp.floor(q).astype(jnp.int32), 0)
+            out_row = jnp.where(msk_row > 0, img_row, filled)
+
+            out_ref[0] = out_row.astype(jnp.uint8)
+
+            slot = y % n
+            oldest = ring[pl.ds(slot, 1)][0]
+            colsum[...] = colsum[...] + out_row - oldest
+            ring[pl.ds(slot, 1)] = out_row[None]
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=('n_size', 'interpret'))
+def optimise_pallas(mask, img, n_size, interpret=False):
+    """Drop-in for ops.optimise.optimise, Pallas TPU implementation.
+
+    mask: bool (B, H, W); img: uint8 (B, H, W) or (B, H, W, C).
+    """
+    gray = img.ndim == 3
+    if gray:
+        img = img[..., None]
+    b, h, w, c = img.shape
+    n = int(n_size)
+    wp = -(-w // 128) * 128
+
+    # layout (H, C, B, Wp) / (H, 1, B, Wp): rows lead, lanes on width
+    xi = jnp.transpose(img, (1, 3, 0, 2))
+    mi = mask.astype(jnp.uint8)[:, None].transpose(2, 1, 0, 3)
+    if wp != w:
+        xi = jnp.pad(xi, ((0, 0), (0, 0), (0, 0), (0, wp - w)))
+        mi = jnp.pad(mi, ((0, 0), (0, 0), (0, 0), (0, wp - w)))
+
+    add_row = lambda s: jnp.minimum(s, h - 1)
+    rem_row = lambda s: jnp.maximum(s - 2 * n, 0)
+    out_row = lambda s: jnp.maximum(s - (n - 1), 0)
+
+    def img_spec(f):
+        return pl.BlockSpec((1, c, b, wp), lambda s: (f(s), 0, 0, 0))
+
+    def msk_spec(f):
+        return pl.BlockSpec((1, 1, b, wp), lambda s: (f(s), 0, 0, 0))
+
+    out = pl.pallas_call(
+        _make_kernel(n, h, wp),
+        grid=(h + n - 1,),
+        in_specs=[
+            img_spec(add_row), msk_spec(add_row),
+            img_spec(rem_row), msk_spec(rem_row),
+            img_spec(out_row), msk_spec(out_row),
+        ],
+        out_specs=pl.BlockSpec((1, c, b, wp),
+                               lambda s: (out_row(s), 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((h, c, b, wp), jnp.uint8),
+        scratch_shapes=[
+            pltpu.VMEM((c, b, wp), jnp.int32),     # fir_val
+            pltpu.VMEM((1, b, wp), jnp.int32),     # fir_cnt
+            pltpu.VMEM((c, b, wp), jnp.int32),     # colsum
+            pltpu.VMEM((n, c, b, wp), jnp.int32),  # ring
+        ],
+        interpret=interpret,
+    )(xi, mi, xi, mi, xi, mi)
+
+    out = jnp.transpose(out[..., :w], (2, 0, 3, 1))    # (B, H, W, C)
+    return out[..., 0] if gray else out

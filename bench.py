@@ -1,0 +1,98 @@
+#!/usr/bin/env python3
+"""Benchmark: full MRC decomposition throughput on one TPU chip.
+
+Measures the flagship step (hOCR-line thresholds + noise-adaptive global
+Sauvola + mask compose + exact despeckle + fg/bg radiate fills) on
+400-DPI grayscale pages (3300x2550), the BASELINE.md headline config.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is measured against the reference's published end-to-end
+1.16 s/page (README.rst:178, 0.862 pages/s on CPU) — the decomposition
+dominates that pipeline.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def main():
+    import jax
+    from archive_pdf_tools_tpu.mrc.step import mrc_full_step
+    from __graft_entry__ import _example_inputs
+
+    batch = int(os.environ.get('BENCH_BATCH', '8'))
+    h, w = 3300, 2550                      # 400 DPI letter-ish page
+    window = 101                           # sauvola_window(400)
+    n_seg = 512
+
+    rng = np.random.default_rng(0)
+    images = np.full((batch, h, w), 235, np.uint8)
+    # text-ish strokes so the mask/denoise paths do real work
+    for b in range(batch):
+        ys = rng.integers(20, h - 60, size=400)
+        xs = rng.integers(20, w - 400, size=400)
+        for y, x in zip(ys, xs):
+            images[b, y:y + 8, x:x + int(rng.integers(80, 380))] = 40
+    noise = rng.normal(0, 8, (batch, h, w))
+    images = np.clip(images.astype(np.float32) + noise, 0, 255) \
+        .astype(np.uint8)
+
+    line_id = np.zeros((batch, h, w), np.int32)
+    boxes = np.zeros((4, n_seg), np.int32)
+    boxes[1, 0] = 1
+    boxes[3, 0] = 1
+    lid = 0
+    for b in range(batch):
+        for i in range(40):
+            lid += 1
+            if lid >= n_seg:
+                break
+            t = 30 + i * (h - 80) // 40
+            bo = t + 50
+            line_id[b, t:bo, 40:w - 40] = lid
+            boxes[:, lid] = (t, bo, 40, w - 40)
+    use_plain = np.zeros(n_seg, bool)
+    use_plain[1:lid + 1] = True
+    use_inv = np.zeros(n_seg, bool)
+
+    dev = jax.device_put
+    args = tuple(dev(a) for a in
+                 (images, line_id, boxes, use_plain, use_inv))
+
+    def step():
+        out = mrc_full_step(*args, window=window, n_seg=n_seg,
+                            rgb=False, denoise='fast', exact_denoise=True)
+        jax.block_until_ready(out)
+        # the axon platform's block_until_ready can return early; a tiny
+        # device->host readback guarantees real synchronization
+        _ = np.asarray(out[0][:, -1, -1])
+        return out
+
+    step()  # compile + warmup
+    step()
+
+    iters = int(os.environ.get('BENCH_ITERS', '3'))
+    best = float('inf')
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        step()
+        best = min(best, time.perf_counter() - t0)
+
+    pages_per_sec = batch / best
+    baseline_pages_per_sec = 1.0 / 1.16   # README.rst:178
+    print(json.dumps({
+        'metric': '400dpi_full_mrc_decompose_pages_per_sec_per_chip',
+        'value': round(pages_per_sec, 3),
+        'unit': 'pages/s',
+        'vs_baseline': round(pages_per_sec / baseline_pages_per_sec, 2),
+    }))
+
+
+if __name__ == '__main__':
+    main()
