@@ -1,0 +1,163 @@
+"""compress-pdf-images: in-place MRC recompression of a PDF's images.
+
+Capability parity with the reference's ``bin/compress-pdf-images``:
+extract each page's image, MRC-decompose it (hOCR-guided when an hOCR
+file is given), drop the original image from the page's content stream
+and resources, and splice in the bg + fg/mask stack.  The reference
+hardcodes Kakadu slopes 44250/44500 (``bin/compress-pdf-images:72-74``);
+we default to the Pillow JPEG2000 backend with equivalent rate targets
+when Kakadu is absent.
+"""
+
+import argparse
+import io
+import sys
+
+import numpy as np
+from PIL import Image
+
+from ..const import (COMPRESSOR_JBIG2, COMPRESSOR_JPEG2000,
+                     JPEG2000_IMPL_KAKADU, JPEG2000_IMPL_PILLOW,
+                     DENOISE_FAST)
+from ..inputs.hocr import hocr_page_iterator, hocr_page_to_word_data
+from ..pdf.reader import PdfReader, PStream, PRef
+from ..pdf.rewrite import PdfRewriter, strip_image_ops
+from ..pdf.writer import Name, Ref, Stream
+from ..mrc.api import decompose_masks, decompose_layers
+from ..codecs.mrc_encode import encode_mrc_images
+from ..codecs.jpeg2000 import impl_available
+
+
+def compress_page_images(rw, reader, page_idx, word_data,
+                         bg_flags, fg_flags, impl, bg_downsample=3,
+                         dpi=None, errors=None, verbose=False):
+    """MRC-recompress one page's first image (reference
+    ``bin/compress-pdf-images:37-127``)."""
+    imgs = reader.page_images(page_idx)
+    if not imgs:
+        return False
+    name, xobj_num, stream = imgs[0]
+    raw, filt, w, h, cs = reader.extract_image(stream)
+    try:
+        image = Image.open(io.BytesIO(raw))
+        image.load()
+    except Exception:
+        if verbose:
+            print('page %d: cannot decode image (%s), skipping'
+                  % (page_idx, filt), file=sys.stderr)
+        return False
+    if image.mode in ('RGBA', 'LA', 'P'):
+        image = image.convert('RGB' if image.mode != 'LA' else 'L')
+    if image.mode not in ('L', 'RGB'):
+        image = image.convert('RGB')
+
+    arr = np.asarray(image)
+    mask_dev, dev_imgs = decompose_masks(
+        [arr], [word_data or []], dpi=dpi, denoise_mask=DENOISE_FAST,
+        errors=errors)
+    fg, bg = decompose_layers(mask_dev, dev_imgs,
+                              bg_downsample=bg_downsample, errors=errors)
+    em, eb, ef = encode_mrc_images(
+        np.asarray(mask_dev)[0], fg[0], bg[0],
+        bg_compression_flags=bg_flags, fg_compression_flags=fg_flags,
+        mask_fmt=COMPRESSOR_JBIG2, embedded_jbig2=True,
+        jpeg2000_implementation=impl,
+        mrc_image_format=COMPRESSOR_JPEG2000)
+
+    # build new image XObjects
+    gray = image.mode == 'L'
+
+    def xdict(enc, is_mask=False, smask=None):
+        d = {Name('Type'): Name('XObject'), Name('Subtype'): Name('Image'),
+             Name('Width'): enc.width, Name('Height'): enc.height}
+        if is_mask:
+            d[Name('BitsPerComponent')] = 1
+            d[Name('ColorSpace')] = Name('DeviceGray')
+            d[Name('Filter')] = Name('JBIG2Decode')
+        else:
+            d[Name('BitsPerComponent')] = 8
+            d[Name('ColorSpace')] = Name('DeviceGray' if gray
+                                         else 'DeviceRGB')
+            d[Name('Filter')] = Name('JPXDecode')
+        if smask is not None:
+            d[Name('SMask')] = smask
+        return d
+
+    bg_ref = rw.add_object(Stream(xdict(eb), eb.data))
+    mask_ref = rw.add_object(Stream(xdict(em, is_mask=True), em.data))
+    fg_ref = rw.add_object(Stream(xdict(ef, smask=mask_ref), ef.data))
+
+    # rewrite the page: strip old image ops, draw bg underlay + fg overlay
+    page_ref = rw.page_ref(page_idx)
+    page = dict(rw.get_object(page_ref))
+    content = reader.page_contents(page_idx)
+    stripped = strip_image_ops(content, [name])
+
+    box = reader.page_size(page_idx)
+    draw = (b'q %g 0 0 %g 0 0 cm /MRCbg Do Q\n' % box,
+            b'\nq %g 0 0 %g 0 0 cm /MRCfg Do Q' % box)
+    new_content = draw[0] + stripped + draw[1]
+    content_ref = rw.add_object(Stream({}, new_content, deflate=True))
+    page[Name('Contents')] = content_ref
+
+    res = reader.resolve(reader.pages()[page_idx].get('Resources')) or {}
+    from ..pdf.rewrite import _convert
+    res_w = _convert(res)
+    xobjs = dict(res_w.get(Name('XObject'), {}))
+    xobjs.pop(Name(name), None)
+    xobjs[Name('MRCbg')] = bg_ref
+    xobjs[Name('MRCfg')] = fg_ref
+    res_w[Name('XObject')] = xobjs
+    page[Name('Resources')] = res_w
+    rw.set_object(page_ref, page)
+    return True
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        description='Recompress the images of a PDF with MRC in place.')
+    parser.add_argument('infile')
+    parser.add_argument('hocr', nargs='?', default=None,
+                        help='optional hOCR for text-guided masks')
+    parser.add_argument('outfile')
+    parser.add_argument('--bg-downsample', type=int, default=3)
+    parser.add_argument('--dpi', type=int, default=None)
+    parser.add_argument('-v', '--verbose', action='store_true')
+    args = parser.parse_args(argv)
+
+    if impl_available(JPEG2000_IMPL_KAKADU):
+        impl = JPEG2000_IMPL_KAKADU
+        bg_flags, fg_flags = ['-slope', '44250'], ['-slope', '44500']
+    else:
+        impl = JPEG2000_IMPL_PILLOW
+        bg_flags = ['quality_mode:"rates";quality_layers:[500]']
+        fg_flags = ['quality_mode:"rates";quality_layers:[750]']
+
+    reader = PdfReader(args.infile)
+    rw = PdfRewriter(reader)
+
+    word_datas = [None] * reader.page_count()
+    if args.hocr:
+        for idx, page in enumerate(hocr_page_iterator(args.hocr)):
+            if idx >= len(word_datas):
+                break
+            word_datas[idx] = hocr_page_to_word_data(page)
+
+    n = 0
+    for idx in range(reader.page_count()):
+        if compress_page_images(rw, reader, idx, word_datas[idx],
+                                bg_flags, fg_flags, impl,
+                                bg_downsample=args.bg_downsample,
+                                dpi=args.dpi, verbose=args.verbose):
+            n += 1
+    rw.save(args.outfile)
+    import os
+    old = os.path.getsize(args.infile)
+    new = os.path.getsize(args.outfile)
+    print('Compressed %d pages: %d -> %d bytes (%.2fx)'
+          % (n, old, new, old / max(new, 1)))
+    return 0
+
+
+if __name__ == '__main__':
+    sys.exit(main())

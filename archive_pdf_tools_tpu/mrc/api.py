@@ -69,43 +69,84 @@ def decompose_masks(np_images, word_datas, dpi=None, downsample=None,
     else:
         gray = dev_imgs
 
+    from ..utils.backend import use_pallas
+    from ..ops.lines_pallas import MAX_LINE_H
+
     # --- hOCR line thresholds ---
     t0 = _time.time()
     page_boxes = [prepare_lines(wd, w, h, downsample=downsample)
                   for wd in word_datas]
     total = sum(len(bx) for bx in page_boxes)
     n_seg = _round_lines(total)
-    id_map, boxes, n_lines = paint_line_ids(page_boxes, h, w, n_seg - 1)
 
-    thres, thres_inv, ones, ones_inv, size = D.hocr_line_thresholds(
-        gray, jnp.asarray(id_map), jnp.asarray(boxes), window, n_seg)
+    tallest = max((bo - t for bx in page_boxes for (t, bo, l, r) in bx),
+                  default=0)
+    pallas_lines = use_pallas() and tallest <= MAX_LINE_H
+
+    if pallas_lines:
+        # flat line arrays with a dummy slot 0 (select_lines convention)
+        boxes = np.zeros((4, n_seg), np.int32)
+        boxes[1, 0] = 1
+        boxes[3, 0] = 1
+        pages = np.zeros((n_seg,), np.int32)
+        _line_pages = {}
+        lid = 0
+        for p, bx in enumerate(page_boxes):
+            for (tt, bo, ll, rr) in bx:
+                lid += 1
+                if lid >= n_seg:
+                    break
+                boxes[:, lid] = (tt, bo, ll, rr)
+                pages[lid] = p
+                _line_pages[lid] = p
+        n_lines = lid
+
+        from ..ops.lines_pallas import line_thresholds_pallas
+        interp = jax.devices()[0].platform == 'cpu'
+        crops_t, crops_i = line_thresholds_pallas(
+            gray, jnp.asarray(boxes), jnp.asarray(pages), window,
+            interpret=interp)
+        ones, ones_inv, size = D.line_crop_counts(crops_t, crops_i,
+                                                  jnp.asarray(boxes))
+
+        def sigma_fn(i):
+            tt, bo, ll, rr = boxes[:, i]
+            ct = np.asarray(crops_t[i])[:bo - tt, ll:rr]
+            ci = np.asarray(crops_i[i])[:bo - tt, ll:rr]
+            return (estimate_sigma_np(ct.astype(np.float64)),
+                    estimate_sigma_np(ci.astype(np.float64)))
+    else:
+        id_map, boxes, n_lines = paint_line_ids(page_boxes, h, w, n_seg - 1)
+        thres, thres_inv, ones, ones_inv, size = D.hocr_line_thresholds(
+            gray, jnp.asarray(id_map), jnp.asarray(boxes), window, n_seg)
+
+        _page_cache = {}
+        _line_pages = {}
+        lid = 0
+        for p, bx in enumerate(page_boxes):
+            for _ in bx:
+                lid += 1
+                if lid < n_seg:
+                    _line_pages[lid] = p
+
+        def fetch_maps(p):
+            if p not in _page_cache:
+                _page_cache[p] = (np.asarray(thres[p]),
+                                  np.asarray(thres_inv[p]))
+            return _page_cache[p]
+
+        def sigma_fn(i):
+            p = _line_pages[i]
+            tmap, imap = fetch_maps(p)
+            tt, bb, ll, rr = (boxes[0][i], boxes[1][i],
+                              boxes[2][i], boxes[3][i])
+            crop = tmap[tt:bb, ll:rr].astype(np.float64)
+            crop_inv = imap[tt:bb, ll:rr].astype(np.float64)
+            return estimate_sigma_np(crop), estimate_sigma_np(crop_inv)
 
     ones = np.asarray(ones)
     ones_inv = np.asarray(ones_inv)
     size_np = np.asarray(size)
-
-    # host selection; exact wavelet sigma only for undecided lines
-    _page_cache = {}
-    _line_pages = {}
-    lid = 0
-    for p, bx in enumerate(page_boxes):
-        for _ in bx:
-            lid += 1
-            if lid < n_seg:
-                _line_pages[lid] = p
-
-    def fetch_maps(p):
-        if p not in _page_cache:
-            _page_cache[p] = (np.asarray(thres[p]), np.asarray(thres_inv[p]))
-        return _page_cache[p]
-
-    def sigma_fn(i):
-        p = _line_pages[i]
-        tmap, imap = fetch_maps(p)
-        tt, bb, ll, rr = boxes[0][i], boxes[1][i], boxes[2][i], boxes[3][i]
-        crop = tmap[tt:bb, ll:rr].astype(np.float64)
-        crop_inv = imap[tt:bb, ll:rr].astype(np.float64)
-        return estimate_sigma_np(crop), estimate_sigma_np(crop_inv)
 
     use_plain, use_inv = D.select_lines(ones, ones_inv, size_np,
                                         sigma_fn, n_lines)
@@ -113,14 +154,26 @@ def decompose_masks(np_images, word_datas, dpi=None, downsample=None,
 
     # --- global threshold with noise-adaptive pre-blur ---
     t0 = _time.time()
-    blurred_u8, sigma_est = D.global_threshold_input(gray)
-    td.add('est_1', t0)
-    t0 = _time.time()
-    gmask = D.global_threshold(blurred_u8, window)
-    td.add('threshold', t0)
+    if use_pallas():
+        gmask, sigma_est = D.global_threshold_fused(gray, window)
+        td.add('threshold', t0)
+    else:
+        blurred_u8, sigma_est = D.global_threshold_input(gray)
+        td.add('est_1', t0)
+        t0 = _time.time()
+        gmask = D.global_threshold(blurred_u8, window)
+        td.add('threshold', t0)
 
-    mask = D.compose_mask(thres, thres_inv, jnp.asarray(use_plain),
-                          jnp.asarray(use_inv), jnp.asarray(id_map), gmask)
+    if pallas_lines:
+        selector = np.where(use_plain, 1,
+                            np.where(use_inv, 2, 0)).astype(np.int32)
+        mask = D.paste_selected_crops(
+            crops_t, crops_i, jnp.asarray(boxes), jnp.asarray(pages),
+            jnp.asarray(selector), gmask, len(np_images), h)
+    else:
+        mask = D.compose_mask(thres, thres_inv, jnp.asarray(use_plain),
+                              jnp.asarray(use_inv), jnp.asarray(id_map),
+                              gmask)
 
     if denoise_mask is not None and denoise_mask != DENOISE_NONE:
         t0 = _time.time()

@@ -144,16 +144,12 @@ def hocr_line_thresholds(gray, line_id, boxes, window, n_seg, k=0.1):
 
 
 @jax.jit
-def global_threshold_input(gray):
-    """Noise estimate + conditional gaussian pre-blur (``mrc.py:300-325``).
-
-    scipy's kernel is sampled at radius int(4*sigma+0.5); sigma here is
-    data-dependent, so we build the kernel dynamically inside a static
-    MAX_BLUR_RADIUS buffer (zero beyond the dynamic radius, renormalized)
-    and always convolve, selecting the identity kernel when the reference
-    would skip the blur (sigma_est <= 1).  Returns the uint8-truncated
-    image to threshold, plus sigma_est per page.
-    """
+def blur_weights(gray):
+    """Per-page separable gaussian taps from the noise estimate
+    (``mrc.py:305-311``): scipy's sampled kernel truncated at radius
+    int(4*sigma+0.5) inside a static MAX_BLUR_RADIUS buffer, normalized;
+    the identity kernel when the reference would skip the blur
+    (sigma_est <= 1).  Returns ((B, 2R+1) f32 taps, sigma_est)."""
     imgf = gray.astype(jnp.float32)
     sigma_est = estimate_noise(imgf)                     # (B,)
     sigma = sigma_est * 0.1
@@ -166,7 +162,17 @@ def global_threshold_input(gray):
     wts = jnp.where(jnp.abs(idx[None, :]) <= radius, wts, 0.0)
     wts = wts / jnp.sum(wts, axis=1, keepdims=True)
     ident = (idx == 0).astype(jnp.float32)
-    wts = jnp.where((sigma_est > 1.0)[:, None], wts, ident[None, :])  # (B, K)
+    wts = jnp.where((sigma_est > 1.0)[:, None], wts, ident[None, :])
+    return wts, sigma_est
+
+
+@jax.jit
+def global_threshold_input(gray):
+    """Noise estimate + conditional gaussian pre-blur (``mrc.py:300-325``)
+    as XLA convs.  Returns the uint8-truncated image to threshold, plus
+    sigma_est per page."""
+    imgf = gray.astype(jnp.float32)
+    wts, sigma_est = blur_weights(gray)
 
     # separable blur with per-page kernels; reflect padding like scipy.
     # pages ride the channel axis with feature_group_count=B so each page
@@ -196,6 +202,18 @@ def global_threshold(gray, window):
     return sauvola_mask(gray, window, window, 0.34, 128.0)
 
 
+def global_threshold_fused(gray, window, interpret=None):
+    """Pre-blur + global Sauvola as one fused Pallas row walk (same
+    semantics as global_threshold_input + global_threshold)."""
+    from ..ops.threshold_pallas import blur_sauvola_pallas
+    if interpret is None:
+        interpret = jax.devices()[0].platform == 'cpu'
+    wts, sigma_est = blur_weights(gray)
+    mask = blur_sauvola_pallas(gray, wts, window, 0.34, 128.0,
+                               interpret=interpret)
+    return mask, sigma_est
+
+
 @jax.jit
 def compose_mask(thres, thres_inv, use_plain, use_inv, line_id, global_mask):
     """hOCR-line overwrite (last line wins, via the id map) then OR with
@@ -204,6 +222,50 @@ def compose_mask(thres, thres_inv, use_plain, use_inv, line_id, global_mask):
     pick_inv = use_inv[line_id]
     hocr = jnp.where(pick_plain, thres,
                      jnp.where(pick_inv, thres_inv, False))
+    return jnp.logical_or(hocr, global_mask)
+
+
+@jax.jit
+def line_crop_counts(crops_t, crops_i, boxes):
+    """Per-line ink counts over the valid crop region of the Pallas line
+    buffers ((n, MAX_H, Wp) uint8)."""
+    n, max_h, wp = crops_t.shape
+    rows = jnp.arange(max_h, dtype=jnp.int32)[None, :, None]
+    cols = jnp.arange(wp, dtype=jnp.int32)[None, None, :]
+    t, b, l, r = boxes[0], boxes[1], boxes[2], boxes[3]
+    valid = (rows < (b - t)[:, None, None]) & \
+            (cols >= l[:, None, None]) & (cols < r[:, None, None])
+    ones = jnp.sum(jnp.where(valid, crops_t, 0), axis=(1, 2))
+    ones_inv = jnp.sum(jnp.where(valid, crops_i, 0), axis=(1, 2))
+    size = ((b - t) * (r - l)).astype(jnp.int32)
+    return ones.astype(jnp.int32), ones_inv.astype(jnp.int32), size
+
+
+@functools.partial(jax.jit, static_argnames=('bsz', 'h'))
+def paste_selected_crops(crops_t, crops_i, boxes, pages, selector,
+                         global_mask, bsz, h):
+    """Paste each line's selected threshold crop (selector 0=none,
+    1=plain, 2=inverse) into page maps in document order (last line
+    wins), then OR the global mask (``mrc.py:265-266,329``)."""
+    n, max_h, wp = crops_t.shape
+    buf = jnp.zeros((bsz, h + max_h, wp), jnp.uint8)
+
+    rows = jnp.arange(max_h, dtype=jnp.int32)[:, None]
+    cols = jnp.arange(wp, dtype=jnp.int32)[None, :]
+
+    def body(acc, xs):
+        ct, ci, t, b, l, r, page, sel = xs
+        ok = (rows < (b - t)) & (cols >= l) & (cols < r) & (sel > 0)
+        chosen = jnp.where(sel == 1, ct, ci)
+        cur = jax.lax.dynamic_slice(acc, (page, t, 0), (1, max_h, wp))
+        new = jnp.where(ok[None], chosen[None], cur)
+        return jax.lax.dynamic_update_slice(acc, new, (page, t, 0)), None
+
+    buf, _ = jax.lax.scan(
+        body, buf,
+        (crops_t, crops_i, boxes[0], boxes[1], boxes[2], boxes[3],
+         pages, selector))
+    hocr = buf[:, :h, :global_mask.shape[-1]].astype(bool)
     return jnp.logical_or(hocr, global_mask)
 
 
@@ -247,7 +309,8 @@ def denoise_mask(mask, mode, exact=True):
         from ..utils.backend import use_pallas
         if use_pallas():
             from ..ops.denoise_pallas import fast_mask_denoise_pallas
-            return fast_mask_denoise_pallas(mask, 4, 2)
+            interp = jax.devices()[0].platform == 'cpu'
+            return fast_mask_denoise_pallas(mask, 4, 2, interpret=interp)
         return fast_mask_denoise_exact(mask, 4, 2)
     if mode == DENOISE_BREGMAN:
         return denoise_bregman(mask)
@@ -258,7 +321,8 @@ def _optimise_dispatch(mask, img, n):
     from ..utils.backend import use_pallas
     if use_pallas():
         from ..ops.optimise_pallas import optimise_pallas
-        return optimise_pallas(mask, img, n)
+        interp = jax.devices()[0].platform == 'cpu'
+        return optimise_pallas(mask, img, n, interpret=interp)
     return optimise(mask, img, n)
 
 

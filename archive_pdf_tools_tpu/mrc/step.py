@@ -42,3 +42,36 @@ def mrc_full_step(images, line_id, boxes, use_plain, use_inv,
     fg = D.fg_layer(mask, images)
     bg = D.bg_layer(mask, images)
     return mask, fg, bg, (ones, ones_inv)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=('window', 'rgb', 'denoise', 'interpret'))
+def mrc_full_step_pallas(images, boxes, pages, selector, window,
+                         rgb=False, denoise=DENOISE_FAST, interpret=False):
+    """The flagship step on the Pallas kernel path: line-band thresholds,
+    fused blur+Sauvola, ordered crop pasting, exact despeckle, radiate
+    fills — one jit, streamed row-walk kernels throughout.
+
+    boxes: (4, n) int32; pages: (n,) int32; selector: (n,) int32 per-line
+    pick (0 none / 1 plain / 2 inverse) from the host heuristic."""
+    from ..ops.lines_pallas import line_thresholds_pallas
+    from ..ops.optimise_pallas import optimise_pallas
+    from ..ops.denoise_pallas import fast_mask_denoise_pallas
+
+    gray = D.gray_601(images) if rgb else images
+    b, h, w = gray.shape
+
+    crops_t, crops_i = line_thresholds_pallas(gray, boxes, pages, window,
+                                              interpret=interpret)
+    ones, ones_inv, size = D.line_crop_counts(crops_t, crops_i, boxes)
+    gmask, _sigma = D.global_threshold_fused(gray, window,
+                                             interpret=interpret)
+    mask = D.paste_selected_crops(crops_t, crops_i, boxes, pages,
+                                  selector, gmask, b, h)
+    if denoise == DENOISE_FAST:
+        mask = fast_mask_denoise_pallas(mask, 4, 2, interpret=interpret)
+
+    fg = optimise_pallas(mask, images, 3, interpret=interpret)
+    bg = optimise_pallas(jnp.logical_not(mask), images, 10,
+                         interpret=interpret)
+    return mask, fg, bg, (ones, ones_inv)

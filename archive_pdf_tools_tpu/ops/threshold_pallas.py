@@ -1,0 +1,193 @@
+"""Fused Pallas kernel: noise-adaptive gaussian blur + global Sauvola.
+
+Replaces the XLA pipeline of ``mrc/decompose.py:global_threshold_input``
++ ``global_threshold`` (reference semantics ``mrc.py:300-329`` +
+``mrc.py:58-87``) with one streamed row walk:
+
+  reflect-padded uint8 rows stream in; a 128-slot VMEM ring holds the
+  vertical blur window; each step produces one blurred row (97-tap
+  vertical MAC with per-step rotated per-page weights, then 97-tap
+  horizontal MAC), truncates it to uint8 exactly like the reference's
+  f32->u8 cast, feeds it into rolling Sauvola column sums (+squares),
+  and 50 rows later emits the thresholded mask row from lane prefix
+  sums with exact clamped counts.
+
+The per-page gaussian weights come from the XLA side (data-dependent
+sigma; scipy-truncated, identity when sigma_est <= 1, matching
+``mrc.py:309``), pre-rotated into ring-slot order per step so the kernel
+needs no dynamic rotation.
+
+Numerics: mean = floor(sum/cnt) is exact in f32 for window sums
+< 2^24; the sum of squares exceeds f32 mantissa so E[x^2] uses integer
+division (Mosaic i32 div); the final squared-form comparison runs in
+f32 like ops/sauvola.py.
+"""
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .optimise_pallas import _cumsum_lanes, _shift_right_zero, \
+    _shift_left_edge
+
+BLUR_RADIUS = 48
+TAPS = 2 * BLUR_RADIUS + 1    # 97
+RING = 128                    # power-of-two ring depth (> TAPS, > window+1)
+
+
+def _make_kernel(h, w, wpp, window, k, R):
+    o = (window + 1) // 2
+    u = window // 2
+    pre = 2 * BLUR_RADIUS      # input warmup steps
+
+    def kernel(img_ref, wrot_ref, whor_ref, out_ref,
+               in_ring, blur_ring, colsum, colsumsq):
+        s = pl.program_id(0)
+
+        @pl.when(s == 0)
+        def _():
+            in_ring[...] = jnp.zeros_like(in_ring)
+            blur_ring[...] = jnp.zeros_like(blur_ring)
+            colsum[...] = jnp.zeros_like(colsum)
+            colsumsq[...] = jnp.zeros_like(colsumsq)
+
+        # ingest padded input row s (guarded past the end)
+        @pl.when(s < h + 2 * BLUR_RADIUS)
+        def _():
+            in_ring[pl.ds(s % RING, 1)] = img_ref[...]
+
+        bs = s - pre    # blurred row index produced this step
+
+        @pl.when(jnp.logical_and(bs >= 0, bs < h))
+        def _():
+            # vertical 97-tap MAC over ring slots with rotated weights
+            wrot = wrot_ref[0]                      # (B, RING) f32
+            vrow = jnp.zeros(in_ring.shape[1:], jnp.float32)
+            for j in range(RING):
+                vrow = vrow + wrot[:, j:j + 1] * \
+                    in_ring[j].astype(jnp.int32).astype(jnp.float32)
+
+            # horizontal 97-tap MAC (unrotated weights)
+            whor = whor_ref[0]                      # (B, 128) f32
+            brow = jnp.zeros_like(vrow)
+            for t in range(TAPS):
+                shift = BLUR_RADIUS - t
+                shifted = vrow if shift == 0 else \
+                    jnp.roll(vrow, shift, axis=-1)
+                brow = brow + whor[:, t:t + 1] * shifted
+
+            # re-base lanes to original columns; truncate like the
+            # reference's float->uint8 cast; zero the padding lanes
+            lanes = jax.lax.broadcasted_iota(jnp.int32, brow.shape, 1)
+            brow = jnp.roll(brow, -BLUR_RADIUS, axis=-1)
+            b_u8 = jnp.where(lanes < w, brow.astype(jnp.int32), 0)
+            b_u8 = jnp.clip(b_u8, 0, 255)
+
+            blur_ring[pl.ds(bs % RING, 1)] = b_u8[None].astype(jnp.uint8)
+            colsum[...] = colsum[...] + b_u8
+            colsumsq[...] = colsumsq[...] + b_u8 * b_u8
+
+        # sauvola window row removal: row bs - window leaves
+        rem = bs - window
+
+        @pl.when(jnp.logical_and(rem >= 0, rem < h))
+        def _():
+            old = blur_ring[pl.ds(rem % RING, 1)][0].astype(jnp.int32)
+            colsum[...] = colsum[...] - old
+            colsumsq[...] = colsumsq[...] - old * old
+
+        y = bs - u      # mask row emitted this step
+
+        @pl.when(jnp.logical_and(y >= 0, y < h))
+        def _():
+            px = blur_ring[pl.ds(y % RING, 1)][0].astype(jnp.int32).astype(jnp.float32)
+
+            cs = _cumsum_lanes(colsum[...], wpp)
+            cq = _cumsum_lanes(colsumsq[...], wpp)
+            # cols [x-l+1, x+r] inclusive, clamped to [0, w)
+            s_win = (_shift_left_edge(cs, u, wpp)
+                     - _shift_right_zero(cs, o))
+            q_win = (_shift_left_edge(cq, u, wpp)
+                     - _shift_right_zero(cq, o))
+
+            lanes = jax.lax.broadcasted_iota(jnp.int32, px.shape, 1)
+            cols_in = (jnp.minimum(lanes + u, w - 1)
+                       - jnp.maximum(lanes - o, -1))
+            rows_in = (jnp.minimum(y + u, h - 1)
+                       - jnp.maximum(y - o, -1))
+            cnt = jnp.maximum(rows_in * cols_in, 1)
+
+            cnt_f = cnt.astype(jnp.float32)
+            mean = jnp.floor(s_win.astype(jnp.float32) / cnt_f)
+            ex2 = (q_win // cnt).astype(jnp.float32)
+            var = ex2 - mean * mean
+
+            kf = jnp.float32(k)
+            k2 = kf * kf / jnp.float32(R) / jnp.float32(R)
+            t = px + mean * (kf - 1.0)
+            rhs = mean * mean * k2 * var
+            ink = jnp.logical_or(t <= 0.0, t * t <= rhs)
+            out_ref[...] = ink[None].astype(jnp.uint8)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=('window', 'k', 'R', 'interpret'))
+def blur_sauvola_pallas(img, weights, window, k=0.34, R=128.0,
+                        interpret=False):
+    """img: uint8 (B, H, W); weights: f32 (B, TAPS) separable blur taps
+    (identity row = delta when no blur).  Returns bool (B, H, W) ink
+    mask of the blurred-then-truncated image."""
+    b, h, w = img.shape
+    o = (window + 1) // 2
+    u = window // 2
+    wpp = -(-(w + 2 * BLUR_RADIUS) // 128) * 128
+
+    # reflect-pad rows and columns; lanes beyond w+2R zero-padded
+    xp = jnp.pad(img, ((0, 0), (BLUR_RADIUS, BLUR_RADIUS),
+                       (BLUR_RADIUS, BLUR_RADIUS)), mode='symmetric')
+    xp = jnp.pad(xp, ((0, 0), (0, 0), (0, wpp - (w + 2 * BLUR_RADIUS))))
+    xp = jnp.transpose(xp, (1, 0, 2))        # (Hp, B, Wpp)
+
+    pre = 2 * BLUR_RADIUS
+    steps = pre + h + u
+
+    # rotated vertical weights per step: at step s the blurred row
+    # bs = s - pre reads ring slot (bs + t) % RING for tap t
+    svec = np.arange(steps)
+    tvec = np.arange(TAPS)
+    slots = (svec[:, None] - pre + tvec[None, :]) % RING   # (steps, TAPS)
+    wrot = jnp.zeros((steps, b, RING), jnp.float32)
+    wrot = wrot.at[svec[:, None], :, slots].set(
+        jnp.broadcast_to(weights.T[None], (steps, TAPS, b)))
+
+    whor = jnp.zeros((b, 128), jnp.float32).at[:, :TAPS].set(weights)
+    whor = jnp.broadcast_to(whor[None], (1, b, 128))
+
+    out = pl.pallas_call(
+        _make_kernel(h, w, wpp, window, float(k), float(R)),
+        grid=(steps,),
+        in_specs=[
+            pl.BlockSpec((1, b, wpp),
+                         lambda s: (jnp.minimum(s, h + pre - 1), 0, 0)),
+            pl.BlockSpec((1, b, RING), lambda s: (s, 0, 0)),
+            pl.BlockSpec((1, b, 128), lambda s: (0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, b, wpp), lambda s: (jnp.maximum(s - 2 * BLUR_RADIUS - u, 0),
+                                    0, 0)),
+        out_shape=jax.ShapeDtypeStruct((h, b, wpp), jnp.uint8),
+        scratch_shapes=[
+            pltpu.VMEM((RING, b, wpp), jnp.uint8),   # input ring
+            pltpu.VMEM((RING, b, wpp), jnp.uint8),   # blurred ring
+            pltpu.VMEM((b, wpp), jnp.int32),         # colsum
+            pltpu.VMEM((b, wpp), jnp.int32),         # colsumsq
+        ],
+        interpret=interpret,
+    )(xp, wrot, whor)
+
+    return jnp.transpose(out, (1, 0, 2))[:, :, :w].astype(bool)

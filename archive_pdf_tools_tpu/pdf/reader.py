@@ -489,21 +489,30 @@ class PdfReader:
     def pages(self):
         if self._pages is None:
             self._pages = []
-            root = self.resolve(self.catalog.get('Pages'))
-            stack = [root] if root else []
+            self._page_refs = []
+            root = self.catalog.get('Pages')
+            stack = [root] if root is not None else []
             seen = set()
             while stack:
-                node = stack.pop(0)
+                item = stack.pop(0)
+                num = item.num if isinstance(item, PRef) else None
+                node = self.resolve(item)
                 if node is None or id(node) in seen:
                     continue
                 seen.add(id(node))
                 t = str(node.get('Type', ''))
                 if t == 'Pages' or 'Kids' in node:
                     kids = self.resolve(node.get('Kids')) or []
-                    stack = [self.resolve(k) for k in kids] + stack
+                    stack = list(kids) + stack
                 else:
                     self._pages.append(node)
+                    self._page_refs.append(num)
         return self._pages
+
+    def page_object_number(self, idx):
+        """Object number of page idx (None if the page tree inlined it)."""
+        self.pages()
+        return self._page_refs[idx]
 
     def page_count(self):
         return len(self.pages())

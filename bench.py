@@ -23,7 +23,8 @@ import numpy as np
 
 def main():
     import jax
-    from archive_pdf_tools_tpu.mrc.step import mrc_full_step
+    from archive_pdf_tools_tpu.mrc.step import (mrc_full_step,
+                                                mrc_full_step_pallas)
     from __graft_entry__ import _example_inputs
 
     batch = int(os.environ.get('BENCH_BATCH', '8'))
@@ -43,10 +44,10 @@ def main():
     images = np.clip(images.astype(np.float32) + noise, 0, 255) \
         .astype(np.uint8)
 
-    line_id = np.zeros((batch, h, w), np.int32)
     boxes = np.zeros((4, n_seg), np.int32)
     boxes[1, 0] = 1
     boxes[3, 0] = 1
+    pages_vec = np.zeros((n_seg,), np.int32)
     lid = 0
     for b in range(batch):
         for i in range(40):
@@ -54,20 +55,17 @@ def main():
             if lid >= n_seg:
                 break
             t = 30 + i * (h - 80) // 40
-            bo = t + 50
-            line_id[b, t:bo, 40:w - 40] = lid
-            boxes[:, lid] = (t, bo, 40, w - 40)
-    use_plain = np.zeros(n_seg, bool)
-    use_plain[1:lid + 1] = True
-    use_inv = np.zeros(n_seg, bool)
+            boxes[:, lid] = (t, t + 50, 40, w - 40)
+            pages_vec[lid] = b
+    selector = np.zeros(n_seg, np.int32)
+    selector[1:lid + 1] = 1
 
     dev = jax.device_put
-    args = tuple(dev(a) for a in
-                 (images, line_id, boxes, use_plain, use_inv))
+    args = tuple(dev(a) for a in (images, boxes, pages_vec, selector))
 
     def step():
-        out = mrc_full_step(*args, window=window, n_seg=n_seg,
-                            rgb=False, denoise='fast', exact_denoise=True)
+        out = mrc_full_step_pallas(*args, window=window,
+                                   rgb=False, denoise='fast')
         jax.block_until_ready(out)
         # the axon platform's block_until_ready can return early; a tiny
         # device->host readback guarantees real synchronization

@@ -1,0 +1,182 @@
+"""Secondary CLI and tool tests."""
+
+import json
+import os
+import subprocess
+import sys
+import zipfile
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from archive_pdf_tools_tpu.pipeline.recode import recode
+from archive_pdf_tools_tpu.pdf.reader import PdfReader
+from archive_pdf_tools_tpu.cli.pdf_metadata_json import analyse, main as meta_main
+from archive_pdf_tools_tpu.cli.compress_pdf_images import main as comp_main
+from archive_pdf_tools_tpu.cli.pdf_to_imagestack import main as stack_main
+from archive_pdf_tools_tpu.cli.pdfrenderer_cli import main as rend_main
+from archive_pdf_tools_tpu.cli.epub_to_pdf import main as epub_main
+
+from tests.fixtures import make_book
+
+J2K_BG = 'quality_mode:"rates";quality_layers:[500]'
+J2K_FG = 'quality_mode:"rates";quality_layers:[750]'
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope='module')
+def book_pdf(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp('book')
+    stack, hocr, pages = make_book(tmp, n_pages=2)
+    out = str(tmp / 'book.pdf')
+    recode(from_imagestack=stack, hocr_file=hocr, out_pdf=out, dpi=100,
+           jbig2=True, bg_compression_flags=[J2K_BG],
+           fg_compression_flags=[J2K_FG])
+    return out, hocr
+
+
+@pytest.fixture(scope='module')
+def jpeg_pdf(tmp_path_factory):
+    """A simple one-image-per-page JPEG PDF (compress input)."""
+    tmp = tmp_path_factory.mktemp('jpegsrc')
+    stack, hocr, pages = make_book(tmp, n_pages=2)
+    out = str(tmp / 'src.pdf')
+    recode(from_imagestack=stack, hocr_file=hocr, out_pdf=out, dpi=100,
+           image_mode=3)   # skip images
+    # rebuild with single jpeg image per page via mode 2 + jpeg format
+    out2 = str(tmp / 'src2.pdf')
+    recode(from_imagestack=stack, hocr_file=hocr, out_pdf=out2, dpi=100,
+           jbig2=False, mask_compression='ccitt', mrc_image_format='jpeg',
+           bg_compression_flags=['-S40'], fg_compression_flags=['-S30'])
+    return out2, hocr
+
+
+class TestPdfMetadataJson:
+    def test_analyse(self, book_pdf):
+        path, hocr = book_pdf
+        rep = analyse(path)
+        assert rep['page-count'] == 2
+        assert rep['pages'][0]['has-text']
+        assert len(rep['pages'][0]['images']) == 2
+        assert rep['recommended-imagestack-format'] == 'jp2'
+        assert rep['pages'][0]['estimated-ppi'] is not None
+
+    def test_cli(self, book_pdf, tmp_path, capsys):
+        path, _ = book_pdf
+        out = str(tmp_path / 'meta.json')
+        assert meta_main([path, out]) == 0
+        rep = json.loads(open(out).read())
+        assert rep['page-count'] == 2
+
+
+class TestCompressPdfImages:
+    def test_compress(self, jpeg_pdf, tmp_path, capsys):
+        src, hocr = jpeg_pdf
+        out = str(tmp_path / 'comp.pdf')
+        assert comp_main([src, hocr, out, '--dpi', '100']) == 0
+        r = PdfReader(out)
+        assert r.page_count() == 2
+        imgs = r.page_images(0)
+        names = {n for n, _, _ in imgs}
+        assert 'MRCbg' in names and 'MRCfg' in names
+        filters = {str(r.resolve(s.dict['Filter'])) for _, _, s in imgs}
+        assert 'JPXDecode' in filters
+
+
+class TestPdfToImagestack:
+    def test_stack(self, book_pdf, tmp_path, capsys):
+        path, _ = book_pdf
+        out = str(tmp_path / 'stack.zip')
+        assert stack_main([path, out]) == 0
+        zf = zipfile.ZipFile(out)
+        assert len(zf.namelist()) >= 2
+
+
+class TestPdfRenderer:
+    def test_render_textonly(self, book_pdf, tmp_path, capsys):
+        _, hocr = book_pdf
+        out = str(tmp_path / 'text.pdf')
+        assert rend_main(['-T', hocr, '-o', out, '-D', '100']) == 0
+        r = PdfReader(out)
+        assert r.page_count() == 2
+        assert b'TJ' in r.page_contents(0)
+        assert not r.page_images(0)
+
+
+class TestEpubToPdf:
+    def test_basic_epub(self, tmp_path, capsys):
+        epub = tmp_path / 'test.epub'
+        with zipfile.ZipFile(epub, 'w') as zf:
+            zf.writestr('mimetype', 'application/epub+zip')
+            zf.writestr('META-INF/container.xml', '''<?xml version="1.0"?>
+<container version="1.0" xmlns="urn:oasis:names:tc:opendocument:xmlns:container">
+ <rootfiles><rootfile full-path="OEBPS/content.opf"
+  media-type="application/oebps-package+xml"/></rootfiles></container>''')
+            zf.writestr('OEBPS/content.opf', '''<?xml version="1.0"?>
+<package xmlns="http://www.idpf.org/2007/opf" version="3.0" unique-identifier="id">
+ <metadata xmlns:dc="http://purl.org/dc/elements/1.1/">
+  <dc:title>A Tale</dc:title><dc:creator>Author X</dc:creator>
+  <dc:language>en</dc:language></metadata>
+ <manifest><item id="c1" href="ch1.xhtml" media-type="application/xhtml+xml"/>
+ </manifest><spine><itemref idref="c1"/></spine></package>''')
+            zf.writestr('OEBPS/ch1.xhtml', '''<html xmlns="http://www.w3.org/1999/xhtml">
+<body><h1>Chapter One</h1>''' + ''.join(
+                '<p>Paragraph %d with some words in it.</p>' % i
+                for i in range(120)) + '</body></html>')
+        out = str(tmp_path / 'epub.pdf')
+        assert epub_main([str(epub), out]) == 0
+        r = PdfReader(out)
+        assert r.page_count() >= 2
+        assert r.info()['Title'] == b'A Tale'
+        assert 'Outlines' in r.catalog
+
+
+class TestTools:
+    def _run(self, tool, *args):
+        return subprocess.run(
+            [sys.executable, os.path.join(REPO, 'tools', tool)]
+            + list(args), capture_output=True, text=True,
+            env=dict(os.environ, JAX_PLATFORMS='cpu'))
+
+    def test_pdfimagesmrc(self, book_pdf):
+        path, _ = book_pdf
+        res = self._run('pdfimagesmrc', path)
+        assert res.returncode == 0, res.stderr
+        assert 'mask' in res.stdout and 'bg' in res.stdout
+
+    def test_mrcview_and_maskview(self, book_pdf, tmp_path):
+        path, _ = book_pdf
+        out = str(tmp_path / 'view.pdf')
+        res = self._run('mrcview', path, out)
+        assert res.returncode == 0, res.stderr
+        r = PdfReader(out)
+        assert r.page_count() == 6   # 2 pages x (bg, fg, mask)
+        out2 = str(tmp_path / 'masks.pdf')
+        res = self._run('maskview', path, out2)
+        assert res.returncode == 0, res.stderr
+        assert PdfReader(out2).page_count() == 2
+
+    def test_threshold_and_blur_tools(self, tmp_path):
+        from tests.fixtures import render_book_page
+        img, _ = render_book_page(120, 160)
+        src = str(tmp_path / 'in.png')
+        Image.fromarray(img).save(src)
+        mask_out = str(tmp_path / 'mask.png')
+        res = self._run('threshold-image', src, mask_out,
+                        '--dpi', '100', '--denoise', 'fast')
+        assert res.returncode == 0, res.stderr
+        fg_out = str(tmp_path / 'fg.png')
+        res = self._run('partial-blur', src, mask_out, fg_out,
+                        '--mode', 'optimise')
+        assert res.returncode == 0, res.stderr
+        pre = str(tmp_path / 'cmp')
+        res = self._run('compress', src, mask_out, pre)
+        assert res.returncode == 0, res.stderr
+        merged = str(tmp_path / 'merged.png')
+        res = self._run('merge', mask_out, pre + '_fg.jp2',
+                        pre + '_bg.jp2', merged)
+        assert res.returncode == 0, res.stderr
+        # render_book_page(w=120, h=160) -> PIL size (120, 160)
+        assert Image.open(merged).size == (120, 160)
