@@ -151,7 +151,9 @@ def line_thresholds_pallas(gray, boxes, pages, window, k=0.1, R=128.0,
     px_map = mk_index(lambda tt, s2: tt + s2 - u)
 
     def out_map(i, s2, t_ref, b_ref, l_ref, r_ref, page_ref):
-        return (i, jnp.clip(s2 - u, 0, MAX_LINE_H - 1), 0)
+        # outputs are (n*MAX_LINE_H, 1, wpp): dynamic row leads so the
+        # trailing block dims equal the array dims (Mosaic constraint)
+        return (i * MAX_LINE_H + jnp.clip(s2 - u, 0, MAX_LINE_H - 1), 0, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
@@ -164,7 +166,7 @@ def line_thresholds_pallas(gray, boxes, pages, window, k=0.1, R=128.0,
         out_specs=[
             pl.BlockSpec((1, 1, wpp), out_map),
             pl.BlockSpec((1, 1, wpp), out_map),
-        ],
+        ],   # noqa: trailing block dims equal the (1, wpp) array dims
         scratch_shapes=[
             pltpu.VMEM((1, wpp), jnp.int32),
             pltpu.VMEM((1, wpp), jnp.int32),
@@ -174,9 +176,11 @@ def line_thresholds_pallas(gray, boxes, pages, window, k=0.1, R=128.0,
     out_t, out_i = pl.pallas_call(
         _make_kernel(wpp, window, float(k), float(R)),
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((n, MAX_LINE_H, wpp), jnp.uint8),
-                   jax.ShapeDtypeStruct((n, MAX_LINE_H, wpp), jnp.uint8)],
+        out_shape=[
+            jax.ShapeDtypeStruct((n * MAX_LINE_H, 1, wpp), jnp.uint8),
+            jax.ShapeDtypeStruct((n * MAX_LINE_H, 1, wpp), jnp.uint8)],
         interpret=interpret,
     )(t, bb, ll, rr, pages, gp, gp, gp)
 
-    return out_t, out_i
+    return (out_t.reshape(n, MAX_LINE_H, wpp),
+            out_i.reshape(n, MAX_LINE_H, wpp))
