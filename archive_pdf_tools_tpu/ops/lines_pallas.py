@@ -111,9 +111,11 @@ def _make_kernel(wpp, window, k, R):
             q_inv = 65025 * cnt - 510 * s_win + q_win
             ink_inv = sauvola(s_inv, q_inv, 255 - px)
 
-            out_t_ref[...] = jnp.where(in_cols, ink, False)[None] \
+            out_t_ref[...] = jnp.where(
+                jnp.logical_and(in_cols, ink), 1, 0)[None] \
                 .astype(jnp.uint8)
-            out_i_ref[...] = jnp.where(in_cols, ink_inv, False)[None] \
+            out_i_ref[...] = jnp.where(
+                jnp.logical_and(in_cols, ink_inv), 1, 0)[None] \
                 .astype(jnp.uint8)
 
     return kernel

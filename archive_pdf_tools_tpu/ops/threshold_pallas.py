@@ -36,13 +36,15 @@ from .optimise_pallas import _cumsum_lanes, _shift_right_zero, \
 
 BLUR_RADIUS = 48
 TAPS = 2 * BLUR_RADIUS + 1    # 97
-RING = 128                    # power-of-two ring depth (> TAPS, > window+1)
+RING_IN = 104                 # input ring depth (>= TAPS, multiple of 8)
+MAX_BATCH = 12                # VMEM budget: rings are 2*RING*B*Wpp bytes
 
 
 def _make_kernel(h, w, wpp, window, k, R):
     o = (window + 1) // 2
     u = window // 2
     pre = 2 * BLUR_RADIUS      # input warmup steps
+    ring_blur = -(-(window + 1) // 8) * 8
 
     def kernel(img_ref, wrot_ref, whor_ref, out_ref,
                in_ring, blur_ring, colsum, colsumsq):
@@ -58,16 +60,16 @@ def _make_kernel(h, w, wpp, window, k, R):
         # ingest padded input row s (guarded past the end)
         @pl.when(s < h + 2 * BLUR_RADIUS)
         def _():
-            in_ring[pl.ds(s % RING, 1)] = img_ref[...]
+            in_ring[pl.ds(s % RING_IN, 1)] = img_ref[...]
 
         bs = s - pre    # blurred row index produced this step
 
         @pl.when(jnp.logical_and(bs >= 0, bs < h))
         def _():
             # vertical 97-tap MAC over ring slots with rotated weights
-            wrot = wrot_ref[0]                      # (B, RING) f32
+            wrot = wrot_ref[0]                      # (B, RING_IN) f32
             vrow = jnp.zeros(in_ring.shape[1:], jnp.float32)
-            for j in range(RING):
+            for j in range(RING_IN):
                 vrow = vrow + wrot[:, j:j + 1] * \
                     in_ring[j].astype(jnp.int32).astype(jnp.float32)
 
@@ -87,7 +89,7 @@ def _make_kernel(h, w, wpp, window, k, R):
             b_u8 = jnp.where(lanes < w, brow.astype(jnp.int32), 0)
             b_u8 = jnp.clip(b_u8, 0, 255)
 
-            blur_ring[pl.ds(bs % RING, 1)] = b_u8[None].astype(jnp.uint8)
+            blur_ring[pl.ds(bs % ring_blur, 1)] = b_u8[None].astype(jnp.uint8)
             colsum[...] = colsum[...] + b_u8
             colsumsq[...] = colsumsq[...] + b_u8 * b_u8
 
@@ -96,7 +98,7 @@ def _make_kernel(h, w, wpp, window, k, R):
 
         @pl.when(jnp.logical_and(rem >= 0, rem < h))
         def _():
-            old = blur_ring[pl.ds(rem % RING, 1)][0].astype(jnp.int32)
+            old = blur_ring[pl.ds(rem % ring_blur, 1)][0].astype(jnp.int32)
             colsum[...] = colsum[...] - old
             colsumsq[...] = colsumsq[...] - old * old
 
@@ -104,7 +106,7 @@ def _make_kernel(h, w, wpp, window, k, R):
 
         @pl.when(jnp.logical_and(y >= 0, y < h))
         def _():
-            px = blur_ring[pl.ds(y % RING, 1)][0].astype(jnp.int32).astype(jnp.float32)
+            px = blur_ring[pl.ds(y % ring_blur, 1)][0].astype(jnp.int32).astype(jnp.float32)
 
             cs = _cumsum_lanes(colsum[...], wpp)
             cq = _cumsum_lanes(colsumsq[...], wpp)
@@ -131,17 +133,29 @@ def _make_kernel(h, w, wpp, window, k, R):
             t = px + mean * (kf - 1.0)
             rhs = mean * mean * k2 * var
             ink = jnp.logical_or(t <= 0.0, t * t <= rhs)
-            out_ref[...] = ink[None].astype(jnp.uint8)
+            out_ref[...] = jnp.where(ink, 1, 0)[None].astype(jnp.uint8)
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=('window', 'k', 'R', 'interpret'))
 def blur_sauvola_pallas(img, weights, window, k=0.34, R=128.0,
                         interpret=False):
     """img: uint8 (B, H, W); weights: f32 (B, TAPS) separable blur taps
     (identity row = delta when no blur).  Returns bool (B, H, W) ink
-    mask of the blurred-then-truncated image."""
+    mask of the blurred-then-truncated image.  Batches beyond the VMEM
+    ring budget run as chunked kernel calls."""
+    if img.shape[0] > MAX_BATCH:
+        outs = [_blur_sauvola_impl(img[i:i + MAX_BATCH],
+                                   weights[i:i + MAX_BATCH],
+                                   window, k, R, interpret)
+                for i in range(0, img.shape[0], MAX_BATCH)]
+        return jnp.concatenate(outs, axis=0)
+    return _blur_sauvola_impl(img, weights, window, k, R, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=('window', 'k', 'R', 'interpret'))
+def _blur_sauvola_impl(img, weights, window, k=0.34, R=128.0,
+                       interpret=False):
     b, h, w = img.shape
     o = (window + 1) // 2
     u = window // 2
@@ -157,11 +171,11 @@ def blur_sauvola_pallas(img, weights, window, k=0.34, R=128.0,
     steps = pre + h + u
 
     # rotated vertical weights per step: at step s the blurred row
-    # bs = s - pre reads ring slot (bs + t) % RING for tap t
+    # bs = s - pre reads ring slot (bs + t) % RING_IN for tap t
     svec = np.arange(steps)
     tvec = np.arange(TAPS)
-    slots = (svec[:, None] - pre + tvec[None, :]) % RING   # (steps, TAPS)
-    wrot = jnp.zeros((steps, b, RING), jnp.float32)
+    slots = (svec[:, None] - pre + tvec[None, :]) % RING_IN
+    wrot = jnp.zeros((steps, b, RING_IN), jnp.float32)
     wrot = wrot.at[svec[:, None], :, slots].set(
         jnp.broadcast_to(weights.T[None], (steps, TAPS, b)))
 
@@ -174,7 +188,7 @@ def blur_sauvola_pallas(img, weights, window, k=0.34, R=128.0,
         in_specs=[
             pl.BlockSpec((1, b, wpp),
                          lambda s: (jnp.minimum(s, h + pre - 1), 0, 0)),
-            pl.BlockSpec((1, b, RING), lambda s: (s, 0, 0)),
+            pl.BlockSpec((1, b, RING_IN), lambda s: (s, 0, 0)),
             pl.BlockSpec((1, b, 128), lambda s: (0, 0, 0)),
         ],
         out_specs=pl.BlockSpec(
@@ -182,8 +196,9 @@ def blur_sauvola_pallas(img, weights, window, k=0.34, R=128.0,
                                     0, 0)),
         out_shape=jax.ShapeDtypeStruct((h, b, wpp), jnp.uint8),
         scratch_shapes=[
-            pltpu.VMEM((RING, b, wpp), jnp.uint8),   # input ring
-            pltpu.VMEM((RING, b, wpp), jnp.uint8),   # blurred ring
+            pltpu.VMEM((RING_IN, b, wpp), jnp.uint8),          # input ring
+            pltpu.VMEM((-(-(window + 1) // 8) * 8, b, wpp),
+                       jnp.uint8),                             # blurred ring
             pltpu.VMEM((b, wpp), jnp.int32),         # colsum
             pltpu.VMEM((b, wpp), jnp.int32),         # colsumsq
         ],

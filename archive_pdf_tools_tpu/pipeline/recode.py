@@ -17,8 +17,10 @@ of batch completion order.
 import io
 import json
 import os
+import queue
 import subprocess
 import sys
+import threading
 from concurrent.futures import ThreadPoolExecutor
 from glob import glob
 from time import time
@@ -250,6 +252,7 @@ def insert_images_mrc(builder, hocr_file, in_pdf=None, image_files=None,
     reporting_page_count = 0
     last_time = time()
     pool = ThreadPoolExecutor(max_workers=max(2, (threads or 4)))
+    builder_lock = threading.Lock()
 
     def encode_and_insert(job, mask_np, fg_np, bg_np, image_mode):
         nonlocal timing_data
@@ -275,8 +278,9 @@ def insert_images_mrc(builder, hocr_file, in_pdf=None, image_files=None,
                 fp.write(ef.data)
         t = time()
         gray = image_mode == 'L'
-        builder.insert_image(job.page_idx, eb, gray=gray)
-        builder.insert_image(job.page_idx, ef, gray=gray, mask_enc=em)
+        with builder_lock:
+            builder.insert_image(job.page_idx, eb, gray=gray)
+            builder.insert_image(job.page_idx, ef, gray=gray, mask_enc=em)
         timing_data.append(('page_image_insertion', time() - t))
 
     # group jobs into batches of equal image shape/mode/dpi-window
@@ -354,15 +358,49 @@ def insert_images_mrc(builder, hocr_file, in_pdf=None, image_files=None,
         for fut in futures:
             fut.result()
 
-    # iterate jobs, load images, flush batches on shape/mode change
-    batch_jobs, batch_images, batch_key = [], [], None
-    processed = 0
+    # producer thread loads + batches images (by shape/mode/dpi) while
+    # the consumer drives the device; queue depth 2 = double buffering
+    batch_queue = queue.Queue(maxsize=2)
+    load_error = []
 
-    def flush():
-        nonlocal batch_jobs, batch_images, batch_key
-        nonlocal reporting_page_count, last_time, timing_data, processed
-        if not batch_jobs:
-            return
+    def loader():
+        batch_jobs, batch_images, batch_key = [], [], None
+        try:
+            for job in jobs:
+                image = _load_page_image(
+                    in_pdf, image_files,
+                    job.src_idx if image_files else job.page_idx,
+                    downsample, jpeg2000_implementation,
+                    threads, debug, timing_data)
+                key = (image.size,
+                       image.mode if image.mode in ('1', 'L', 'RGB')
+                       else 'RGB', job.dpi)
+                if image.mode not in ('1', 'L', 'RGB'):
+                    image = image.convert('RGB')
+                if batch_key is not None and (key != batch_key
+                                              or len(batch_jobs)
+                                              >= batch_pages):
+                    batch_queue.put((batch_jobs, batch_images))
+                    batch_jobs, batch_images = [], []
+                batch_key = key
+                batch_jobs.append(job)
+                batch_images.append(image)
+            if batch_jobs:
+                batch_queue.put((batch_jobs, batch_images))
+        except BaseException as exc:  # surfaced in the consumer
+            load_error.append(exc)
+        finally:
+            batch_queue.put(None)
+
+    loader_thread = threading.Thread(target=loader, daemon=True)
+    loader_thread.start()
+
+    processed = 0
+    while True:
+        item = batch_queue.get()
+        if item is None:
+            break
+        batch_jobs, batch_images = item
         process_batch(batch_jobs, batch_images)
         processed += len(batch_jobs)
         reporting_page_count += len(batch_jobs)
@@ -378,24 +416,9 @@ def insert_images_mrc(builder, hocr_file, in_pdf=None, image_files=None,
                 timing_data = []
                 last_time = time()
             reporting_page_count = 0
-        batch_jobs, batch_images, batch_key = [], [], None
-
-    for job in jobs:
-        image = _load_page_image(in_pdf, image_files, job.src_idx
-                                 if image_files else job.page_idx,
-                                 downsample, jpeg2000_implementation,
-                                 threads, debug, timing_data)
-        key = (image.size, image.mode if image.mode in ('1', 'L', 'RGB')
-               else 'RGB', job.dpi)
-        if image.mode not in ('1', 'L', 'RGB'):
-            image = image.convert('RGB')
-        if batch_key is not None and (key != batch_key
-                                      or len(batch_jobs) >= batch_pages):
-            flush()
-        batch_key = key
-        batch_jobs.append(job)
-        batch_images.append(image)
-    flush()
+    loader_thread.join()
+    if load_error:
+        raise load_error[0]
 
     if reporter and reporting_page_count:
         ms = int(((time() - last_time) / max(reporting_page_count, 1)) * 1000)
