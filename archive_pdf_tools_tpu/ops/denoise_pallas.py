@@ -142,6 +142,8 @@ def fast_mask_denoise_pallas(mask, mincnt=4, n_size=2, interpret=False):
             pltpu.VMEM((b, wp), jnp.int32),       # topcol
             pltpu.VMEM((n, b, wp), jnp.int32),    # ring
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(mi, mi)
 

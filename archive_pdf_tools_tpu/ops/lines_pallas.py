@@ -181,6 +181,8 @@ def line_thresholds_pallas(gray, boxes, pages, window, k=0.1, R=128.0,
         out_shape=[
             jax.ShapeDtypeStruct((n * MAX_LINE_H, 1, wpp), jnp.uint8),
             jax.ShapeDtypeStruct((n * MAX_LINE_H, 1, wpp), jnp.uint8)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(t, bb, ll, rr, pages, gp, gp, gp)
 

@@ -169,6 +169,8 @@ def optimise_pallas(mask, img, n_size, interpret=False):
             pltpu.VMEM((c, b, wp), jnp.int32),     # colsum
             pltpu.VMEM((n, c, b, wp), jnp.int32),  # ring
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(xi, mi, xi, mi, xi, mi)
 

@@ -14,8 +14,7 @@ Replaces the XLA pipeline of ``mrc/decompose.py:global_threshold_input``
 
 The per-page gaussian weights come from the XLA side (data-dependent
 sigma; scipy-truncated, identity when sigma_est <= 1, matching
-``mrc.py:309``), pre-rotated into ring-slot order per step so the kernel
-needs no dynamic rotation.
+``mrc.py:309``); taps are static loop indices, ring slots dynamic.
 
 Numerics: mean = floor(sum/cnt) is exact in f32 for window sums
 < 2^24; the sum of squares exceeds f32 mantissa so E[x^2] uses integer
@@ -37,7 +36,7 @@ from .optimise_pallas import _cumsum_lanes, _shift_right_zero, \
 BLUR_RADIUS = 48
 TAPS = 2 * BLUR_RADIUS + 1    # 97
 RING_IN = 104                 # input ring depth (>= TAPS, multiple of 8)
-MAX_BATCH = 12                # VMEM budget: rings are 2*RING*B*Wpp bytes
+MAX_BATCH = 16                # VMEM budget: rings are 2*RING*B*Wpp bytes
 
 
 def _make_kernel(h, w, wpp, window, k, R):
@@ -46,7 +45,7 @@ def _make_kernel(h, w, wpp, window, k, R):
     pre = 2 * BLUR_RADIUS      # input warmup steps
     ring_blur = -(-(window + 1) // 8) * 8
 
-    def kernel(img_ref, wrot_ref, whor_ref, out_ref,
+    def kernel(img_ref, whor_ref, out_ref,
                in_ring, blur_ring, colsum, colsumsq):
         s = pl.program_id(0)
 
@@ -63,18 +62,20 @@ def _make_kernel(h, w, wpp, window, k, R):
             in_ring[pl.ds(s % RING_IN, 1)] = img_ref[...]
 
         bs = s - pre    # blurred row index produced this step
+        whor = whor_ref[0]                          # (B, 128) f32
 
         @pl.when(jnp.logical_and(bs >= 0, bs < h))
         def _():
-            # vertical 97-tap MAC over ring slots with rotated weights
-            wrot = wrot_ref[0]                      # (B, RING_IN) f32
+            # vertical 97-tap MAC: tap t is padded row bs+t, ring slot
+            # (bs+t) % RING_IN (static tap index, dynamic slot)
             vrow = jnp.zeros(in_ring.shape[1:], jnp.float32)
-            for j in range(RING_IN):
-                vrow = vrow + wrot[:, j:j + 1] * \
-                    in_ring[j].astype(jnp.int32).astype(jnp.float32)
+            for t in range(TAPS):
+                slot = (bs + t) % RING_IN
+                row = in_ring[pl.ds(slot, 1)][0]
+                vrow = vrow + whor[:, t:t + 1] * \
+                    row.astype(jnp.int32).astype(jnp.float32)
 
-            # horizontal 97-tap MAC (unrotated weights)
-            whor = whor_ref[0]                      # (B, 128) f32
+            # horizontal 97-tap MAC (same separable weights)
             brow = jnp.zeros_like(vrow)
             for t in range(TAPS):
                 shift = BLUR_RADIUS - t
@@ -170,15 +171,6 @@ def _blur_sauvola_impl(img, weights, window, k=0.34, R=128.0,
     pre = 2 * BLUR_RADIUS
     steps = pre + h + u
 
-    # rotated vertical weights per step: at step s the blurred row
-    # bs = s - pre reads ring slot (bs + t) % RING_IN for tap t
-    svec = np.arange(steps)
-    tvec = np.arange(TAPS)
-    slots = (svec[:, None] - pre + tvec[None, :]) % RING_IN
-    wrot = jnp.zeros((steps, b, RING_IN), jnp.float32)
-    wrot = wrot.at[svec[:, None], :, slots].set(
-        jnp.broadcast_to(weights.T[None], (steps, TAPS, b)))
-
     whor = jnp.zeros((b, 128), jnp.float32).at[:, :TAPS].set(weights)
     whor = jnp.broadcast_to(whor[None], (1, b, 128))
 
@@ -188,7 +180,6 @@ def _blur_sauvola_impl(img, weights, window, k=0.34, R=128.0,
         in_specs=[
             pl.BlockSpec((1, b, wpp),
                          lambda s: (jnp.minimum(s, h + pre - 1), 0, 0)),
-            pl.BlockSpec((1, b, RING_IN), lambda s: (s, 0, 0)),
             pl.BlockSpec((1, b, 128), lambda s: (0, 0, 0)),
         ],
         out_specs=pl.BlockSpec(
@@ -202,7 +193,9 @@ def _blur_sauvola_impl(img, weights, window, k=0.34, R=128.0,
             pltpu.VMEM((b, wpp), jnp.int32),         # colsum
             pltpu.VMEM((b, wpp), jnp.int32),         # colsumsq
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(xp, wrot, whor)
+    )(xp, whor)
 
     return jnp.transpose(out, (1, 0, 2))[:, :, :w].astype(bool)
