@@ -86,6 +86,9 @@ def build_parser():
     misc.add_argument('--approx-denoise', action='store_true', default=False,
                       help='Use the faster one-pass despeckle instead of '
                            'the bit-exact sequential-equivalent kernel')
+    misc.add_argument('--resume', action='store_true', default=False,
+                      help='Reuse per-page artifacts already present in '
+                           '--out-dir (checkpoint/resume)')
 
     comp = parser.add_argument_group('Compression')
     comp.add_argument('-m', '--image-mode', type=int, default=IMAGE_MODE_MRC,
@@ -218,7 +221,8 @@ def main(argv=None):
         ignore_invalid_pagenumbers=args.ignore_invalid_pagenumbers,
         mask_compression=args.mask_compression,
         batch_pages=args.batch_pages,
-        exact_denoise=not args.approx_denoise)
+        exact_denoise=not args.approx_denoise,
+        resume=args.resume)
 
     for error in res['errors']:
         print('Encountered runtime error:', error)

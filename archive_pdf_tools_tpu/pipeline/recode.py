@@ -216,7 +216,7 @@ def insert_images_mrc(builder, hocr_file, in_pdf=None, image_files=None,
                       mask_compression=COMPRESSOR_JBIG2,
                       threads=None, errors=None,
                       batch_pages=DEFAULT_BATCH_PAGES,
-                      exact_denoise=True):
+                      exact_denoise=True, resume=False):
     """Pass 2 (``recode.py:266-529``), batched."""
     timing_data = []
     jobs = []
@@ -249,6 +249,41 @@ def insert_images_mrc(builder, hocr_file, in_pdf=None, image_files=None,
     if mask_compression == COMPRESSOR_CCITT:
         mask_fmt = COMPRESSOR_CCITT
 
+    # checkpoint/resume: pages whose out-dir artifacts exist are spliced
+    # straight from disk (the reference has no resume; its per-page
+    # artifacts already make pages idempotent units, SURVEY.md section 5)
+    if resume and img_dir is not None:
+        from ..codecs.mrc_encode import EncodedMask
+        remaining = []
+        for job in jobs:
+            meta_path = os.path.join(img_dir, '%.6d_meta.json'
+                                     % job.page_idx)
+            ext = {'jbig2': 'jbig2', 'ccitt': 'g4', 'png': 'png'}[mask_fmt]
+            paths = [os.path.join(img_dir, '%.6d_%s' % (job.page_idx, sfx))
+                     for sfx in ('mask.' + ext, 'bg.jp2', 'fg.jp2')]
+            if not (os.path.exists(meta_path)
+                    and all(os.path.exists(p) for p in paths)):
+                remaining.append(job)
+                continue
+            with open(meta_path) as fp:
+                meta = json.load(fp)
+            with open(paths[0], 'rb') as fp:
+                em = EncodedMask(fp.read(), meta['mask'][2],
+                                 meta['mask'][0], meta['mask'][1])
+            with open(paths[1], 'rb') as fp:
+                eb = EncodedLayer(fp.read(), meta['bg'][2], meta['bg'][0],
+                                  meta['bg'][1], meta['gray'])
+            with open(paths[2], 'rb') as fp:
+                ef = EncodedLayer(fp.read(), meta['fg'][2], meta['fg'][0],
+                                  meta['fg'][1], meta['gray'])
+            builder.insert_image(job.page_idx, eb, gray=meta['gray'])
+            builder.insert_image(job.page_idx, ef, gray=meta['gray'],
+                                 mask_enc=em)
+        if verbose and len(remaining) != len(jobs):
+            print('Resumed %d pages from %s'
+                  % (len(jobs) - len(remaining), img_dir))
+        jobs = remaining
+
     reporting_page_count = 0
     last_time = time()
     pool = ThreadPoolExecutor(max_workers=max(2, (threads or 4)))
@@ -276,6 +311,14 @@ def insert_images_mrc(builder, hocr_file, in_pdf=None, image_files=None,
             with open(os.path.join(img_dir, '%.6d_fg.jp2'
                                    % job.page_idx), 'wb') as fp:
                 fp.write(ef.data)
+            # sidecar makes the page resumable (--resume)
+            meta = {'mask': [em.width, em.height, em.fmt],
+                    'bg': [eb.width, eb.height, eb.fmt],
+                    'fg': [ef.width, ef.height, ef.fmt],
+                    'gray': image_mode == 'L'}
+            with open(os.path.join(img_dir, '%.6d_meta.json'
+                                   % job.page_idx), 'w') as fp:
+                json.dump(meta, fp)
         t = time()
         gray = image_mode == 'L'
         with builder_lock:
@@ -481,7 +524,8 @@ def recode(from_pdf=None, from_imagestack=None, dpi=None, hocr_file=None,
            metadata_subject=None, metadata_creatortool=None,
            ignore_invalid_pagenumbers=False,
            mask_compression=COMPRESSOR_JBIG2,
-           batch_pages=DEFAULT_BATCH_PAGES, exact_denoise=True):
+           batch_pages=DEFAULT_BATCH_PAGES, exact_denoise=True,
+           resume=False):
     """Whole-tool pipeline (``recode.py:562-796``); returns
     {'errors': set, 'compression_ratio': float}."""
     errors = set()
@@ -548,7 +592,7 @@ def recode(from_pdf=None, from_imagestack=None, dpi=None, hocr_file=None,
             mrc_image_format=mrc_image_format,
             mask_compression=mask_compression,
             threads=threads, errors=errors, batch_pages=batch_pages,
-            exact_denoise=exact_denoise)
+            exact_denoise=exact_denoise, resume=resume)
     elif image_mode in (IMAGE_MODE_PASSTHROUGH, IMAGE_MODE_PIXMAP):
         insert_images_legacy(builder, in_pdf, image_mode,
                              report_every=report_every, stop_after=stop)

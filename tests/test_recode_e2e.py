@@ -197,3 +197,28 @@ class TestCLI:
     def test_guess_dpi(self):
         assert guess_dpi(2480, 3507) == 300
         assert guess_dpi(595, 842) == 72
+
+
+class TestResume:
+    def test_resume_from_artifacts(self, tmp_path):
+        stack, hocr, pages = make_book(tmp_path, n_pages=2)
+        art = tmp_path / 'artifacts'
+        art.mkdir()
+        out1 = str(tmp_path / 'a.pdf')
+        recode(from_imagestack=stack, hocr_file=hocr, out_pdf=out1,
+               dpi=100, jbig2=True, out_dir=str(art),
+               bg_compression_flags=[J2K_BG],
+               fg_compression_flags=[J2K_FG])
+        files = sorted(p.name for p in art.iterdir())
+        assert '000000_meta.json' in files and '000001_mask.jbig2' in files
+        # resume run must produce an equivalent PDF without recomputing
+        out2 = str(tmp_path / 'b.pdf')
+        recode(from_imagestack=stack, hocr_file=hocr, out_pdf=out2,
+               dpi=100, jbig2=True, out_dir=str(art), resume=True,
+               bg_compression_flags=[J2K_BG],
+               fg_compression_flags=[J2K_FG])
+        r1, r2 = PdfReader(out1), PdfReader(out2)
+        assert r2.page_count() == r1.page_count()
+        raws1 = [s.raw for _, _, s in r1.page_images(0)]
+        raws2 = [s.raw for _, _, s in r2.page_images(0)]
+        assert sorted(map(len, raws1)) == sorted(map(len, raws2))
