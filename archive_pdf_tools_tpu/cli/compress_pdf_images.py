@@ -37,14 +37,13 @@ def compress_page_images(rw, reader, page_idx, word_data,
     if not imgs:
         return False
     name, xobj_num, stream = imgs[0]
-    raw, filt, w, h, cs = reader.extract_image(stream)
     try:
-        image = Image.open(io.BytesIO(raw))
-        image.load()
-    except Exception:
+        from ..pipeline.recode import _decode_pdf_image
+        image = _decode_pdf_image(reader, stream)
+    except Exception as exc:
         if verbose:
             print('page %d: cannot decode image (%s), skipping'
-                  % (page_idx, filt), file=sys.stderr)
+                  % (page_idx, exc), file=sys.stderr)
         return False
     if image.mode in ('RGBA', 'LA', 'P'):
         image = image.convert('RGB' if image.mode != 'LA' else 'L')

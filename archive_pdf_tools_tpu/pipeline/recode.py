@@ -151,6 +151,43 @@ def create_text_pages(builder, hocr_file, in_pdf=None, image_files=None,
     return count
 
 
+def _decode_pdf_image(reader, stream):
+    """Decode a page image XObject to PIL (``recode.py:323-332`` uses
+    PyMuPDF extract_image; we decode per filter: DCT/JPX via Pillow,
+    JBIG2 via the in-tree decoder, CCITT G4 via libtiff, Flate raw)."""
+    raw, filt, w, h, cs = reader.extract_image(stream)
+    if filt in ('DCTDecode', 'JPXDecode', None) or filt is None:
+        try:
+            image = Image.open(io.BytesIO(raw))
+            image.load()
+            return image
+        except Exception:
+            pass
+    if filt == 'JBIG2Decode':
+        from ..codecs.jbig2 import decode_jbig2
+        bits = decode_jbig2(raw, w, h)
+        return Image.fromarray(~bits)      # jbig2 white (0) = ink-opaque
+    if filt == 'CCITTFaxDecode':
+        from ..codecs.ccitt import decode_ccitt_g4
+        return Image.fromarray(decode_ccitt_g4(raw, w, h))
+    # FlateDecode or already-decoded raw samples
+    data = stream.decoded()
+    bpc = reader.resolve(stream.dict.get('BitsPerComponent')) or 8
+    if bpc == 8 and cs == 'DeviceRGB' and len(data) >= w * h * 3:
+        arr = np.frombuffer(data[:w * h * 3], np.uint8).reshape(h, w, 3)
+        return Image.fromarray(arr)
+    if bpc == 8 and len(data) >= w * h:
+        arr = np.frombuffer(data[:w * h], np.uint8).reshape(h, w)
+        return Image.fromarray(arr)
+    if bpc == 1:
+        stride = (w + 7) // 8
+        arr = np.unpackbits(
+            np.frombuffer(data[:stride * h], np.uint8).reshape(h, stride),
+            axis=1)[:, :w]
+        return Image.fromarray(arr.astype(bool))
+    raise ValueError('cannot decode page image (filter %r)' % (filt,))
+
+
 class PageJob:
     __slots__ = ('page_idx', 'src_idx', 'word_data', 'dpi', 'hq')
 
@@ -173,8 +210,7 @@ def _load_page_image(in_pdf, image_files, src_idx, downsample,
         if not imgs:
             raise ValueError('page %d has no images' % src_idx)
         _, _, stream = imgs[0]
-        image = Image.open(io.BytesIO(stream.raw))
-        image.load()
+        image = _decode_pdf_image(in_pdf, stream)
     else:
         imgfile = image_files[src_idx]
         if imgfile.endswith(('.jp2', '.jpx')):

@@ -222,3 +222,22 @@ class TestResume:
         raws1 = [s.raw for _, _, s in r1.page_images(0)]
         raws2 = [s.raw for _, _, s in r2.page_images(0)]
         assert sorted(map(len, raws1)) == sorted(map(len, raws2))
+
+
+class TestFromPdfImageDecoding:
+    def test_recode_bw_jbig2_pdf(self, tmp_path):
+        # a bw PDF's only image is a JBIG2 stream; recode must decode it
+        stack, hocr, pages = make_book(tmp_path, n_pages=1)
+        src = str(tmp_path / 'bw.pdf')
+        recode(from_imagestack=stack, hocr_file=hocr, out_pdf=src,
+               dpi=100, jbig2=True, force_1bit_output=True,
+               bg_compression_flags=[J2K_BG],
+               fg_compression_flags=[J2K_FG])
+        out = str(tmp_path / 'out.pdf')
+        recode(from_pdf=src, hocr_file=hocr, out_pdf=out, jbig2=True,
+               bg_compression_flags=[J2K_BG],
+               fg_compression_flags=[J2K_FG])
+        r = PdfReader(out)
+        assert r.page_count() == 1
+        # bitonal source short-circuits to a mask-only page
+        assert len(r.page_images(0)) == 1
