@@ -27,7 +27,7 @@ def main():
                                                 mrc_full_step_pallas)
     from __graft_entry__ import _example_inputs
 
-    batch = int(os.environ.get('BENCH_BATCH', '32'))
+    batch = int(os.environ.get('BENCH_BATCH', '64'))
     h, w = 3300, 2550                      # 400 DPI letter-ish page
     window = 101                           # sauvola_window(400)
     n_seg = 512
