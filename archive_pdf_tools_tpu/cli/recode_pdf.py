@@ -89,6 +89,9 @@ def build_parser():
     misc.add_argument('--resume', action='store_true', default=False,
                       help='Reuse per-page artifacts already present in '
                            '--out-dir (checkpoint/resume)')
+    misc.add_argument('--profile', type=str, default=None, metavar='DIR',
+                      help='Write a jax.profiler trace of the compression '
+                           'pass to DIR')
 
     comp = parser.add_argument_group('Compression')
     comp.add_argument('-m', '--image-mode', type=int, default=IMAGE_MODE_MRC,
@@ -222,7 +225,7 @@ def main(argv=None):
         mask_compression=args.mask_compression,
         batch_pages=args.batch_pages,
         exact_denoise=not args.approx_denoise,
-        resume=args.resume)
+        resume=args.resume, profile_dir=args.profile)
 
     for error in res['errors']:
         print('Encountered runtime error:', error)

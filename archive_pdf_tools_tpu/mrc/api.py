@@ -26,9 +26,6 @@ from ..ops.resize import thumbnail_size, resize
 from . import decompose as D
 from .hocr_prep import prepare_lines, paint_line_ids
 
-_LINE_CAP = 512  # per-batch hOCR line capacity (padded for segment sums)
-
-
 def _round_lines(n):
     cap = 64
     while cap < n + 1:

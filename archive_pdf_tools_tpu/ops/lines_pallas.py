@@ -21,7 +21,6 @@ Lines taller than MAX_LINE_H take the XLA fallback path.
 
 import functools
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

@@ -561,11 +561,21 @@ def recode(from_pdf=None, from_imagestack=None, dpi=None, hocr_file=None,
            ignore_invalid_pagenumbers=False,
            mask_compression=COMPRESSOR_JBIG2,
            batch_pages=DEFAULT_BATCH_PAGES, exact_denoise=True,
-           resume=False):
+           resume=False, profile_dir=None):
     """Whole-tool pipeline (``recode.py:562-796``); returns
-    {'errors': set, 'compression_ratio': float}."""
+    {'errors': set, 'compression_ratio': float}.
+
+    profile_dir: when set, pass 2 runs under jax.profiler.trace for
+    device-level timing (the TPU analog of the reference's timing_data
+    prints, SURVEY.md section 5)."""
     errors = set()
     start_time = time()
+
+    profiler_cm = None
+    if profile_dir:
+        import jax
+        profiler_cm = jax.profiler.trace(profile_dir)
+        profiler_cm.__enter__()
 
     in_pdf = PdfReader(from_pdf) if from_pdf else None
     image_files = sorted(glob(from_imagestack)) if from_imagestack else None
@@ -634,6 +644,9 @@ def recode(from_pdf=None, from_imagestack=None, dpi=None, hocr_file=None,
                              report_every=report_every, stop_after=stop)
     elif image_mode == IMAGE_MODE_SKIP:
         pass
+
+    if profiler_cm is not None:
+        profiler_cm.__exit__(None, None, None)
 
     builder.write_pdfa()
     if scandata_file is not None:

@@ -1,5 +1,7 @@
 """Pallas kernel parity (interpret mode on CPU) vs exact oracles."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -64,3 +66,89 @@ class TestDenoisePallas:
         got = np.asarray(fast_mask_denoise_pallas(mask[None], 4, 2,
                                                   interpret=True))[0]
         assert (ref == got).all()
+
+
+class TestThresholdPallas:
+    def _shrink_radius(self, monkeypatch, radius=8):
+        # full-tap interpret runs cost minutes; shrink the kernel radius
+        # for mechanics tests (full taps are verified on real TPU and
+        # via APT_RUN_SLOW=1)
+        from archive_pdf_tools_tpu.ops import threshold_pallas as tp
+        monkeypatch.setattr(tp, 'BLUR_RADIUS', radius)
+        monkeypatch.setattr(tp, 'TAPS', 2 * radius + 1)
+        monkeypatch.setattr(tp, 'RING_IN', 24)
+        return tp
+
+    def test_fused_blur_sauvola_small_radius(self, monkeypatch):
+        import scipy.ndimage as ndi
+        tp = self._shrink_radius(monkeypatch)
+        img = synth_page(60, 150, seed=2, noise=0)[None]
+        # hand gaussian weights within the shrunken radius
+        sigma = 1.2
+        idx = np.arange(-8, 9, dtype=np.float64)
+        wts = np.exp(-0.5 * idx ** 2 / sigma ** 2)
+        wts = (wts / wts.sum()).astype(np.float32)[None]
+        got = np.asarray(tp.blur_sauvola_pallas(
+            img, wts, 31, interpret=True))[0]
+        blurred = ndi.gaussian_filter(img[0].astype(np.float32),
+                                      sigma=sigma, truncate=8 / sigma)
+        ref = golden.sauvola_mask_ref(blurred.astype(np.uint8), 31, 31,
+                                      0.34)
+        assert (ref == got).mean() > 0.998   # f32 blur vs f64 scipy
+
+    def test_identity_weights_pure_sauvola(self, monkeypatch):
+        tp = self._shrink_radius(monkeypatch)
+        img = synth_page(56, 140, seed=1, noise=0)[None]
+        wts = np.zeros((1, 17), np.float32)
+        wts[0, 8] = 1.0
+        got = np.asarray(tp.blur_sauvola_pallas(
+            img, wts, 31, interpret=True))[0]
+        ref = golden.sauvola_mask_ref(img[0], 31, 31, 0.34)
+        assert (ref == got).all()
+
+    @pytest.mark.skipif(os.environ.get('APT_RUN_SLOW') != '1',
+                        reason='full-tap interpret run costs minutes; '
+                               'verified on TPU')
+    def test_fused_full_taps_matches_xla(self):
+        from archive_pdf_tools_tpu.mrc import decompose as D
+        imgs = np.stack([synth_page(60, 150, seed=s, noise=22)
+                         for s in range(1)])
+        blur_u8, s1 = D.global_threshold_input(imgs)
+        ref = np.asarray(D.global_threshold(blur_u8, 31))
+        got, s2 = D.global_threshold_fused(imgs, 31, interpret=True)
+        assert (ref == np.asarray(got)).all()
+
+
+class TestLinesPallas:
+    def test_line_crops_exact(self):
+        from archive_pdf_tools_tpu.ops.lines_pallas import \
+            line_thresholds_pallas
+        gray = np.stack([synth_page(120, 250, seed=s) for s in range(2)])
+        boxes = np.array([[20, 60, 100, 250],
+                          [30, 75, 25, 230],
+                          [70, 115, 5, 245]], np.int32)
+        t, b, l, r = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+        pages = np.array([0, 1, 1], np.int32)
+        th, ti = line_thresholds_pallas(gray, np.stack([t, b, l, r]),
+                                        pages, 51, 0.1, interpret=True)
+        th, ti = np.asarray(th), np.asarray(ti)
+        for i in range(3):
+            crop = gray[pages[i], t[i]:b[i], l[i]:r[i]]
+            ref = golden.sauvola_mask_ref(crop, 51, 51, 0.1)
+            refi = golden.sauvola_mask_ref(255 - crop, 51, 51, 0.1)
+            assert (ref == th[i][:b[i] - t[i], l[i]:r[i]].astype(bool)).all()
+            assert (refi == ti[i][:b[i] - t[i], l[i]:r[i]].astype(bool)).all()
+
+    @pytest.mark.skipif(os.environ.get('APT_RUN_SLOW') != '1',
+                        reason='full-tap interpret run costs minutes; '
+                               'verified on TPU')
+    def test_mask_path_parity_pallas_vs_xla(self, monkeypatch):
+        from archive_pdf_tools_tpu.mrc.api import decompose_masks
+        from tests.test_decompose import synth_word_data
+        imgs = [synth_page(110, 180, seed=s, noise=18) for s in range(2)]
+        wds = [synth_word_data(110, 180, n_lines=3, seed=s)
+               for s in range(2)]
+        m1, _ = decompose_masks(imgs, wds, dpi=80)
+        monkeypatch.setenv('APT_TPU_KERNELS', 'pallas')
+        m2, _ = decompose_masks(imgs, wds, dpi=80)
+        assert (np.asarray(m1) == np.asarray(m2)).all()
