@@ -20,7 +20,7 @@ from ..const import (COMPRESSOR_JBIG2, COMPRESSOR_JPEG2000,
                      JPEG2000_IMPL_KAKADU, JPEG2000_IMPL_PILLOW,
                      DENOISE_FAST)
 from ..inputs.hocr import hocr_page_iterator, hocr_page_to_word_data
-from ..pdf.reader import PdfReader, PStream, PRef
+from ..pdf.reader import PdfReader
 from ..pdf.rewrite import PdfRewriter, strip_image_ops
 from ..pdf.writer import Name, Ref, Stream
 from ..mrc.api import decompose_masks, decompose_layers

@@ -17,7 +17,7 @@ import zipfile
 
 from lxml import etree
 
-from ..pdf.writer import PdfWriter, Name, Ref, Stream
+from ..pdf.writer import PdfWriter, Name, Stream
 
 PAGE_W, PAGE_H = 612.0, 792.0
 MARGIN = 54.0

@@ -21,7 +21,7 @@ import sys
 import numpy as np
 from PIL import Image
 
-from ..pdf.reader import PdfReader, PStream
+from ..pdf.reader import PdfReader
 
 
 def _classify_pixels(arr):

@@ -13,7 +13,6 @@ import io
 import sys
 import zipfile
 
-import numpy as np
 from PIL import Image
 
 from ..pdf.reader import PdfReader

@@ -3,7 +3,6 @@
 import argparse
 import sys
 
-from ..pipeline.recode import create_text_pages
 from ..pdf.builder import DocumentBuilder
 
 

@@ -15,8 +15,6 @@ import re
 import subprocess
 from shutil import which
 
-from PIL import Image
-
 
 def _size_target_kb(flags):
     """Extract -S<kb> from jpegoptim-style flag list."""

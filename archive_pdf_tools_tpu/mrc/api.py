@@ -16,9 +16,8 @@ import time as _time
 import numpy as np
 import jax
 import jax.numpy as jnp
-from PIL import Image
 
-from ..const import (DENOISE_NONE, DENOISE_FAST, DENOISE_BREGMAN,
+from ..const import (DENOISE_NONE, DENOISE_FAST,
                      RECODE_RUNTIME_WARNING_TOO_SMALL_TO_DOWNSAMPLE)
 from ..ops.sauvola import sauvola_window
 from ..ops.golden import estimate_sigma_np

@@ -35,12 +35,12 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..ops.sauvola import sauvola_window, sauvola_mask, _offsets
+from ..ops.sauvola import sauvola_mask, _offsets
 from ..ops.denoise import fast_mask_denoise_exact, fast_mask_denoise_jacobi
 from ..ops.optimise import optimise
 from ..ops.sigma import estimate_noise
 from ..ops.tv import denoise_bregman
-from ..const import DENOISE_NONE, DENOISE_FAST, DENOISE_BREGMAN
+from ..const import DENOISE_FAST, DENOISE_BREGMAN
 
 MAX_BLUR_RADIUS = 48  # supports sigma_est <= 120 (blur sigma <= 12)
 

@@ -6,8 +6,8 @@ by ``bin/compress-pdf-images:25-125``.
 
 import re
 
-from .reader import PdfReader, PRef, PName, PStream
-from .writer import PdfWriter, Name, Ref, Stream, Raw
+from .reader import PRef, PName, PStream
+from .writer import PdfWriter, Name, Ref, Stream
 
 
 def _convert(obj):

@@ -15,8 +15,7 @@ import math
 
 from ..inputs.hocr import (WRITING_DIRECTION_UNSPECIFIED,
                            WRITING_DIRECTION_LEFT_TO_RIGHT,
-                           WRITING_DIRECTION_RIGHT_TO_LEFT,
-                           WRITING_DIRECTION_TOP_TO_BOTTOM)
+                           WRITING_DIRECTION_RIGHT_TO_LEFT)
 from .fonts import K_CHAR_WIDTH
 
 

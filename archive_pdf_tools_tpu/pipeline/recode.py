@@ -18,7 +18,6 @@ import io
 import json
 import os
 import queue
-import subprocess
 import sys
 import threading
 from concurrent.futures import ThreadPoolExecutor
