@@ -25,6 +25,7 @@ from ..ops.resize import thumbnail_size, resize
 from . import decompose as D
 from .hocr_prep import prepare_lines, paint_line_ids
 
+
 def _round_lines(n):
     cap = 64
     while cap < n + 1:

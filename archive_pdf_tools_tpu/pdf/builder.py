@@ -8,14 +8,13 @@ pre-compressed image streams in pass 2 (no re-encode, the moral
 equivalent of ``fast_insert_image``, ``pdfhacks.py:106-177``).
 """
 
-import io
 from datetime import datetime, timezone
 from xml.sax.saxutils import escape as xmlescape
 
 from ..const import (PRODUCER, COMPRESSOR_JPEG, COMPRESSOR_JPEG2000,
                      COMPRESSOR_JBIG2, COMPRESSOR_CCITT,
                      RECODE_RUNTIME_WARNING_INVALID_PAGE_NUMBERS)
-from .writer import PdfWriter, Name, Ref, Stream, Raw
+from .writer import PdfWriter, Name, Stream
 from .fonts import add_glyphless_font
 from .textlayer import page_text_ops
 from .pagenumbers import parse_series, series_to_pagelabels
