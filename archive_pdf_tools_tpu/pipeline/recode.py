@@ -321,7 +321,10 @@ def insert_images_mrc(builder, hocr_file, in_pdf=None, image_files=None,
 
     reporting_page_count = 0
     last_time = time()
-    pool = ThreadPoolExecutor(max_workers=max(2, (threads or 4)))
+    n_workers = max(2, (threads or 4))
+    pool = ThreadPoolExecutor(max_workers=n_workers)
+    pending = []   # encode futures; drained opportunistically + at the end
+    max_pending = 4 * n_workers   # bounds fg/bg buffers held by the queue
     builder_lock = threading.Lock()
 
     def encode_and_insert(job, mask_np, fg_np, bg_np, image_mode):
@@ -425,16 +428,15 @@ def insert_images_mrc(builder, hocr_file, in_pdf=None, image_files=None,
                         timing_data=timing_data, errors=errors)
                     hq_layers[i] = (f[0], b[0])
 
-        futures = []
         for i, job in enumerate(batch_jobs):
             if i in hq_layers:
                 f_np, b_np = hq_layers[i]
             else:
                 f_np, b_np = fg_np[i], bg_np[i]
-            futures.append(pool.submit(encode_and_insert, job, masks[i],
+            pending.append(pool.submit(encode_and_insert, job, masks[i],
                                        f_np, b_np, mode))
-        for fut in futures:
-            fut.result()
+        while len(pending) > max_pending:
+            pending.pop(0).result()
 
     # producer thread loads + batches images (by shape/mode/dpi) while
     # the consumer drives the device; queue depth 2 = double buffering
@@ -495,6 +497,8 @@ def insert_images_mrc(builder, hocr_file, in_pdf=None, image_files=None,
                 last_time = time()
             reporting_page_count = 0
     loader_thread.join()
+    for fut in pending:
+        fut.result()
     if load_error:
         raise load_error[0]
 
