@@ -67,7 +67,7 @@ def decompose_masks(np_images, word_datas, dpi=None, downsample=None,
         gray = dev_imgs
 
     from ..utils.backend import use_pallas
-    from ..ops.lines_pallas import MAX_LINE_H
+    from ..ops.lines_pallas import LINE_H_BUCKETS
 
     # --- hOCR line thresholds ---
     t0 = _time.time()
@@ -78,7 +78,8 @@ def decompose_masks(np_images, word_datas, dpi=None, downsample=None,
 
     tallest = max((bo - t for bx in page_boxes for (t, bo, l, r) in bx),
                   default=0)
-    pallas_lines = use_pallas() and tallest <= MAX_LINE_H
+    line_bucket = next((b for b in LINE_H_BUCKETS if tallest <= b), None)
+    pallas_lines = use_pallas() and line_bucket is not None
 
     if pallas_lines:
         # flat line arrays with a dummy slot 0 (select_lines convention)
@@ -102,7 +103,7 @@ def decompose_masks(np_images, word_datas, dpi=None, downsample=None,
         interp = jax.devices()[0].platform == 'cpu'
         crops_t, crops_i = line_thresholds_pallas(
             gray, jnp.asarray(boxes), jnp.asarray(pages), window,
-            interpret=interp)
+            interpret=interp, max_line_h=line_bucket)
         ones, ones_inv, size = D.line_crop_counts(crops_t, crops_i,
                                                   jnp.asarray(boxes))
 

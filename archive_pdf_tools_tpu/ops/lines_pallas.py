@@ -29,10 +29,11 @@ from jax.experimental.pallas import tpu as pltpu
 from .optimise_pallas import _cumsum_lanes, _shift_right_zero, \
     _shift_left_edge
 
-MAX_LINE_H = 128
+MAX_LINE_H = 128          # default bucket
+LINE_H_BUCKETS = (128, 256, 512)
 
 
-def _make_kernel(wpp, window, k, R):
+def _make_kernel(wpp, window, k, R, max_h):
     o = (window + 1) // 2
     u = window // 2
 
@@ -75,7 +76,7 @@ def _make_kernel(wpp, window, k, R):
 
         @pl.when(jnp.logical_and(
                 r_loc >= 0, jnp.logical_and(r_loc < height,
-                                            r_loc < MAX_LINE_H)))
+                                            r_loc < max_h)))
         def _():
             cs = _cumsum_lanes(colsum[...], wpp)
             cq = _cumsum_lanes(colsumsq[...], wpp)
@@ -121,12 +122,13 @@ def _make_kernel(wpp, window, k, R):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=('window', 'k', 'R', 'interpret'))
+                   static_argnames=('window', 'k', 'R', 'interpret',
+                                    'max_line_h'))
 def line_thresholds_pallas(gray, boxes, pages, window, k=0.1, R=128.0,
-                           interpret=False):
+                           interpret=False, max_line_h=MAX_LINE_H):
     """gray: uint8 (B, H, W); boxes: (4, n) int32 rows t,b,l,r; pages:
     (n,) int32 page of each line.  Returns (thres, thres_inv) uint8 crop
-    buffers of shape (n, MAX_LINE_H, Wp) holding each line's mask rows
+    buffers of shape (n, max_line_h, Wp) holding each line's mask rows
     at [0:b-t] (lanes are page columns; only [l, r) is meaningful)."""
     bsz, h, w = gray.shape
     n = boxes.shape[1]
@@ -151,14 +153,16 @@ def line_thresholds_pallas(gray, boxes, pages, window, k=0.1, R=128.0,
     rem_map = mk_index(lambda tt, s2: tt + s2 - u - ((window + 1) // 2))
     px_map = mk_index(lambda tt, s2: tt + s2 - u)
 
+    max_h = int(max_line_h)
+
     def out_map(i, s2, t_ref, b_ref, l_ref, r_ref, page_ref):
-        # outputs are (n*MAX_LINE_H, 1, wpp): dynamic row leads so the
+        # outputs are (n*max_h, 1, wpp): dynamic row leads so the
         # trailing block dims equal the array dims (Mosaic constraint)
-        return (i * MAX_LINE_H + jnp.clip(s2 - u, 0, MAX_LINE_H - 1), 0, 0)
+        return (i * max_h + jnp.clip(s2 - u, 0, max_h - 1), 0, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
-        grid=(n, MAX_LINE_H + u),
+        grid=(n, max_h + u),
         in_specs=[
             pl.BlockSpec((1, 1, wpp), add_map),
             pl.BlockSpec((1, 1, wpp), rem_map),
@@ -175,15 +179,15 @@ def line_thresholds_pallas(gray, boxes, pages, window, k=0.1, R=128.0,
     )
 
     out_t, out_i = pl.pallas_call(
-        _make_kernel(wpp, window, float(k), float(R)),
+        _make_kernel(wpp, window, float(k), float(R), max_h),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((n * MAX_LINE_H, 1, wpp), jnp.uint8),
-            jax.ShapeDtypeStruct((n * MAX_LINE_H, 1, wpp), jnp.uint8)],
+            jax.ShapeDtypeStruct((n * max_h, 1, wpp), jnp.uint8),
+            jax.ShapeDtypeStruct((n * max_h, 1, wpp), jnp.uint8)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(t, bb, ll, rr, pages, gp, gp, gp)
 
-    return (out_t.reshape(n, MAX_LINE_H, wpp),
-            out_i.reshape(n, MAX_LINE_H, wpp))
+    return (out_t.reshape(n, max_h, wpp),
+            out_i.reshape(n, max_h, wpp))

@@ -246,29 +246,62 @@ inline int Context0(const uint8_t* img, int w, int h, int x, int y) {
   return cx;
 }
 
+// Incremental context update for template 0: when x advances, each of
+// the three row groups (bits 15-11 / 10-4 / 3-0) shifts left one slot;
+// the entering pixels are (x+3, y-2) at bit 11, (x+4, y-1) at bit 4 and
+// the just-coded pixel at bit 0.
+constexpr int kShiftMask = 0xF7EE;
+
 void EncodeGenericRegion(const uint8_t* img, int w, int h, bool tpgdon,
                          std::vector<uint8_t>* out) {
   std::vector<Ctx> ctx(1 << 16);
   MQEncoder enc(out);
   bool ltp = false;
+  // rows padded by 4 on the right so lookahead needs no bounds checks
+  const int wp = w + 4;
+  std::vector<uint8_t> rows(3 * wp, 0);
+  uint8_t* r2 = rows.data();            // row y-2
+  uint8_t* r1 = rows.data() + wp;       // row y-1
+  uint8_t* r0 = rows.data() + 2 * wp;   // row y (coded copy)
+
   for (int y = 0; y < h; ++y) {
+    const uint8_t* src = img + static_cast<long>(y) * w;
     if (tpgdon) {
-      bool same = y > 0 &&
-          std::memcmp(img + static_cast<long>(y) * w,
-                      img + static_cast<long>(y - 1) * w, w) == 0;
-      // first row: "same as (all-0) virtual row" only if row is all 0
+      bool same;
       if (y == 0) {
         same = true;
-        for (int x = 0; x < w; ++x) if (img[x]) { same = false; break; }
+        for (int x = 0; x < w; ++x) if (src[x] & 1) { same = false; break; }
+      } else {
+        same = std::memcmp(src, img + static_cast<long>(y - 1) * w, w) == 0;
       }
       enc.Encode(&ctx[kTPGDONContext], (same != ltp) ? 1 : 0);
       if (same != ltp) ltp = !ltp;
-      if (ltp) continue;  // typical row: pixels not coded
+      if (ltp) {
+        // row equals the previous one; keep the coded-row ring coherent
+        if (y > 0) {
+          std::memcpy(r0, r1, wp);
+        } else {
+          std::memset(r0, 0, wp);
+        }
+        uint8_t* tmp = r2; r2 = r1; r1 = r0; r0 = tmp;
+        continue;
+      }
     }
+    // seed the context at x = 0 (everything left of x is 0)
+    int c = (static_cast<int>(r2[0]) << 13) | (static_cast<int>(r2[1]) << 12)
+          | (static_cast<int>(r2[2]) << 11)
+          | (static_cast<int>(r1[0]) << 7) | (static_cast<int>(r1[1]) << 6)
+          | (static_cast<int>(r1[2]) << 5) | (static_cast<int>(r1[3]) << 4);
     for (int x = 0; x < w; ++x) {
-      enc.Encode(&ctx[Context0(img, w, h, x, y)],
-                 img[static_cast<long>(y) * w + x] & 1);
+      const int bit = src[x] & 1;
+      enc.Encode(&ctx[c], bit);
+      r0[x] = static_cast<uint8_t>(bit);
+      c = ((c << 1) & kShiftMask)
+        | (static_cast<int>(r2[x + 3]) << 11)
+        | (static_cast<int>(r1[x + 4]) << 4)
+        | bit;
     }
+    uint8_t* tmp = r2; r2 = r1; r1 = r0; r0 = tmp;
   }
   enc.Flush();
 }
