@@ -184,3 +184,59 @@ class TestPageNumbers:
         assert ok
         assert runs[0]['type'] == pn.INVALID
         assert runs[1]['values'] == ['i', 'ii', 'iii']
+
+
+class TestReaderXrefStream:
+    def _build_xref_stream_pdf(self):
+        """Minimal PDF 1.5 with an xref stream and an object stream."""
+        import struct
+        out = bytearray(b'%PDF-1.5\n')
+        offsets = {}
+
+        def add(num, body):
+            offsets[num] = len(out)
+            out.extend(b'%d 0 obj\n' % num + body + b'\nendobj\n')
+
+        # catalog + pages inside an object stream (obj 5)
+        bodies = [b'<< /Type /Catalog /Pages 2 0 R >> ',
+                  b'<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >> ',
+                  b'<< /Type /Page /Parent 2 0 R '
+                  b'/MediaBox [ 0 0 100 200 ] >>']
+        offs, pos = [], 0
+        for body in bodies:
+            offs.append(pos)
+            pos += len(body)
+        head = b''.join(b'%d %d ' % (i + 1, off)
+                        for i, off in enumerate(offs))
+        payload = head + b''.join(bodies)
+        comp = zlib.compress(payload)
+        add(5, b'<< /Type /ObjStm /N 3 /First %d /Length %d '
+               b'/Filter /FlateDecode >>\nstream\n' % (len(head), len(comp))
+               + comp + b'\nendstream')
+
+        # xref stream (obj 4): entries for objects 0-5
+        xref_pos = len(out)
+        rows = []
+        rows.append(bytes([0, 0, 0, 0, 0xFF]))          # obj 0 free
+        for num in (1, 2, 3):
+            idx = {1: 0, 2: 1, 3: 2}[num]
+            rows.append(bytes([2]) + (5).to_bytes(3, 'big')
+                        + bytes([idx]))                  # in objstm 5
+        rows.append(bytes([0, 0, 0, 0, 0]))              # obj 4 (self; lazy)
+        rows.append(bytes([1]) + offsets[5].to_bytes(3, 'big')
+                    + bytes([0]))                        # obj 5 at offset
+        data = b''.join(rows)
+        comp = zlib.compress(data)
+        offsets[4] = xref_pos
+        out.extend(b'4 0 obj\n<< /Type /XRef /Size 6 /W [ 1 3 1 ] '
+                   b'/Root 1 0 R /Length %d /Filter /FlateDecode '
+                   b'>>\nstream\n' % len(comp) + comp
+                   + b'\nendstream\nendobj\n')
+        out.extend(b'startxref\n%d\n%%%%EOF\n' % xref_pos)
+        return bytes(out)
+
+    def test_xref_stream_and_objstm(self):
+        data = self._build_xref_stream_pdf()
+        r = PdfReader(data)
+        assert r.page_count() == 1
+        assert r.page_size(0) == (100.0, 200.0)
