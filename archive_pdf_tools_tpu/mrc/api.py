@@ -107,10 +107,32 @@ def decompose_masks(np_images, word_datas, dpi=None, downsample=None,
         ones, ones_inv, size = D.line_crop_counts(crops_t, crops_i,
                                                   jnp.asarray(boxes))
 
+        # prefetch every sigma-needy crop in ONE device gather+transfer
+        # (the select_lines branch that needs the wavelet sigma is
+        # decidable from the ratios alone, mrc.py:240-251)
+        ones_h = np.asarray(ones)
+        oinv_h = np.asarray(ones_inv)
+        size_h = np.maximum(np.asarray(size), 1)
+        ratio_h = ones_h / size_h
+        inv_h = oinv_h / size_h
+        needy = np.where(
+            ((ratio_h < 0.3) | (inv_h < 0.3))
+            & ~((inv_h > 0.2) & (ratio_h < 0.2))
+            & (np.arange(len(size_h)) > 0)
+            & (np.arange(len(size_h)) <= n_lines))[0]
+        _needy_cache = {}
+        if len(needy):
+            idx = jnp.asarray(needy.astype(np.int32))
+            nt = np.asarray(jnp.take(crops_t, idx, axis=0))
+            ni = np.asarray(jnp.take(crops_i, idx, axis=0))
+            for j, i in enumerate(needy):
+                _needy_cache[int(i)] = (nt[j], ni[j])
+
         def sigma_fn(i):
             tt, bo, ll, rr = boxes[:, i]
-            ct = np.asarray(crops_t[i])[:bo - tt, ll:rr]
-            ci = np.asarray(crops_i[i])[:bo - tt, ll:rr]
+            ct, ci = _needy_cache[int(i)]
+            ct = ct[:bo - tt, ll:rr]
+            ci = ci[:bo - tt, ll:rr]
             return (estimate_sigma_np(ct.astype(np.float64)),
                     estimate_sigma_np(ci.astype(np.float64)))
     else:
