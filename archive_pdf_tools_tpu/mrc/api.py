@@ -251,6 +251,22 @@ def _downsample(layer, factor, errors):
     return resize(layer, th, tw, 'bicubic'), True
 
 
+def decompose_pages(np_images, word_datas, dpi=None, downsample=None,
+                    bg_downsample=None, fg_downsample=None,
+                    denoise_mask=DENOISE_FAST, exact_denoise=True,
+                    timing_data=None, errors=None):
+    """One-call batched decomposition: (masks, fgs, bgs) numpy arrays
+    for a uniform batch of pages."""
+    mask, dev_imgs = decompose_masks(
+        np_images, word_datas, dpi=dpi, downsample=downsample,
+        denoise_mask=denoise_mask, exact_denoise=exact_denoise,
+        timing_data=timing_data, errors=errors)
+    fg, bg = decompose_layers(mask, dev_imgs, bg_downsample=bg_downsample,
+                              fg_downsample=fg_downsample,
+                              timing_data=timing_data, errors=errors)
+    return np.asarray(mask), fg, bg
+
+
 def create_mrc_hocr_components(image, hocr_word_data, dpi=None,
                                downsample=None, bg_downsample=None,
                                fg_downsample=None, denoise_mask=None,

@@ -122,12 +122,33 @@ def _make_kernel(n, h, wp):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=('n_size', 'interpret'))
+def _max_batch(n, c):
+    """VMEM budget: scratch is ~(n*c + 2c + 1) * B * Wp * 4 bytes; cap it
+    near 11MB so blocks and register spill fit the 16MB/core VMEM."""
+    per_page = (n * c + 2 * c + 1) * 2816 * 4
+    return max(4, (11 * 1024 * 1024) // per_page)
+
+
 def optimise_pallas(mask, img, n_size, interpret=False):
     """Drop-in for ops.optimise.optimise, Pallas TPU implementation.
 
     mask: bool (B, H, W); img: uint8 (B, H, W) or (B, H, W, C).
+    Batches beyond the VMEM scratch budget run as chunked kernel calls
+    (RGB at n=10 caps near 24 pages; gray fits 64+).
     """
+    c = 1 if img.ndim == 3 else img.shape[-1]
+    cap = _max_batch(int(n_size), c)
+    if img.shape[0] > cap:
+        outs = [_optimise_impl(mask[i:i + cap], img[i:i + cap], n_size,
+                               interpret)
+                for i in range(0, img.shape[0], cap)]
+        import jax.numpy as _jnp
+        return _jnp.concatenate(outs, axis=0)
+    return _optimise_impl(mask, img, n_size, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=('n_size', 'interpret'))
+def _optimise_impl(mask, img, n_size, interpret=False):
     gray = img.ndim == 3
     if gray:
         img = img[..., None]
