@@ -241,3 +241,42 @@ class TestFromPdfImageDecoding:
         assert r.page_count() == 1
         # bitonal source short-circuits to a mask-only page
         assert len(r.page_images(0)) == 1
+
+
+class TestMixedBook:
+    def test_mixed_sizes_and_modes(self, tmp_path):
+        """Pages of different sizes/modes exercise batch-group breaks."""
+        from tests.fixtures import render_book_page, words_to_hocr_page, \
+            HOCR_TEMPLATE
+        from PIL import Image as PILImage
+        specs = [(400, 560, 'gray'), (400, 560, 'rgb'), (300, 420, 'gray'),
+                 (400, 560, 'gray'), (400, 560, 'bitonal')]
+        hocr_pages = []
+        for i, (w, h, mode) in enumerate(specs):
+            img, words = render_book_page(w, h, seed=i,
+                                          rgb=(mode == 'rgb'))
+            if mode == 'bitonal':
+                im = PILImage.fromarray(img > 128)
+            else:
+                im = PILImage.fromarray(img)
+            im.save(str(tmp_path / ('page_%04d.png' % i)))
+            hocr_pages.append(words_to_hocr_page(words, w, h, page_no=i))
+        hocr = tmp_path / 'mixed.hocr'
+        hocr.write_text(HOCR_TEMPLATE % '\n'.join(hocr_pages),
+                        encoding='utf-8')
+        out = str(tmp_path / 'mixed.pdf')
+        res = recode(from_imagestack=str(tmp_path / 'page_*.png'),
+                     hocr_file=str(hocr), out_pdf=out, dpi=100, jbig2=True,
+                     batch_pages=3,
+                     bg_compression_flags=[J2K_BG],
+                     fg_compression_flags=[J2K_FG])
+        r = PdfReader(out)
+        assert r.page_count() == 5
+        # bitonal page -> single mask image; others -> bg + fg
+        assert len(r.page_images(4)) == 1
+        for idx in range(4):
+            assert len(r.page_images(idx)) == 2
+        # rgb page keeps DeviceRGB
+        css = {str(r.resolve(s.dict['ColorSpace']))
+               for _, _, s in r.page_images(1)}
+        assert 'DeviceRGB' in css
