@@ -27,10 +27,9 @@ from .hocr_prep import prepare_lines, paint_line_ids
 
 
 def _round_lines(n):
-    cap = 64
-    while cap < n + 1:
-        cap *= 2
-    return min(cap, 8192)
+    """Static per-batch line capacity: multiples of 64 bound recompiles
+    without the padding waste of power-of-two rounding."""
+    return min(-(-(n + 1) // 64) * 64, 16384)
 
 
 class TimingData:

@@ -30,7 +30,7 @@ from .optimise_pallas import _cumsum_lanes, _shift_right_zero, \
     _shift_left_edge
 
 MAX_LINE_H = 128          # default bucket
-LINE_H_BUCKETS = (128, 256, 512)
+LINE_H_BUCKETS = (64, 128, 256, 512)
 
 
 def _make_kernel(wpp, window, k, R, max_h):

@@ -30,7 +30,8 @@ def main():
     batch = int(os.environ.get('BENCH_BATCH', '64'))
     h, w = 3300, 2550                      # 400 DPI letter-ish page
     window = 101                           # sauvola_window(400)
-    n_seg = 512
+    lines_per_page = 40
+    n_seg = -(-(batch * lines_per_page + 1) // 64) * 64
 
     rng = np.random.default_rng(0)
     images = np.full((batch, h, w), 235, np.uint8)
@@ -50,11 +51,9 @@ def main():
     pages_vec = np.zeros((n_seg,), np.int32)
     lid = 0
     for b in range(batch):
-        for i in range(40):
+        for i in range(lines_per_page):
             lid += 1
-            if lid >= n_seg:
-                break
-            t = 30 + i * (h - 80) // 40
+            t = 30 + i * (h - 80) // lines_per_page
             boxes[:, lid] = (t, t + 50, 40, w - 40)
             pages_vec[lid] = b
     selector = np.zeros(n_seg, np.int32)
