@@ -45,9 +45,11 @@ def mrc_full_step(images, line_id, boxes, use_plain, use_inv,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=('window', 'rgb', 'denoise', 'interpret'))
+                   static_argnames=('window', 'rgb', 'denoise', 'interpret',
+                                    'max_line_h'))
 def mrc_full_step_pallas(images, boxes, pages, selector, window,
-                         rgb=False, denoise=DENOISE_FAST, interpret=False):
+                         rgb=False, denoise=DENOISE_FAST, interpret=False,
+                         max_line_h=128):
     """The flagship step on the Pallas kernel path: line-band thresholds,
     fused blur+Sauvola, ordered crop pasting, exact despeckle, radiate
     fills — one jit, streamed row-walk kernels throughout.
@@ -62,7 +64,8 @@ def mrc_full_step_pallas(images, boxes, pages, selector, window,
     b, h, w = gray.shape
 
     crops_t, crops_i = line_thresholds_pallas(gray, boxes, pages, window,
-                                              interpret=interpret)
+                                              interpret=interpret,
+                                              max_line_h=max_line_h)
     ones, ones_inv, size = D.line_crop_counts(crops_t, crops_i, boxes)
     gmask, _sigma = D.global_threshold_fused(gray, window,
                                              interpret=interpret)

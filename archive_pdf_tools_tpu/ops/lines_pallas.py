@@ -5,18 +5,19 @@ Replaces the integral-image + per-pixel-gather formulation of
 ``mrc.py:188-270``: each line bbox crop is thresholded independently at
 k=0.1, both polarities, with windows clamped to the crop).
 
-Grid (n_lines, MAX_LINE_H + u): the kernel walks each line's rows with
-``u`` warmup steps and three scalar-prefetch-indexed row streams (window
-enter, window leave, centre row).  Rolling column sums/squares keep
-lanes outside [l, r) zeroed so the lane prefix sums self-clamp
-horizontally; the scalar-prefetched bbox clamps vertically.  The
-inverted crop's statistics are derived algebraically (S' = 255C - S,
-Q' = 65025C - 510S + Q), so both masks cost one walk.  Outputs are
-per-line crop buffers; the XLA side pastes them into page-shaped maps in
-document order (last line wins, matching the reference's sequential
-overwrite).
+Eight lines ride the VPU sublanes per grid step: grid
+(n_lines/8, max_h + u), each line walking its own rows through three
+scalar-prefetch-indexed row streams (window enter / leave / centre).
+Lines in a group have independent bboxes, so row validity uses masked
+adds rather than predication.  Lanes outside a line's [l, r) are zeroed
+on ingest so the lane prefix sums self-clamp horizontally; the
+scalar-prefetched bbox clamps vertically.  The inverted crop's
+statistics are derived algebraically (S' = 255C - S, Q' = 65025C - 510S
++ Q), so both masks cost one walk.  Outputs are per-line crop buffers;
+the XLA side pastes them into page-shaped maps in document order (last
+line wins, matching the reference's sequential overwrite).
 
-Lines taller than MAX_LINE_H take the XLA fallback path.
+Lines taller than the largest height bucket take the XLA fallback path.
 """
 
 import functools
@@ -31,21 +32,31 @@ from .optimise_pallas import _cumsum_lanes, _shift_right_zero, \
 
 MAX_LINE_H = 128          # default bucket
 LINE_H_BUCKETS = (64, 128, 256, 512)
+GROUP = 8                 # lines per grid step (sublane packing)
 
 
 def _make_kernel(wpp, window, k, R, max_h):
     o = (window + 1) // 2
     u = window // 2
 
-    def kernel(t_ref, b_ref, l_ref, r_ref, page_ref,
-               add_ref, rem_ref, px_ref, out_t_ref, out_i_ref,
-               colsum, colsumsq):
+    def kernel(t_ref, b_ref, l_ref, r_ref, page_ref, *refs):
+        add_refs = refs[0:GROUP]
+        rem_refs = refs[GROUP:2 * GROUP]
+        px_refs = refs[2 * GROUP:3 * GROUP]
+        out_t_ref, out_i_ref = refs[3 * GROUP:3 * GROUP + 2]
+        colsum, colsumsq = refs[3 * GROUP + 2:]
+
         i = pl.program_id(0)
         s2 = pl.program_id(1)
-        t = t_ref[i]
-        bb = b_ref[i]
-        ll = l_ref[i]
-        rr = r_ref[i]
+
+        def scal(ref):
+            return jnp.stack(
+                [ref[i * GROUP + j] for j in range(GROUP)])[:, None]
+
+        t = scal(t_ref)            # (G, 1) int32
+        bb = scal(b_ref)
+        ll = scal(l_ref)
+        rr = scal(r_ref)
         height = bb - t
 
         @pl.when(s2 == 0)
@@ -53,30 +64,30 @@ def _make_kernel(wpp, window, k, R, max_h):
             colsum[...] = jnp.zeros_like(colsum)
             colsumsq[...] = jnp.zeros_like(colsumsq)
 
-        lanes = jax.lax.broadcasted_iota(jnp.int32, (1, wpp), 1)
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (GROUP, wpp), 1)
         in_cols = jnp.logical_and(lanes >= ll, lanes < rr)
 
-        # window enter: global row t + s2
-        @pl.when(s2 < height)
-        def _():
-            row = jnp.where(in_cols, add_ref[0].astype(jnp.int32), 0)
-            colsum[...] = colsum[...] + row
-            colsumsq[...] = colsumsq[...] + row * row
+        def gather_rows(refs_group):
+            return jnp.concatenate(
+                [r[0] for r in refs_group], axis=0).astype(jnp.int32)
 
-        # window leave: global row y - o = t + s2 - u - o
+        # window enter: each line's global row t_j + s2 (masked add)
+        add_rows = jnp.where(in_cols, gather_rows(add_refs), 0)
+        add_rows = jnp.where(s2 < height, add_rows, 0)
+        colsum[...] = colsum[...] + add_rows
+        colsumsq[...] = colsumsq[...] + add_rows * add_rows
+
+        # window leave: row t_j + s2 - u - o (masked subtract)
         rem = s2 - u - o
-
-        @pl.when(jnp.logical_and(rem >= 0, rem < height))
-        def _():
-            row = jnp.where(in_cols, rem_ref[0].astype(jnp.int32), 0)
-            colsum[...] = colsum[...] - row
-            colsumsq[...] = colsumsq[...] - row * row
+        rem_rows = jnp.where(in_cols, gather_rows(rem_refs), 0)
+        rem_rows = jnp.where(
+            jnp.logical_and(rem >= 0, rem < height), rem_rows, 0)
+        colsum[...] = colsum[...] - rem_rows
+        colsumsq[...] = colsumsq[...] - rem_rows * rem_rows
 
         r_loc = s2 - u          # local output row; global y = t + r_loc
 
-        @pl.when(jnp.logical_and(
-                r_loc >= 0, jnp.logical_and(r_loc < height,
-                                            r_loc < max_h)))
+        @pl.when(jnp.logical_and(r_loc >= 0, r_loc < max_h))
         def _():
             cs = _cumsum_lanes(colsum[...], wpp)
             cq = _cumsum_lanes(colsumsq[...], wpp)
@@ -87,12 +98,12 @@ def _make_kernel(wpp, window, k, R, max_h):
 
             y = t + r_loc
             rows_in = (jnp.minimum(y + u, bb - 1)
-                       - jnp.maximum(y - o, t - 1))
+                       - jnp.maximum(y - o, t - 1))       # (G, 1)
             cols_in = (jnp.minimum(lanes + u, rr - 1)
                        - jnp.maximum(lanes - o, ll - 1))
             cnt = jnp.maximum(rows_in * cols_in, 1)
 
-            px = jnp.where(in_cols, px_ref[0].astype(jnp.int32), 0)
+            px = jnp.where(in_cols, gather_rows(px_refs), 0)
 
             kf = jnp.float32(k)
             k2 = kf * kf / jnp.float32(R) / jnp.float32(R)
@@ -111,12 +122,11 @@ def _make_kernel(wpp, window, k, R, max_h):
             q_inv = 65025 * cnt - 510 * s_win + q_win
             ink_inv = sauvola(s_inv, q_inv, 255 - px)
 
-            out_t_ref[...] = jnp.where(
-                jnp.logical_and(in_cols, ink), 1, 0)[None] \
-                .astype(jnp.uint8)
-            out_i_ref[...] = jnp.where(
-                jnp.logical_and(in_cols, ink_inv), 1, 0)[None] \
-                .astype(jnp.uint8)
+            valid = jnp.logical_and(in_cols, r_loc < height)
+            out_t_ref[0, 0] = jnp.where(
+                jnp.logical_and(valid, ink), 1, 0).astype(jnp.uint8)
+            out_i_ref[0, 0] = jnp.where(
+                jnp.logical_and(valid, ink_inv), 1, 0).astype(jnp.uint8)
 
     return kernel
 
@@ -126,55 +136,58 @@ def _make_kernel(wpp, window, k, R, max_h):
                                     'max_line_h'))
 def line_thresholds_pallas(gray, boxes, pages, window, k=0.1, R=128.0,
                            interpret=False, max_line_h=MAX_LINE_H):
-    """gray: uint8 (B, H, W); boxes: (4, n) int32 rows t,b,l,r; pages:
-    (n,) int32 page of each line.  Returns (thres, thres_inv) uint8 crop
-    buffers of shape (n, max_line_h, Wp) holding each line's mask rows
-    at [0:b-t] (lanes are page columns; only [l, r) is meaningful)."""
+    """gray: uint8 (B, H, W); boxes: (4, n) int32 rows t,b,l,r (n a
+    multiple of 8); pages: (n,) int32 page of each line.  Returns
+    (thres, thres_inv) uint8 crop buffers of shape (n, max_line_h, Wp)
+    holding each line's mask rows at [0:b-t] (lanes are page columns;
+    only [l, r) is meaningful)."""
     bsz, h, w = gray.shape
     n = boxes.shape[1]
+    if n % GROUP:
+        pad = GROUP - n % GROUP
+        boxes = jnp.pad(boxes, ((0, 0), (0, pad)))
+        pages = jnp.pad(pages, (0, pad))
+        n += pad
+    o = (window + 1) // 2
     u = window // 2
     wpp = -(-w // 128) * 128
+    max_h = int(max_line_h)
 
     gp = jnp.pad(gray, ((0, 0), (0, 0), (0, wpp - w)))
     gp = jnp.transpose(gp, (1, 0, 2)).reshape(h * bsz, 1, wpp)
     # row-major (H, B) flattening: global row of (page, y) = y * B + page
-    # -> keep (H*B, 1, wpp) so index = row * bsz + page
 
     t, bb, ll, rr = boxes[0], boxes[1], boxes[2], boxes[3]
 
-    def mk_index(offset_fn):
+    def mk_index(j, offset_fn):
         def index_map(i, s2, t_ref, b_ref, l_ref, r_ref, page_ref):
-            row = offset_fn(t_ref[i], s2)
-            row = jnp.clip(row, 0, h - 1)
-            return (row * bsz + page_ref[i], 0, 0)
+            line = i * GROUP + j
+            row = jnp.clip(offset_fn(t_ref[line], s2), 0, h - 1)
+            return (row * bsz + page_ref[line], 0, 0)
         return index_map
 
-    add_map = mk_index(lambda tt, s2: tt + s2)
-    rem_map = mk_index(lambda tt, s2: tt + s2 - u - ((window + 1) // 2))
-    px_map = mk_index(lambda tt, s2: tt + s2 - u)
-
-    max_h = int(max_line_h)
+    in_specs = []
+    for offset_fn in (lambda tt, s2: tt + s2,
+                      lambda tt, s2: tt + s2 - u - o,
+                      lambda tt, s2: tt + s2 - u):
+        for j in range(GROUP):
+            in_specs.append(pl.BlockSpec((1, 1, wpp),
+                                         mk_index(j, offset_fn)))
 
     def out_map(i, s2, t_ref, b_ref, l_ref, r_ref, page_ref):
-        # outputs are (n*max_h, 1, wpp): dynamic row leads so the
-        # trailing block dims equal the array dims (Mosaic constraint)
-        return (i * max_h + jnp.clip(s2 - u, 0, max_h - 1), 0, 0)
+        return (i, jnp.clip(s2 - u, 0, max_h - 1), 0, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
-        grid=(n, max_h + u),
-        in_specs=[
-            pl.BlockSpec((1, 1, wpp), add_map),
-            pl.BlockSpec((1, 1, wpp), rem_map),
-            pl.BlockSpec((1, 1, wpp), px_map),
-        ],
+        grid=(n // GROUP, max_h + u),
+        in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((1, 1, wpp), out_map),
-            pl.BlockSpec((1, 1, wpp), out_map),
-        ],   # noqa: trailing block dims equal the (1, wpp) array dims
+            pl.BlockSpec((1, 1, GROUP, wpp), out_map),
+            pl.BlockSpec((1, 1, GROUP, wpp), out_map),
+        ],
         scratch_shapes=[
-            pltpu.VMEM((1, wpp), jnp.int32),
-            pltpu.VMEM((1, wpp), jnp.int32),
+            pltpu.VMEM((GROUP, wpp), jnp.int32),
+            pltpu.VMEM((GROUP, wpp), jnp.int32),
         ],
     )
 
@@ -182,12 +195,16 @@ def line_thresholds_pallas(gray, boxes, pages, window, k=0.1, R=128.0,
         _make_kernel(wpp, window, float(k), float(R), max_h),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((n * max_h, 1, wpp), jnp.uint8),
-            jax.ShapeDtypeStruct((n * max_h, 1, wpp), jnp.uint8)],
+            jax.ShapeDtypeStruct((n // GROUP, max_h, GROUP, wpp),
+                                 jnp.uint8),
+            jax.ShapeDtypeStruct((n // GROUP, max_h, GROUP, wpp),
+                                 jnp.uint8)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(t, bb, ll, rr, pages, gp, gp, gp)
+    )(t, bb, ll, rr, pages, *([gp] * (3 * GROUP)))
 
-    return (out_t.reshape(n, max_h, wpp),
-            out_i.reshape(n, max_h, wpp))
+    # (n/8, max_h, 8, wpp) -> (n, max_h, wpp)
+    out_t = jnp.transpose(out_t, (0, 2, 1, 3)).reshape(n, max_h, wpp)
+    out_i = jnp.transpose(out_i, (0, 2, 1, 3)).reshape(n, max_h, wpp)
+    return out_t, out_i

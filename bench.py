@@ -64,7 +64,8 @@ def main():
 
     def step():
         out = mrc_full_step_pallas(*args, window=window,
-                                   rgb=False, denoise='fast')
+                                   rgb=False, denoise='fast',
+                                   max_line_h=64)
         jax.block_until_ready(out)
         # the axon platform's block_until_ready can return early; a tiny
         # device->host readback guarantees real synchronization
