@@ -397,7 +397,9 @@ def insert_images_mrc(builder, hocr_file, in_pdf=None, image_files=None,
             timing_data=timing_data, errors=errors)
 
         if force_1bit_output:
-            masks = np.asarray(mask_dev)
+            from ..utils.backend import pack_mask_bits, unpack_mask_bits
+            masks = unpack_mask_bits(pack_mask_bits(mask_dev),
+                                     mask_dev.shape[-1])
             for i, job in enumerate(batch_jobs):
                 inv = ~masks[i]
                 em = encode_mrc_mask(inv, fmt=mask_fmt, embedded=True,
@@ -407,6 +409,7 @@ def insert_images_mrc(builder, hocr_file, in_pdf=None, image_files=None,
                 timing_data.append(('page_image_insertion', time() - t))
             return
 
+        from ..utils.backend import pack_mask_bits, unpack_mask_bits
         any_hq = any(j.hq for j in batch_jobs)
         all_hq = all(j.hq for j in batch_jobs)
         bgd = None if all_hq else bg_downsample
@@ -417,7 +420,8 @@ def insert_images_mrc(builder, hocr_file, in_pdf=None, image_files=None,
             timing_data=timing_data, errors=errors)
         # HQ pages keep full-res layers: recompute individually if the
         # batch is mixed (rare; HQ is typically first/last pages)
-        masks = np.asarray(mask_dev)
+        masks = unpack_mask_bits(pack_mask_bits(mask_dev),
+                                 mask_dev.shape[-1])
         hq_layers = {}
         if any_hq and not all_hq and (bg_downsample or fg_downsample):
             for i, job in enumerate(batch_jobs):

@@ -25,3 +25,25 @@ def use_pallas():
     except Exception:
         return False
     return platform not in ('cpu', 'gpu')
+
+
+def pack_mask_bits(mask):
+    """Pack a bool (B, H, W) mask to (B, H, ceil(W/8)) uint8 on device
+    (np.unpackbits-compatible big-endian bit order) — 8x less
+    device->host traffic for mask transfers."""
+    import jax.numpy as jnp
+    b, h, w = mask.shape
+    wpad = -(-w // 8) * 8
+    m = mask.astype(jnp.uint8)
+    if wpad != w:
+        m = jnp.pad(m, ((0, 0), (0, 0), (0, wpad - w)))
+    m = m.reshape(b, h, wpad // 8, 8)
+    weights = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.uint8)
+    return jnp.sum(m * weights, axis=-1, dtype=jnp.uint8)
+
+
+def unpack_mask_bits(packed, w):
+    """Host-side inverse of pack_mask_bits -> bool (..., H, w)."""
+    import numpy as np
+    bits = np.unpackbits(np.asarray(packed), axis=-1)
+    return bits[..., :w].astype(bool)
