@@ -143,18 +143,18 @@ def hocr_line_thresholds(gray, line_id, boxes, window, n_seg, k=0.1):
     return thres, thres_inv, ones, ones_inv, size
 
 
-@jax.jit
-def blur_weights(gray):
+@functools.partial(jax.jit, static_argnames=('max_radius',))
+def blur_weights(gray, max_radius=MAX_BLUR_RADIUS):
     """Per-page separable gaussian taps from the noise estimate
     (``mrc.py:305-311``): scipy's sampled kernel truncated at radius
-    int(4*sigma+0.5) inside a static MAX_BLUR_RADIUS buffer, normalized;
+    int(4*sigma+0.5) inside a static max_radius buffer, normalized;
     the identity kernel when the reference would skip the blur
     (sigma_est <= 1).  Returns ((B, 2R+1) f32 taps, sigma_est)."""
     imgf = gray.astype(jnp.float32)
     sigma_est = estimate_noise(imgf)                     # (B,)
     sigma = sigma_est * 0.1
 
-    idx = jnp.arange(-MAX_BLUR_RADIUS, MAX_BLUR_RADIUS + 1,
+    idx = jnp.arange(-max_radius, max_radius + 1,
                      dtype=jnp.float32)
     radius = jnp.floor(4.0 * sigma + 0.5)[:, None]
     sig2 = jnp.maximum(sigma, 1e-6)[:, None] ** 2
@@ -204,13 +204,22 @@ def global_threshold(gray, window):
 
 def global_threshold_fused(gray, window, interpret=None):
     """Pre-blur + global Sauvola as one fused Pallas row walk (same
-    semantics as global_threshold_input + global_threshold)."""
-    from ..ops.threshold_pallas import blur_sauvola_pallas
+    semantics as global_threshold_input + global_threshold).
+
+    The blur MAC cost is linear in the tap radius; the per-page scipy
+    radius (int(0.4*sigma_est + 0.5)) is read on the host to pick the
+    smallest static radius bucket that covers the batch."""
+    from ..ops.threshold_pallas import blur_sauvola_pallas, RADIUS_BUCKETS
+    import numpy as _np
     if interpret is None:
         interpret = jax.devices()[0].platform == 'cpu'
-    wts, sigma_est = blur_weights(gray)
+    sigma_est_h = _np.asarray(estimate_noise(gray.astype(jnp.float32)))
+    need = int(_np.floor(4.0 * 0.1 * sigma_est_h.max() + 0.5))
+    radius = next((r for r in RADIUS_BUCKETS if need <= r),
+                  RADIUS_BUCKETS[-1])
+    wts, sigma_est = blur_weights(gray, max_radius=radius)
     mask = blur_sauvola_pallas(gray, wts, window, 0.34, 128.0,
-                               interpret=interpret)
+                               interpret=interpret, radius=radius)
     return mask, sigma_est
 
 

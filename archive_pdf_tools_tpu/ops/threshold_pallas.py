@@ -33,16 +33,17 @@ from jax.experimental.pallas import tpu as pltpu
 from .optimise_pallas import _cumsum_lanes, _shift_right_zero, \
     _shift_left_edge
 
-BLUR_RADIUS = 48
-TAPS = 2 * BLUR_RADIUS + 1    # 97
-RING_IN = 104                 # input ring depth (>= TAPS, multiple of 8)
+MAX_BLUR_RADIUS = 48          # supports sigma_est up to ~120
+RADIUS_BUCKETS = (8, 16, 48)  # compile-time taps chosen from the data
 MAX_BATCH = 16                # VMEM budget: rings are 2*RING*B*Wpp bytes
 
 
-def _make_kernel(h, w, wpp, window, k, R):
+def _make_kernel(h, w, wpp, window, k, R, radius):
     o = (window + 1) // 2
     u = window // 2
-    pre = 2 * BLUR_RADIUS      # input warmup steps
+    taps = 2 * radius + 1
+    ring_in = -(-(taps + 1) // 8) * 8
+    pre = 2 * radius           # input warmup steps
     ring_blur = -(-(window + 1) // 8) * 8
 
     def kernel(img_ref, whor_ref, out_ref,
@@ -57,28 +58,28 @@ def _make_kernel(h, w, wpp, window, k, R):
             colsumsq[...] = jnp.zeros_like(colsumsq)
 
         # ingest padded input row s (guarded past the end)
-        @pl.when(s < h + 2 * BLUR_RADIUS)
+        @pl.when(s < h + 2 * radius)
         def _():
-            in_ring[pl.ds(s % RING_IN, 1)] = img_ref[...]
+            in_ring[pl.ds(s % ring_in, 1)] = img_ref[...]
 
         bs = s - pre    # blurred row index produced this step
         whor = whor_ref[0]                          # (B, 128) f32
 
         @pl.when(jnp.logical_and(bs >= 0, bs < h))
         def _():
-            # vertical 97-tap MAC: tap t is padded row bs+t, ring slot
-            # (bs+t) % RING_IN (static tap index, dynamic slot)
+            # vertical MAC: tap t is padded row bs+t, ring slot
+            # (bs+t) % ring_in (static tap index, dynamic slot)
             vrow = jnp.zeros(in_ring.shape[1:], jnp.float32)
-            for t in range(TAPS):
-                slot = (bs + t) % RING_IN
+            for t in range(taps):
+                slot = (bs + t) % ring_in
                 row = in_ring[pl.ds(slot, 1)][0]
                 vrow = vrow + whor[:, t:t + 1] * \
                     row.astype(jnp.int32).astype(jnp.float32)
 
-            # horizontal 97-tap MAC (same separable weights)
+            # horizontal MAC (same separable weights)
             brow = jnp.zeros_like(vrow)
-            for t in range(TAPS):
-                shift = BLUR_RADIUS - t
+            for t in range(taps):
+                shift = radius - t
                 shifted = vrow if shift == 0 else \
                     jnp.roll(vrow, shift, axis=-1)
                 brow = brow + whor[:, t:t + 1] * shifted
@@ -86,7 +87,7 @@ def _make_kernel(h, w, wpp, window, k, R):
             # re-base lanes to original columns; truncate like the
             # reference's float->uint8 cast; zero the padding lanes
             lanes = jax.lax.broadcasted_iota(jnp.int32, brow.shape, 1)
-            brow = jnp.roll(brow, -BLUR_RADIUS, axis=-1)
+            brow = jnp.roll(brow, -radius, axis=-1)
             b_u8 = jnp.where(lanes < w, brow.astype(jnp.int32), 0)
             b_u8 = jnp.clip(b_u8, 0, 255)
 
@@ -140,42 +141,46 @@ def _make_kernel(h, w, wpp, window, k, R):
 
 
 def blur_sauvola_pallas(img, weights, window, k=0.34, R=128.0,
-                        interpret=False):
-    """img: uint8 (B, H, W); weights: f32 (B, TAPS) separable blur taps
-    (identity row = delta when no blur).  Returns bool (B, H, W) ink
-    mask of the blurred-then-truncated image.  Batches beyond the VMEM
-    ring budget run as chunked kernel calls."""
+                        interpret=False, radius=MAX_BLUR_RADIUS):
+    """img: uint8 (B, H, W); weights: f32 (B, 2*radius+1) separable blur
+    taps (identity row = delta when no blur).  ``radius`` is the static
+    tap bucket (pick the smallest RADIUS_BUCKETS entry covering the
+    per-page scipy radii; the MAC cost is linear in it).  Returns bool
+    (B, H, W) ink mask of the blurred-then-truncated image.  Batches
+    beyond the VMEM ring budget run as chunked kernel calls."""
     if img.shape[0] > MAX_BATCH:
         outs = [_blur_sauvola_impl(img[i:i + MAX_BATCH],
                                    weights[i:i + MAX_BATCH],
-                                   window, k, R, interpret)
+                                   window, k, R, interpret, radius)
                 for i in range(0, img.shape[0], MAX_BATCH)]
         return jnp.concatenate(outs, axis=0)
-    return _blur_sauvola_impl(img, weights, window, k, R, interpret)
+    return _blur_sauvola_impl(img, weights, window, k, R, interpret, radius)
 
 
-@functools.partial(jax.jit, static_argnames=('window', 'k', 'R', 'interpret'))
+@functools.partial(jax.jit, static_argnames=('window', 'k', 'R', 'interpret',
+                                             'radius'))
 def _blur_sauvola_impl(img, weights, window, k=0.34, R=128.0,
-                       interpret=False):
+                       interpret=False, radius=MAX_BLUR_RADIUS):
     b, h, w = img.shape
     o = (window + 1) // 2
     u = window // 2
-    wpp = -(-(w + 2 * BLUR_RADIUS) // 128) * 128
+    taps = 2 * radius + 1
+    wpp = -(-(w + 2 * radius) // 128) * 128
 
-    # reflect-pad rows and columns; lanes beyond w+2R zero-padded
-    xp = jnp.pad(img, ((0, 0), (BLUR_RADIUS, BLUR_RADIUS),
-                       (BLUR_RADIUS, BLUR_RADIUS)), mode='symmetric')
-    xp = jnp.pad(xp, ((0, 0), (0, 0), (0, wpp - (w + 2 * BLUR_RADIUS))))
+    # reflect-pad rows and columns; lanes beyond w+2r zero-padded
+    xp = jnp.pad(img, ((0, 0), (radius, radius),
+                       (radius, radius)), mode='symmetric')
+    xp = jnp.pad(xp, ((0, 0), (0, 0), (0, wpp - (w + 2 * radius))))
     xp = jnp.transpose(xp, (1, 0, 2))        # (Hp, B, Wpp)
 
-    pre = 2 * BLUR_RADIUS
+    pre = 2 * radius
     steps = pre + h + u
 
-    whor = jnp.zeros((b, 128), jnp.float32).at[:, :TAPS].set(weights)
+    whor = jnp.zeros((b, 128), jnp.float32).at[:, :taps].set(weights)
     whor = jnp.broadcast_to(whor[None], (1, b, 128))
 
     out = pl.pallas_call(
-        _make_kernel(h, w, wpp, window, float(k), float(R)),
+        _make_kernel(h, w, wpp, window, float(k), float(R), radius),
         grid=(steps,),
         in_specs=[
             pl.BlockSpec((1, b, wpp),
@@ -183,11 +188,12 @@ def _blur_sauvola_impl(img, weights, window, k=0.34, R=128.0,
             pl.BlockSpec((1, b, 128), lambda s: (0, 0, 0)),
         ],
         out_specs=pl.BlockSpec(
-            (1, b, wpp), lambda s: (jnp.maximum(s - 2 * BLUR_RADIUS - u, 0),
+            (1, b, wpp), lambda s: (jnp.maximum(s - 2 * radius - u, 0),
                                     0, 0)),
         out_shape=jax.ShapeDtypeStruct((h, b, wpp), jnp.uint8),
         scratch_shapes=[
-            pltpu.VMEM((RING_IN, b, wpp), jnp.uint8),          # input ring
+            pltpu.VMEM((-(-(taps + 1) // 8) * 8, b, wpp),
+                       jnp.uint8),                             # input ring
             pltpu.VMEM((-(-(window + 1) // 8) * 8, b, wpp),
                        jnp.uint8),                             # blurred ring
             pltpu.VMEM((b, wpp), jnp.int32),         # colsum

@@ -69,40 +69,32 @@ class TestDenoisePallas:
 
 
 class TestThresholdPallas:
-    def _shrink_radius(self, monkeypatch, radius=8):
-        # full-tap interpret runs cost minutes; shrink the kernel radius
-        # for mechanics tests (full taps are verified on real TPU and
-        # via APT_RUN_SLOW=1)
-        from archive_pdf_tools_tpu.ops import threshold_pallas as tp
-        monkeypatch.setattr(tp, 'BLUR_RADIUS', radius)
-        monkeypatch.setattr(tp, 'TAPS', 2 * radius + 1)
-        monkeypatch.setattr(tp, 'RING_IN', 24)
-        return tp
-
-    def test_fused_blur_sauvola_small_radius(self, monkeypatch):
+    # interpret runs cost minutes at radius 48; the radius-8 bucket
+    # exercises the same kernel mechanics (full radius verified on TPU
+    # and via APT_RUN_SLOW=1)
+    def test_fused_blur_sauvola_small_radius(self):
         import scipy.ndimage as ndi
-        tp = self._shrink_radius(monkeypatch)
+        from archive_pdf_tools_tpu.ops import threshold_pallas as tp
         img = synth_page(60, 150, seed=2, noise=0)[None]
-        # hand gaussian weights within the shrunken radius
         sigma = 1.2
         idx = np.arange(-8, 9, dtype=np.float64)
         wts = np.exp(-0.5 * idx ** 2 / sigma ** 2)
         wts = (wts / wts.sum()).astype(np.float32)[None]
         got = np.asarray(tp.blur_sauvola_pallas(
-            img, wts, 31, interpret=True))[0]
+            img, wts, 31, interpret=True, radius=8))[0]
         blurred = ndi.gaussian_filter(img[0].astype(np.float32),
                                       sigma=sigma, truncate=8 / sigma)
         ref = golden.sauvola_mask_ref(blurred.astype(np.uint8), 31, 31,
                                       0.34)
         assert (ref == got).mean() > 0.998   # f32 blur vs f64 scipy
 
-    def test_identity_weights_pure_sauvola(self, monkeypatch):
-        tp = self._shrink_radius(monkeypatch)
+    def test_identity_weights_pure_sauvola(self):
+        from archive_pdf_tools_tpu.ops import threshold_pallas as tp
         img = synth_page(56, 140, seed=1, noise=0)[None]
         wts = np.zeros((1, 17), np.float32)
         wts[0, 8] = 1.0
         got = np.asarray(tp.blur_sauvola_pallas(
-            img, wts, 31, interpret=True))[0]
+            img, wts, 31, interpret=True, radius=8))[0]
         ref = golden.sauvola_mask_ref(img[0], 31, 31, 0.34)
         assert (ref == got).all()
 
