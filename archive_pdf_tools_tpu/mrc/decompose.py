@@ -209,14 +209,32 @@ def global_threshold_fused(gray, window, interpret=None):
     The blur MAC cost is linear in the tap radius; the per-page scipy
     radius (int(0.4*sigma_est + 0.5)) is read on the host to pick the
     smallest static radius bucket that covers the batch."""
-    from ..ops.threshold_pallas import blur_sauvola_pallas, RADIUS_BUCKETS
-    import numpy as _np
     if interpret is None:
         interpret = jax.devices()[0].platform == 'cpu'
-    sigma_est_h = _np.asarray(estimate_noise(gray.astype(jnp.float32)))
+    return global_threshold_fused_static(gray, window,
+                                         pick_blur_radius(gray),
+                                         interpret=interpret)
+
+
+def pick_blur_radius(gray):
+    """Host-side: smallest static radius bucket covering the batch's
+    per-page scipy blur radius int(4 * 0.1*sigma_est + 0.5).  Callers
+    jitting the full step compute this pre-trace and pass it as the
+    static ``blur_radius``."""
+    from ..ops.threshold_pallas import RADIUS_BUCKETS
+    import numpy as _np
+    sigma_est_h = _np.asarray(estimate_noise(
+        jnp.asarray(gray).astype(jnp.float32)))
     need = int(_np.floor(4.0 * 0.1 * sigma_est_h.max() + 0.5))
-    radius = next((r for r in RADIUS_BUCKETS if need <= r),
-                  RADIUS_BUCKETS[-1])
+    return next((r for r in RADIUS_BUCKETS if need <= r),
+                RADIUS_BUCKETS[-1])
+
+
+def global_threshold_fused_static(gray, window, radius, interpret=False):
+    """Jit-safe fused threshold with a caller-chosen static blur radius
+    (weights still data-dependent; taps beyond the dynamic scipy radius
+    are zero)."""
+    from ..ops.threshold_pallas import blur_sauvola_pallas
     wts, sigma_est = blur_weights(gray, max_radius=radius)
     mask = blur_sauvola_pallas(gray, wts, window, 0.34, 128.0,
                                interpret=interpret, radius=radius)

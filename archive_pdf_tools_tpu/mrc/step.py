@@ -46,10 +46,10 @@ def mrc_full_step(images, line_id, boxes, use_plain, use_inv,
 
 @functools.partial(jax.jit,
                    static_argnames=('window', 'rgb', 'denoise', 'interpret',
-                                    'max_line_h'))
+                                    'max_line_h', 'blur_radius'))
 def mrc_full_step_pallas(images, boxes, pages, selector, window,
                          rgb=False, denoise=DENOISE_FAST, interpret=False,
-                         max_line_h=128):
+                         max_line_h=128, blur_radius=16):
     """The flagship step on the Pallas kernel path: line-band thresholds,
     fused blur+Sauvola, ordered crop pasting, exact despeckle, radiate
     fills — one jit, streamed row-walk kernels throughout.
@@ -67,8 +67,8 @@ def mrc_full_step_pallas(images, boxes, pages, selector, window,
                                               interpret=interpret,
                                               max_line_h=max_line_h)
     ones, ones_inv, size = D.line_crop_counts(crops_t, crops_i, boxes)
-    gmask, _sigma = D.global_threshold_fused(gray, window,
-                                             interpret=interpret)
+    gmask, _sigma = D.global_threshold_fused_static(
+        gray, window, blur_radius, interpret=interpret)
     mask = D.paste_selected_crops(crops_t, crops_i, boxes, pages,
                                   selector, gmask, b, h)
     if denoise == DENOISE_FAST:

@@ -62,10 +62,14 @@ def main():
     dev = jax.device_put
     args = tuple(dev(a) for a in (images, boxes, pages_vec, selector))
 
+    # host-side radius bucket choice, as the recode pipeline does it
+    from archive_pdf_tools_tpu.mrc.decompose import pick_blur_radius
+    radius = pick_blur_radius(args[0])
+
     def step():
         out = mrc_full_step_pallas(*args, window=window,
                                    rgb=False, denoise='fast',
-                                   max_line_h=64)
+                                   max_line_h=64, blur_radius=radius)
         jax.block_until_ready(out)
         # the axon platform's block_until_ready can return early; a tiny
         # device->host readback guarantees real synchronization
