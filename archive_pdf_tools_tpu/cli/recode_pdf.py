@@ -86,6 +86,12 @@ def build_parser():
     misc.add_argument('--approx-denoise', action='store_true', default=False,
                       help='Use the faster one-pass despeckle instead of '
                            'the bit-exact sequential-equivalent kernel')
+    misc.add_argument('--jbig2-symbol-coding', default='off',
+                      choices=('off', 'on', 'auto'),
+                      help='JBIG2 symbol-dictionary mask coding (lossless '
+                           'exact-match classes; beyond the reference, '
+                           'which always emits a plain generic region). '
+                           'auto picks the smaller encoding per page')
     misc.add_argument('--resume', action='store_true', default=False,
                       help='Reuse per-page artifacts already present in '
                            '--out-dir (checkpoint/resume)')
@@ -225,7 +231,9 @@ def main(argv=None):
         mask_compression=args.mask_compression,
         batch_pages=args.batch_pages,
         exact_denoise=not args.approx_denoise,
-        resume=args.resume, profile_dir=args.profile)
+        resume=args.resume, profile_dir=args.profile,
+        jbig2_symbol_mode={'off': False, 'on': True,
+                           'auto': 'auto'}[args.jbig2_symbol_coding])
 
     for error in res['errors']:
         print('Encountered runtime error:', error)

@@ -46,6 +46,11 @@ def _get_lib():
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_long]
+    lib.jbig2tpu_encode_symbol.restype = ctypes.c_long
+    lib.jbig2tpu_encode_symbol.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_long]
     lib.jbig2tpu_decode.restype = ctypes.c_long
     lib.jbig2tpu_decode.argtypes = [
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
@@ -54,19 +59,33 @@ def _get_lib():
     return lib
 
 
-def encode_jbig2(mask, embedded=True, tpgdon=True):
-    """Encode a bool/uint8 (H, W) mask to JBIG2 bytes with the native
-    generic-region encoder."""
+def encode_jbig2(mask, embedded=True, tpgdon=True, symbol_mode=False):
+    """Encode a bool/uint8 (H, W) mask to JBIG2 bytes.
+
+    symbol_mode: False -> generic region coding (the reference's plain
+    ``jbig2 -p``, mrc.py:502-510); True -> symbol-dictionary + text-region
+    coding (jbig2enc ``-s`` analogue, but lossless: only bit-identical
+    connected components share a dictionary symbol); 'auto' -> whichever
+    of the two encodes smaller."""
     lib = _get_lib()
     m = np.ascontiguousarray(np.asarray(mask).astype(np.uint8))
     h, w = m.shape
     cap = w * h // 4 + 1024
     while True:
         out = np.empty(cap, np.uint8)
-        n = lib.jbig2tpu_encode(
-            m.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), w, h,
-            1 if tpgdon else 0, 1 if embedded else 0,
-            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap)
+        if symbol_mode:
+            n = lib.jbig2tpu_encode_symbol(
+                m.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), w, h,
+                1 if tpgdon else 0, 1 if embedded else 0,
+                2 if symbol_mode == 'auto' else 1,
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap)
+            if n == -1:     # degenerate (empty mask): generic fallback
+                return encode_jbig2(m, embedded, tpgdon)
+        else:
+            n = lib.jbig2tpu_encode(
+                m.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), w, h,
+                1 if tpgdon else 0, 1 if embedded else 0,
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap)
         if n >= 0:
             return out[:n].tobytes()
         cap = -n

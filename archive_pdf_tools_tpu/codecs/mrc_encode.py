@@ -28,18 +28,38 @@ from . import ccitt as ccitt_codec
 from . import jpeg as jpeg_codec
 from .jpeg2000 import encode_jpeg2000
 
-EncodedMask = namedtuple('EncodedMask', 'data fmt width height')
+EncodedMask = namedtuple('EncodedMask', 'data fmt width height decode')
+EncodedMask.__new__.__defaults__ = (None,)
 EncodedLayer = namedtuple('EncodedLayer', 'data fmt width height gray')
 
 
 def encode_mrc_mask(np_mask, fmt=COMPRESSOR_JBIG2, embedded=True,
-                    timing_data=None, debug=False):
-    """Mask -> EncodedMask. fmt: jbig2 | ccitt | png (``mrc.py:474-520``)."""
+                    timing_data=None, debug=False, jbig2_symbol_mode=False):
+    """Mask -> EncodedMask. fmt: jbig2 | ccitt | png (``mrc.py:474-520``).
+
+    jbig2_symbol_mode (beyond the reference, which always emits a plain
+    generic region): False / True / 'auto' symbol-dictionary coding —
+    still lossless (exact-match symbol classes only)."""
     t = _time.time()
     m = np.asarray(np_mask).astype(bool)
     h, w = m.shape
+    decode = None
     if fmt == COMPRESSOR_JBIG2:
-        data = jbig2_codec.encode_jbig2(~m, embedded=embedded)
+        # ink is stored as jbig2 *white* so the PDF sample (which PDF
+        # consumers invert relative to the jbig2 bit) is 1 at text.
+        # Symbol coding needs ink as the 1 bits (connected components of
+        # text, not of paper), so it stores ink as jbig2 black and flips
+        # back with a /Decode [1 0] array on the image dict.
+        if jbig2_symbol_mode:
+            data = jbig2_codec.encode_jbig2(m, embedded=embedded,
+                                            symbol_mode=True)
+            decode = (1, 0)
+            if jbig2_symbol_mode == 'auto':
+                gen = jbig2_codec.encode_jbig2(~m, embedded=embedded)
+                if len(gen) <= len(data):
+                    data, decode = gen, None
+        else:
+            data = jbig2_codec.encode_jbig2(~m, embedded=embedded)
         key = 'mask_jbig2'
     elif fmt == COMPRESSOR_CCITT:
         data = ccitt_codec.encode_ccitt_g4(m)
@@ -53,7 +73,7 @@ def encode_mrc_mask(np_mask, fmt=COMPRESSOR_JBIG2, embedded=True,
         raise ValueError('unknown mask format: %r' % (fmt,))
     if timing_data is not None:
         timing_data.append((key, _time.time() - t))
-    return EncodedMask(data, fmt, w, h)
+    return EncodedMask(data, fmt, w, h, decode)
 
 
 def encode_mrc_img(np_img, img_compression_flags, imgtype=None,
@@ -115,11 +135,12 @@ def encode_mrc_images(mask, fg, bg, bg_compression_flags=None,
                       jpeg2000_implementation=JPEG2000_IMPL_PILLOW,
                       mrc_image_format=COMPRESSOR_JPEG2000,
                       tmp_dir=None, threads=None, timing_data=None,
-                      debug=False):
+                      debug=False, jbig2_symbol_mode=False):
     """All three MRC components -> (EncodedMask, EncodedLayer, EncodedLayer).
     In-memory analog of ``mrc.py:633-673``."""
     em = encode_mrc_mask(mask, fmt=mask_fmt, embedded=embedded_jbig2,
-                         timing_data=timing_data, debug=debug)
+                         timing_data=timing_data, debug=debug,
+                         jbig2_symbol_mode=jbig2_symbol_mode)
     ef = encode_mrc_foreground(
         fg, fg_compression_flags,
         jpeg2000_implementation=jpeg2000_implementation,

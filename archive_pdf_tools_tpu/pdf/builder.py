@@ -97,6 +97,8 @@ class DocumentBuilder:
             d[Name('BitsPerComponent')] = 1
             d[Name('ColorSpace')] = Name('DeviceGray')
             d[Name('Filter')] = Name('JBIG2Decode')
+            if getattr(enc, 'decode', None):
+                d[Name('Decode')] = list(enc.decode)
         elif fmt == COMPRESSOR_CCITT:
             d[Name('BitsPerComponent')] = 1
             d[Name('ColorSpace')] = Name('DeviceGray')

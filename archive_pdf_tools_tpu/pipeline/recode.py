@@ -165,7 +165,12 @@ def _decode_pdf_image(reader, stream):
     if filt == 'JBIG2Decode':
         from ..codecs.jbig2 import decode_jbig2
         bits = decode_jbig2(raw, w, h)
-        return Image.fromarray(~bits)      # jbig2 white (0) = ink-opaque
+        # jbig2 white (0) = ink-opaque; a /Decode [1 0] array (symbol-
+        # coded masks store ink as jbig2 black) flips the polarity
+        dec = reader.resolve(stream.dict.get('Decode'))
+        if dec and float(reader.resolve(dec[0])) == 1.0:
+            return Image.fromarray(bits)
+        return Image.fromarray(~bits)
     if filt == 'CCITTFaxDecode':
         from ..codecs.ccitt import decode_ccitt_g4
         return Image.fromarray(decode_ccitt_g4(raw, w, h))
@@ -251,7 +256,8 @@ def insert_images_mrc(builder, hocr_file, in_pdf=None, image_files=None,
                       mask_compression=COMPRESSOR_JBIG2,
                       threads=None, errors=None,
                       batch_pages=DEFAULT_BATCH_PAGES,
-                      exact_denoise=True, resume=False):
+                      exact_denoise=True, resume=False,
+                      jbig2_symbol_mode=False):
     """Pass 2 (``recode.py:266-529``), batched."""
     timing_data = []
     jobs = []
@@ -303,8 +309,10 @@ def insert_images_mrc(builder, hocr_file, in_pdf=None, image_files=None,
             with open(meta_path) as fp:
                 meta = json.load(fp)
             with open(paths[0], 'rb') as fp:
+                mdec = meta.get('mask_decode')
                 em = EncodedMask(fp.read(), meta['mask'][2],
-                                 meta['mask'][0], meta['mask'][1])
+                                 meta['mask'][0], meta['mask'][1],
+                                 tuple(mdec) if mdec else None)
             with open(paths[1], 'rb') as fp:
                 eb = EncodedLayer(fp.read(), meta['bg'][2], meta['bg'][0],
                                   meta['bg'][1], meta['gray'])
@@ -337,7 +345,8 @@ def insert_images_mrc(builder, hocr_file, in_pdf=None, image_files=None,
             mask_fmt=mask_fmt, embedded_jbig2=True,
             jpeg2000_implementation=jpeg2000_implementation,
             mrc_image_format=mrc_image_format, tmp_dir=tmp_dir,
-            threads=threads, timing_data=timing_data, debug=debug)
+            threads=threads, timing_data=timing_data, debug=debug,
+            jbig2_symbol_mode=jbig2_symbol_mode)
         if img_dir is not None:
             ext = {'jbig2': 'jbig2', 'ccitt': 'g4', 'png': 'png'}[em.fmt]
             with open(os.path.join(img_dir, '%.6d_mask.%s'
@@ -353,7 +362,8 @@ def insert_images_mrc(builder, hocr_file, in_pdf=None, image_files=None,
             meta = {'mask': [em.width, em.height, em.fmt],
                     'bg': [eb.width, eb.height, eb.fmt],
                     'fg': [ef.width, ef.height, ef.fmt],
-                    'gray': image_mode == 'L'}
+                    'gray': image_mode == 'L',
+                    'mask_decode': list(em.decode) if em.decode else None}
             with open(os.path.join(img_dir, '%.6d_meta.json'
                                    % job.page_idx), 'w') as fp:
                 json.dump(meta, fp)
@@ -568,7 +578,7 @@ def recode(from_pdf=None, from_imagestack=None, dpi=None, hocr_file=None,
            ignore_invalid_pagenumbers=False,
            mask_compression=COMPRESSOR_JBIG2,
            batch_pages=DEFAULT_BATCH_PAGES, exact_denoise=True,
-           resume=False, profile_dir=None):
+           resume=False, profile_dir=None, jbig2_symbol_mode=False):
     """Whole-tool pipeline (``recode.py:562-796``); returns
     {'errors': set, 'compression_ratio': float}.
 
@@ -645,7 +655,8 @@ def recode(from_pdf=None, from_imagestack=None, dpi=None, hocr_file=None,
             mrc_image_format=mrc_image_format,
             mask_compression=mask_compression,
             threads=threads, errors=errors, batch_pages=batch_pages,
-            exact_denoise=exact_denoise, resume=resume)
+            exact_denoise=exact_denoise, resume=resume,
+            jbig2_symbol_mode=jbig2_symbol_mode)
     elif image_mode in (IMAGE_MODE_PASSTHROUGH, IMAGE_MODE_PIXMAP):
         insert_images_legacy(builder, in_pdf, image_mode,
                              report_every=report_every, stop_after=stop)

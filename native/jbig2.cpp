@@ -13,6 +13,7 @@
 //
 // Build: g++ -O3 -shared -fPIC -o libjbig2tpu.so jbig2.cpp
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <vector>
@@ -210,6 +211,94 @@ class MQDecoder {
   uint8_t b_ = 0;
 };
 
+// ------------------------------------- integer arithmetic coding (Annex A)
+
+// One IAx context: 512 MQ contexts indexed by the PREV bit-prefix state.
+struct IntCtx {
+  Ctx cx[512];
+};
+
+inline void UpdatePrev(uint32_t* prev, int bit) {
+  *prev = (*prev < 256) ? ((*prev << 1) | bit)
+                        : (((((*prev << 1) | bit) & 511) | 256));
+}
+
+void EncodeIntBit(MQEncoder* enc, IntCtx* ic, uint32_t* prev, int bit) {
+  enc->Encode(&ic->cx[*prev], bit);
+  UpdatePrev(prev, bit);
+}
+
+// Encode a signed integer per T.88 A.2 (the encoder mirror of the
+// decoding procedure): sign bit, range-selector bits, then the offset
+// value MSB-first.  oob encodes the out-of-band value ("negative zero").
+void EncodeInt(MQEncoder* enc, IntCtx* ic, long v, bool oob = false) {
+  uint32_t prev = 1;
+  int s = oob ? 1 : (v < 0 ? 1 : 0);
+  unsigned long val = oob ? 0 : (v < 0 ? -v : v);
+  EncodeIntBit(enc, ic, &prev, s);
+  int nbits;
+  unsigned long offset;
+  if (val <= 3)        { EncodeIntBit(enc, ic, &prev, 0); nbits = 2;  offset = 0; }
+  else if (val <= 19)  { EncodeIntBit(enc, ic, &prev, 1);
+                         EncodeIntBit(enc, ic, &prev, 0); nbits = 4;  offset = 4; }
+  else if (val <= 83)  { EncodeIntBit(enc, ic, &prev, 1);
+                         EncodeIntBit(enc, ic, &prev, 1);
+                         EncodeIntBit(enc, ic, &prev, 0); nbits = 6;  offset = 20; }
+  else if (val <= 339) { for (int k = 0; k < 3; ++k) EncodeIntBit(enc, ic, &prev, 1);
+                         EncodeIntBit(enc, ic, &prev, 0); nbits = 8;  offset = 84; }
+  else if (val <= 4435){ for (int k = 0; k < 4; ++k) EncodeIntBit(enc, ic, &prev, 1);
+                         EncodeIntBit(enc, ic, &prev, 0); nbits = 12; offset = 340; }
+  else                 { for (int k = 0; k < 5; ++k) EncodeIntBit(enc, ic, &prev, 1);
+                         nbits = 32; offset = 4436; }
+  unsigned long rem = val - offset;
+  for (int k = nbits - 1; k >= 0; --k)
+    EncodeIntBit(enc, ic, &prev, (rem >> k) & 1);
+}
+
+// Decode per A.2.  Returns false on OOB.
+bool DecodeInt(MQDecoder* dec, IntCtx* ic, long* out) {
+  uint32_t prev = 1;
+  auto bit = [&]() {
+    int b = dec->Decode(&ic->cx[prev]);
+    UpdatePrev(&prev, b);
+    return b;
+  };
+  int s = bit();
+  int nbits;
+  long offset;
+  if (!bit())      { nbits = 2;  offset = 0; }
+  else if (!bit()) { nbits = 4;  offset = 4; }
+  else if (!bit()) { nbits = 6;  offset = 20; }
+  else if (!bit()) { nbits = 8;  offset = 84; }
+  else if (!bit()) { nbits = 12; offset = 340; }
+  else             { nbits = 32; offset = 4436; }
+  long v = 0;
+  for (int k = 0; k < nbits; ++k) v = (v << 1) | bit();
+  v += offset;
+  if (s && v == 0) return false;  // OOB
+  *out = s ? -v : v;
+  return true;
+}
+
+// Symbol-ID coding (A.3): SYMCODELEN raw bits through a tree of contexts.
+void EncodeID(MQEncoder* enc, Ctx* cx, int codelen, int id) {
+  uint32_t prev = 1;
+  for (int k = codelen - 1; k >= 0; --k) {
+    int b = (id >> k) & 1;
+    enc->Encode(&cx[prev], b);
+    prev = (prev << 1) | b;
+  }
+}
+
+int DecodeID(MQDecoder* dec, Ctx* cx, int codelen) {
+  uint32_t prev = 1;
+  for (int k = 0; k < codelen; ++k) {
+    int b = dec->Decode(&cx[prev]);
+    prev = (prev << 1) | b;
+  }
+  return static_cast<int>(prev) - (1 << codelen);
+}
+
 // --------------------------------------------- generic region, template 0
 
 // T.88 6.2.5.7 GBTEMPLATE 0 with nominal AT pixels:
@@ -306,6 +395,46 @@ void EncodeGenericRegion(const uint8_t* img, int w, int h, bool tpgdon,
   enc.Flush();
 }
 
+// Symbol-bitmap variants: same template-0 coding, but the MQ coder and
+// the GB context array are shared across all symbols of a dictionary
+// (T.88 6.5.8.1 codes every new symbol with one arithmetic coder).
+void EncodeGenericInner(const uint8_t* img, int w, int h, MQEncoder* enc,
+                        std::vector<Ctx>* ctx) {
+  const int wp = w + 4;
+  std::vector<uint8_t> rows(3 * wp, 0);
+  uint8_t* r2 = rows.data();
+  uint8_t* r1 = rows.data() + wp;
+  uint8_t* r0 = rows.data() + 2 * wp;
+  for (int y = 0; y < h; ++y) {
+    const uint8_t* src = img + static_cast<long>(y) * w;
+    int c = (static_cast<int>(r2[0]) << 13) | (static_cast<int>(r2[1]) << 12)
+          | (static_cast<int>(r2[2]) << 11)
+          | (static_cast<int>(r1[0]) << 7) | (static_cast<int>(r1[1]) << 6)
+          | (static_cast<int>(r1[2]) << 5) | (static_cast<int>(r1[3]) << 4);
+    for (int x = 0; x < w; ++x) {
+      const int bit = src[x] & 1;
+      enc->Encode(&(*ctx)[c], bit);
+      r0[x] = static_cast<uint8_t>(bit);
+      c = ((c << 1) & kShiftMask)
+        | (static_cast<int>(r2[x + 3]) << 11)
+        | (static_cast<int>(r1[x + 4]) << 4)
+        | bit;
+    }
+    uint8_t* tmp = r2; r2 = r1; r1 = r0; r0 = tmp;
+  }
+}
+
+void DecodeGenericInner(MQDecoder* dec, std::vector<Ctx>* ctx,
+                        uint8_t* img, int w, int h) {
+  std::memset(img, 0, static_cast<long>(w) * h);
+  for (int y = 0; y < h; ++y) {
+    for (int x = 0; x < w; ++x) {
+      img[static_cast<long>(y) * w + x] = static_cast<uint8_t>(
+          dec->Decode(&(*ctx)[Context0(img, w, h, x, y)]));
+    }
+  }
+}
+
 long DecodeGenericRegion(const uint8_t* data, long len, bool tpgdon,
                          uint8_t* img, int w, int h) {
   std::vector<Ctx> ctx(1 << 16);
@@ -330,6 +459,318 @@ long DecodeGenericRegion(const uint8_t* data, long len, bool tpgdon,
   return 0;
 }
 
+// --------------------------------------- symbol coding (dict + text region)
+
+struct SymBitmap {
+  int w = 0, h = 0;
+  std::vector<uint8_t> px;  // w*h, one byte per pixel
+  uint64_t hash = 0;
+};
+
+struct Instance {
+  int x = 0, y = 0, id = 0;
+};
+
+uint64_t HashBitmap(const SymBitmap& s) {
+  uint64_t hv = 1469598103934665603ull ^ (uint64_t(s.w) << 32) ^ uint64_t(s.h);
+  for (uint8_t b : s.px) {
+    hv ^= b;
+    hv *= 1099511628211ull;
+  }
+  return hv;
+}
+
+// 8-connected component extraction; exact-match classification (identical
+// bitmaps share one dictionary symbol, so the coding stays lossless: the
+// OR of all placed instances reproduces the input page bit-for-bit).
+void ExtractSymbols(const uint8_t* img, int w, int h,
+                    std::vector<SymBitmap>* symbols,
+                    std::vector<Instance>* instances) {
+  std::vector<int32_t> label(static_cast<size_t>(w) * h, -1);
+  std::vector<int> stack;
+  struct CC { int x0, y0, x1, y1; };
+  std::vector<CC> ccs;
+  for (long i = 0; i < static_cast<long>(w) * h; ++i) {
+    if (!(img[i] & 1) || label[i] >= 0) continue;
+    const int id = static_cast<int>(ccs.size());
+    CC cc{w, h, -1, -1};
+    stack.clear();
+    stack.push_back(static_cast<int>(i));
+    label[i] = id;
+    while (!stack.empty()) {
+      const int p = stack.back();
+      stack.pop_back();
+      const int y = p / w, x = p % w;
+      if (x < cc.x0) cc.x0 = x;
+      if (y < cc.y0) cc.y0 = y;
+      if (x > cc.x1) cc.x1 = x;
+      if (y > cc.y1) cc.y1 = y;
+      for (int dy = -1; dy <= 1; ++dy) {
+        const int ny = y + dy;
+        if (ny < 0 || ny >= h) continue;
+        for (int dx = -1; dx <= 1; ++dx) {
+          const int nx = x + dx;
+          if (nx < 0 || nx >= w) continue;
+          const long np = static_cast<long>(ny) * w + nx;
+          if ((img[np] & 1) && label[np] < 0) {
+            label[np] = id;
+            stack.push_back(static_cast<int>(np));
+          }
+        }
+      }
+    }
+    ccs.push_back(cc);
+  }
+
+  // cut each component's own pixels out of its bbox (overlapping bboxes
+  // of distinct components must not bleed into each other's bitmaps)
+  std::vector<SymBitmap> raw(ccs.size());
+  for (size_t k = 0; k < ccs.size(); ++k) {
+    raw[k].w = ccs[k].x1 - ccs[k].x0 + 1;
+    raw[k].h = ccs[k].y1 - ccs[k].y0 + 1;
+    raw[k].px.assign(static_cast<size_t>(raw[k].w) * raw[k].h, 0);
+  }
+  for (int y = 0; y < h; ++y) {
+    for (int x = 0; x < w; ++x) {
+      const int32_t id = label[static_cast<long>(y) * w + x];
+      if (id < 0) continue;
+      SymBitmap& s = raw[id];
+      s.px[static_cast<size_t>(y - ccs[id].y0) * s.w + (x - ccs[id].x0)] = 1;
+    }
+  }
+
+  // classify: exact match by (w, h, pixels)
+  std::vector<int> cls(ccs.size());
+  std::vector<std::pair<uint64_t, int>> seen;  // (hash, symbol index)
+  for (size_t k = 0; k < raw.size(); ++k) {
+    raw[k].hash = HashBitmap(raw[k]);
+    int found = -1;
+    for (const auto& hs : seen) {
+      if (hs.first != raw[k].hash) continue;
+      const SymBitmap& o = (*symbols)[hs.second];
+      if (o.w == raw[k].w && o.h == raw[k].h && o.px == raw[k].px) {
+        found = hs.second;
+        break;
+      }
+    }
+    if (found < 0) {
+      found = static_cast<int>(symbols->size());
+      symbols->push_back(std::move(raw[k]));
+      seen.emplace_back((*symbols)[found].hash, found);
+    }
+    cls[k] = found;
+  }
+
+  // dictionary order: sort symbols by (height, width); remap classes
+  std::vector<int> order(symbols->size());
+  for (size_t k = 0; k < order.size(); ++k) order[k] = static_cast<int>(k);
+  std::sort(order.begin(), order.end(), [&](int a, int b) {
+    const SymBitmap &sa = (*symbols)[a], &sb = (*symbols)[b];
+    if (sa.h != sb.h) return sa.h < sb.h;
+    if (sa.w != sb.w) return sa.w < sb.w;
+    return a < b;
+  });
+  std::vector<int> rank(order.size());
+  std::vector<SymBitmap> sorted(order.size());
+  for (size_t k = 0; k < order.size(); ++k) {
+    rank[order[k]] = static_cast<int>(k);
+    sorted[k] = std::move((*symbols)[order[k]]);
+  }
+  *symbols = std::move(sorted);
+
+  instances->resize(ccs.size());
+  for (size_t k = 0; k < ccs.size(); ++k) {
+    (*instances)[k] = Instance{ccs[k].x0, ccs[k].y0, rank[cls[k]]};
+  }
+  std::sort(instances->begin(), instances->end(),
+            [](const Instance& a, const Instance& b) {
+              if (a.y != b.y) return a.y < b.y;
+              if (a.x != b.x) return a.x < b.x;
+              return a.id < b.id;
+            });
+}
+
+int SymCodeLen(size_t nsyms) {
+  int len = 0;
+  while ((size_t(1) << len) < nsyms) ++len;
+  return len;  // ceil(log2(n)); 0 when n == 1
+}
+
+// T.88 6.5 symbol dictionary, SDHUFF=0 SDREFAGG=0 template 0: height
+// classes with IADH/IADW deltas, each new symbol's bitmap generic-coded
+// with a shared coder, then the export run (everything exported).
+void EncodeSymbolDict(const std::vector<SymBitmap>& syms,
+                      std::vector<uint8_t>* out) {
+  MQEncoder enc(out);
+  IntCtx iadh, iadw, iaex;
+  std::vector<Ctx> gb(1 << 16);
+  size_t i = 0;
+  int hc = 0;
+  while (i < syms.size()) {
+    const int hgt = syms[i].h;
+    EncodeInt(&enc, &iadh, hgt - hc);
+    hc = hgt;
+    int wid = 0;
+    while (i < syms.size() && syms[i].h == hgt) {
+      EncodeInt(&enc, &iadw, syms[i].w - wid);
+      wid = syms[i].w;
+      EncodeGenericInner(syms[i].px.data(), syms[i].w, syms[i].h, &enc, &gb);
+      ++i;
+    }
+    EncodeInt(&enc, &iadw, 0, /*oob=*/true);
+  }
+  EncodeInt(&enc, &iaex, 0);                          // run of not-exported
+  EncodeInt(&enc, &iaex, static_cast<long>(syms.size()));  // all exported
+  enc.Flush();
+}
+
+// T.88 6.4 text region, SBHUFF=0 REFINE=0 SBSTRIPS=1 REFCORNER=TOPLEFT
+// TRANSPOSED=0: strips keyed by instance top row, IADT/IAFS/IADS deltas,
+// IAID symbol ids.
+void EncodeTextRegion(const std::vector<Instance>& inst,
+                      const std::vector<SymBitmap>& syms,
+                      std::vector<uint8_t>* out) {
+  MQEncoder enc(out);
+  IntCtx iadt, iafs, iads;
+  const int codelen = SymCodeLen(syms.size());
+  std::vector<Ctx> iaid(size_t(1) << (codelen + 1));
+  EncodeInt(&enc, &iadt, 0);  // initial STRIPT
+  int stript = 0, firsts = 0;
+  size_t i = 0;
+  while (i < inst.size()) {
+    const int t = inst[i].y;
+    EncodeInt(&enc, &iadt, t - stript);
+    stript = t;
+    int curs = 0;
+    bool first = true;
+    while (i < inst.size() && inst[i].y == t) {
+      if (first) {
+        EncodeInt(&enc, &iafs, inst[i].x - firsts);
+        firsts = inst[i].x;
+        curs = firsts;
+        first = false;
+      } else {
+        EncodeInt(&enc, &iads, inst[i].x - curs);
+        curs = inst[i].x;
+      }
+      EncodeID(&enc, iaid.data(), codelen, inst[i].id);
+      curs += syms[inst[i].id].w - 1;
+      ++i;
+    }
+    EncodeInt(&enc, &iads, 0, /*oob=*/true);
+  }
+  enc.Flush();
+}
+
+// Decoder mirrors: parse a symbol dictionary segment's data into syms.
+long DecodeSymbolDict(const uint8_t* data, long len,
+                      std::vector<SymBitmap>* syms) {
+  if (len < 18) return -1;
+  const int flags = (data[0] << 8) | data[1];
+  if (flags & 0x0003) return -1;  // only SDHUFF=0, SDREFAGG=0
+  if ((flags >> 10) & 3) return -1;  // template 0 only
+  long pos = 2 + 8;  // flags + AT pixels
+  if (pos + 8 > len) return -1;
+  auto u32 = [&](long p) {
+    return (static_cast<uint32_t>(data[p]) << 24) |
+           (static_cast<uint32_t>(data[p + 1]) << 16) |
+           (static_cast<uint32_t>(data[p + 2]) << 8) | data[p + 3];
+  };
+  const uint32_t numex = u32(pos);
+  const uint32_t numnew = u32(pos + 4);
+  pos += 8;
+  MQDecoder dec(data + pos, len - pos);
+  IntCtx iadh, iadw, iaex;
+  std::vector<Ctx> gb(1 << 16);
+  int hc = 0;
+  while (syms->size() < numnew) {
+    long dh;
+    if (!DecodeInt(&dec, &iadh, &dh)) return -1;
+    hc += static_cast<int>(dh);
+    int wid = 0;
+    for (;;) {
+      long dw;
+      if (!DecodeInt(&dec, &iadw, &dw)) break;  // OOB ends height class
+      wid += static_cast<int>(dw);
+      if (wid <= 0 || hc <= 0 || wid > 1 << 20 || hc > 1 << 20) return -1;
+      SymBitmap s;
+      s.w = wid;
+      s.h = hc;
+      s.px.assign(static_cast<size_t>(wid) * hc, 0);
+      DecodeGenericInner(&dec, &gb, s.px.data(), wid, hc);
+      syms->push_back(std::move(s));
+      if (syms->size() > numnew) return -1;
+    }
+  }
+  // export flags: we only support the all-exported pattern
+  long run0, run1;
+  if (!DecodeInt(&dec, &iaex, &run0) || run0 != 0) return -1;
+  if (!DecodeInt(&dec, &iaex, &run1) ||
+      run1 != static_cast<long>(numnew) || numex != numnew) return -1;
+  return 0;
+}
+
+// Decode a text region segment's data, OR-ing instances onto the page.
+long DecodeTextRegion(const uint8_t* data, long len,
+                      const std::vector<SymBitmap>& syms,
+                      uint8_t* page, int pw, int ph) {
+  if (len < 23) return -1;
+  auto u32 = [&](long p) {
+    return (static_cast<uint32_t>(data[p]) << 24) |
+           (static_cast<uint32_t>(data[p + 1]) << 16) |
+           (static_cast<uint32_t>(data[p + 2]) << 8) | data[p + 3];
+  };
+  const int rx = static_cast<int>(u32(8));
+  const int ry = static_cast<int>(u32(12));
+  const int flags = (data[17] << 8) | data[18];
+  if (flags & 0x0003) return -1;          // SBHUFF=0, REFINE=0 only
+  const int logstrips = (flags >> 2) & 3;
+  const int refcorner = (flags >> 4) & 3;
+  if (logstrips != 0 || refcorner != 1 || (flags >> 6) & 1) return -1;
+  const uint32_t ninst = u32(19);
+  MQDecoder dec(data + 23, len - 23);
+  IntCtx iadt, iafs, iads;
+  const int codelen = SymCodeLen(syms.size());
+  std::vector<Ctx> iaid(size_t(1) << (codelen + 1));
+  long dt;
+  if (!DecodeInt(&dec, &iadt, &dt)) return -1;
+  long stript = -dt, firsts = 0;
+  uint32_t done = 0;
+  while (done < ninst) {
+    if (!DecodeInt(&dec, &iadt, &dt)) return -1;
+    stript += dt;
+    long curs = 0;
+    bool first = true;
+    for (;;) {
+      long d;
+      if (first) {
+        if (!DecodeInt(&dec, &iafs, &d)) return -1;
+        firsts += d;
+        curs = firsts;
+        first = false;
+      } else {
+        if (!DecodeInt(&dec, &iads, &d)) break;  // OOB: end of strip
+        curs += d;
+      }
+      const int id = DecodeID(&dec, iaid.data(), codelen);
+      if (id < 0 || static_cast<size_t>(id) >= syms.size()) return -1;
+      const SymBitmap& s = syms[id];
+      for (int yy = 0; yy < s.h; ++yy) {
+        const long py = ry + stript + yy;
+        if (py < 0 || py >= ph) continue;
+        for (int xx = 0; xx < s.w; ++xx) {
+          const long px = rx + curs + xx;
+          if (px < 0 || px >= pw) continue;
+          page[py * pw + px] |= s.px[static_cast<size_t>(yy) * s.w + xx];
+        }
+      }
+      curs += s.w - 1;
+      if (++done >= ninst) break;
+    }
+  }
+  return 0;
+}
+
 // ------------------------------------------------------ segment plumbing
 
 void PutU32(std::vector<uint8_t>* v, uint32_t x) {
@@ -344,6 +785,79 @@ void SegmentHeader(std::vector<uint8_t>* v, uint32_t number, int type,
   v->push_back(0x00);                        // 0 referred-to segments
   v->push_back(static_cast<uint8_t>(page));
   PutU32(v, data_len);
+}
+
+// Header with one referred-to segment (short form; our segment numbers
+// stay below 256 so the referred number is a single byte).
+void SegmentHeaderRef1(std::vector<uint8_t>* v, uint32_t number, int type,
+                       uint32_t referred, uint32_t page, uint32_t data_len) {
+  PutU32(v, number);
+  v->push_back(static_cast<uint8_t>(type));
+  v->push_back(0x20);  // 1 referred-to segment, retain bits 0
+  v->push_back(static_cast<uint8_t>(referred));
+  v->push_back(static_cast<uint8_t>(page));
+  PutU32(v, data_len);
+}
+
+// Assemble the symbol-coded page stream (page info + symbol dictionary +
+// immediate lossless text region [+ standalone trailer]).
+void AssembleSymbolStream(const std::vector<SymBitmap>& syms,
+                          const std::vector<Instance>& inst,
+                          int w, int h, bool embedded,
+                          std::vector<uint8_t>* buf) {
+  std::vector<uint8_t> dict_mq, text_mq;
+  EncodeSymbolDict(syms, &dict_mq);
+  EncodeTextRegion(inst, syms, &text_mq);
+
+  uint32_t segnum = 0;
+  if (!embedded) {
+    static const uint8_t kFileHeader[8] =
+        {0x97, 0x4A, 0x42, 0x32, 0x0D, 0x0A, 0x1A, 0x0A};
+    buf->insert(buf->end(), kFileHeader, kFileHeader + 8);
+    buf->push_back(0x01);
+    PutU32(buf, 1);
+  }
+
+  SegmentHeader(buf, segnum++, 48, 1, 19);  // page information
+  PutU32(buf, static_cast<uint32_t>(w));
+  PutU32(buf, static_cast<uint32_t>(h));
+  PutU32(buf, 0);
+  PutU32(buf, 0);
+  buf->push_back(0x01);
+  buf->push_back(0x00);
+  buf->push_back(0x00);
+
+  // symbol dictionary (type 0): flags + 8 AT bytes + numex + numnew + MQ
+  const uint32_t dict_seg = segnum;
+  const uint32_t dict_len = 2 + 8 + 4 + 4 +
+      static_cast<uint32_t>(dict_mq.size());
+  SegmentHeader(buf, segnum++, 0, 1, dict_len);
+  buf->push_back(0x00);
+  buf->push_back(0x00);  // SDHUFF=0 SDREFAGG=0 template 0
+  const int8_t at[8] = {3, -1, -3, -1, 2, -2, -2, -2};
+  for (int i = 0; i < 8; ++i) buf->push_back(static_cast<uint8_t>(at[i]));
+  PutU32(buf, static_cast<uint32_t>(syms.size()));  // SDNUMEXSYMS
+  PutU32(buf, static_cast<uint32_t>(syms.size()));  // SDNUMNEWSYMS
+  buf->insert(buf->end(), dict_mq.begin(), dict_mq.end());
+
+  // immediate lossless text region (type 7) referring to the dictionary
+  const uint32_t text_len = 17 + 2 + 4 +
+      static_cast<uint32_t>(text_mq.size());
+  SegmentHeaderRef1(buf, segnum++, 7, dict_seg, 1, text_len);
+  PutU32(buf, static_cast<uint32_t>(w));
+  PutU32(buf, static_cast<uint32_t>(h));
+  PutU32(buf, 0);
+  PutU32(buf, 0);
+  buf->push_back(0x00);  // combination operator OR
+  buf->push_back(0x00);
+  buf->push_back(0x10);  // flags: REFCORNER=TOPLEFT, everything else 0
+  PutU32(buf, static_cast<uint32_t>(inst.size()));
+  buf->insert(buf->end(), text_mq.begin(), text_mq.end());
+
+  if (!embedded) {
+    SegmentHeader(buf, segnum++, 49, 1, 0);
+    SegmentHeader(buf, segnum++, 51, 0, 0);
+  }
 }
 
 }  // namespace
@@ -404,39 +918,101 @@ long jbig2tpu_encode(const uint8_t* img, int w, int h, int tpgdon,
   return static_cast<long>(buf.size());
 }
 
-// Decodes a stream produced by jbig2tpu_encode (embedded form).  out must
-// hold w*h bytes; (w, h) must match the encoded page.  Returns 0 or -1.
+// Symbol-coded encode (jbig2enc -s equivalent, but lossless: exact-match
+// symbol classes only).  mode: 1 = force symbol coding, 2 = auto (emit
+// whichever of generic/symbol is smaller).  Returns bytes written,
+// -needed if cap is too small, or -1 on empty/degenerate input in
+// forced-symbol mode (callers fall back to generic).
+long jbig2tpu_encode_symbol(const uint8_t* img, int w, int h, int tpgdon,
+                            int embedded, int mode, uint8_t* out, long cap) {
+  std::vector<SymBitmap> syms;
+  std::vector<Instance> inst;
+  ExtractSymbols(img, w, h, &syms, &inst);
+
+  std::vector<uint8_t> sym_buf;
+  if (!syms.empty())
+    AssembleSymbolStream(syms, inst, w, h, embedded != 0, &sym_buf);
+
+  if (mode == 2 || syms.empty()) {
+    std::vector<uint8_t> gen_mq;
+    EncodeGenericRegion(img, w, h, tpgdon != 0, &gen_mq);
+    // generic stream overhead: headers as in jbig2tpu_encode
+    const long gen_total = static_cast<long>(gen_mq.size()) + 30 + 37 +
+                           (embedded ? 0 : 13 + 22);
+    if (syms.empty() ||
+        gen_total <= static_cast<long>(sym_buf.size())) {
+      return jbig2tpu_encode(img, w, h, tpgdon, embedded, out, cap);
+    }
+  }
+  if (syms.empty()) return -1;
+  if (static_cast<long>(sym_buf.size()) > cap)
+    return -static_cast<long>(sym_buf.size());
+  std::memcpy(out, sym_buf.data(), sym_buf.size());
+  return static_cast<long>(sym_buf.size());
+}
+
+// Decodes a stream produced by the encoders above (generic and/or
+// symbol-coded segments, embedded or standalone).  out must hold w*h
+// bytes; (w, h) must match the encoded page.  Returns 0 or -1.
 long jbig2tpu_decode(const uint8_t* data, long len, uint8_t* out,
                      int w, int h) {
-  // walk segments: header is 4+1+1+1+4 = 11 bytes in our fixed layout
   long pos = 0;
+  if (len >= 9 && data[0] == 0x97 && data[1] == 0x4A && data[2] == 0x42 &&
+      data[3] == 0x32) {  // standalone file header
+    const uint8_t fflags = data[8];
+    pos = 9 + ((fflags & 0x02) ? 0 : 4);
+  }
+  auto u32 = [&](long p) {
+    return (static_cast<uint32_t>(data[p]) << 24) |
+           (static_cast<uint32_t>(data[p + 1]) << 16) |
+           (static_cast<uint32_t>(data[p + 2]) << 8) | data[p + 3];
+  };
+  std::memset(out, 0, static_cast<long>(w) * h);
+  std::vector<SymBitmap> syms;
+  bool decoded_any = false;
   while (pos + 11 <= len) {
-    int type = data[pos + 4] & 0x3F;
-    uint32_t dlen = (static_cast<uint32_t>(data[pos + 7]) << 24) |
-                    (static_cast<uint32_t>(data[pos + 8]) << 16) |
-                    (static_cast<uint32_t>(data[pos + 9]) << 8) |
-                    static_cast<uint32_t>(data[pos + 10]);
-    long body = pos + 11;
-    if (type == 39 || type == 38 || type == 36) {
-      if (body + 26 > len) return -1;
-      uint32_t rw = (static_cast<uint32_t>(data[body]) << 24) |
-                    (static_cast<uint32_t>(data[body + 1]) << 16) |
-                    (static_cast<uint32_t>(data[body + 2]) << 8) |
-                    data[body + 3];
-      uint32_t rh = (static_cast<uint32_t>(data[body + 4]) << 24) |
-                    (static_cast<uint32_t>(data[body + 5]) << 16) |
-                    (static_cast<uint32_t>(data[body + 6]) << 8) |
-                    data[body + 7];
+    const uint32_t segnum = u32(pos);
+    const uint8_t flags = data[pos + 4];
+    const int type = flags & 0x3F;
+    long hp = pos + 5;
+    const uint8_t rt = data[hp];
+    uint32_t nrefs;
+    if ((rt >> 5) == 7) {
+      nrefs = u32(hp) & 0x1FFFFFFF;
+      hp += 4 + (nrefs + 8) / 8;  // long form + retain bits
+    } else {
+      nrefs = rt >> 5;
+      hp += 1;
+    }
+    const int refsize = segnum <= 256 ? 1 : (segnum <= 65536 ? 2 : 4);
+    hp += static_cast<long>(nrefs) * refsize;
+    hp += (flags & 0x40) ? 4 : 1;  // page association
+    if (hp + 4 > len) return -1;
+    const uint32_t dlen = u32(hp);
+    const long body = hp + 4;
+    if (body + dlen > len) return -1;
+
+    if (type == 0) {
+      std::vector<SymBitmap> fresh;
+      if (DecodeSymbolDict(data + body, dlen, &fresh) != 0) return -1;
+      for (auto& s : fresh) syms.push_back(std::move(s));
+    } else if (type == 4 || type == 6 || type == 7) {
+      if (DecodeTextRegion(data + body, dlen, syms, out, w, h) != 0)
+        return -1;
+      decoded_any = true;
+    } else if (type == 39 || type == 38 || type == 36) {
+      if (static_cast<long>(dlen) < 26) return -1;
+      const uint32_t rw = u32(body);
+      const uint32_t rh = u32(body + 4);
       if (static_cast<int>(rw) != w || static_cast<int>(rh) != h) return -1;
-      bool tpgdon = (data[body + 17] & 0x08) != 0;
-      const uint8_t* mq = data + body + 26;
-      long mqlen = static_cast<long>(dlen) - 26;
-      if (mqlen < 0) return -1;
-      return DecodeGenericRegion(mq, mqlen, tpgdon, out, w, h);
+      const bool tpgdon = (data[body + 17] & 0x08) != 0;
+      if (DecodeGenericRegion(data + body + 26, dlen - 26, tpgdon,
+                              out, w, h) != 0) return -1;
+      decoded_any = true;
     }
     pos = body + dlen;
   }
-  return -1;
+  return decoded_any ? 0 : -1;
 }
 
 }  // extern "C"

@@ -50,6 +50,64 @@ class TestJBIG2:
         assert len(data) < m.size // 8 // 3   # beats raw packed by 3x+
 
 
+def glyph_mask(h=400, w=520, seed=1):
+    """Text-like page reusing a small set of exact glyph bitmaps."""
+    rng = np.random.default_rng(seed)
+    glyphs = [rng.random((11, 8)) < 0.5 for _ in range(12)]
+    m = np.zeros((h, w), bool)
+    for row in range(4, h - 14, 16):
+        x = 6
+        while x < w - 14:
+            m[row:row + 11, x:x + 8] |= glyphs[int(rng.integers(0, 12))]
+            x += 8 + int(rng.integers(2, 6))
+    return m
+
+
+class TestJBIG2Symbol:
+    def test_lossless_roundtrip(self):
+        m = glyph_mask()
+        data = encode_jbig2(m, symbol_mode=True)
+        assert (decode_jbig2(data, m.shape[1], m.shape[0]) == m).all()
+
+    def test_beats_generic_on_repeated_glyphs(self):
+        m = glyph_mask()
+        gen = encode_jbig2(m)
+        sym = encode_jbig2(m, symbol_mode=True)
+        assert len(sym) < len(gen)
+
+    def test_auto_picks_smaller(self):
+        m = glyph_mask()
+        auto = encode_jbig2(m, symbol_mode='auto')
+        gen = encode_jbig2(m)
+        sym = encode_jbig2(m, symbol_mode=True)
+        assert len(auto) == min(len(gen), len(sym))
+        assert (decode_jbig2(auto, m.shape[1], m.shape[0]) == m).all()
+
+    def test_edge_masks(self):
+        for m in (np.zeros((40, 50), bool), np.ones((40, 50), bool),
+                  np.eye(64, dtype=bool),
+                  np.array([[True]]),
+                  text_mask(64, 80)):
+            for mode in (True, 'auto'):
+                data = encode_jbig2(m, symbol_mode=mode)
+                got = decode_jbig2(data, m.shape[1], m.shape[0])
+                assert (got == m).all(), mode
+
+    def test_standalone_symbol_file(self):
+        m = glyph_mask()
+        data = encode_jbig2(m, embedded=False, symbol_mode=True)
+        assert data[:4] == b'\x97JB2'
+        assert (decode_jbig2(data, m.shape[1], m.shape[0]) == m).all()
+
+    def test_mask_encode_sets_decode_array(self):
+        m = glyph_mask()
+        em = encode_mrc_mask(m, jbig2_symbol_mode=True)
+        assert em.decode == (1, 0)
+        # generic polarity has no decode flip
+        em2 = encode_mrc_mask(m)
+        assert em2.decode is None
+
+
 class TestCCITT:
     def test_roundtrip(self):
         m = text_mask(seed=5)

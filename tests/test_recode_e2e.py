@@ -200,6 +200,48 @@ class TestCLI:
 
 
 class TestResume:
+    def test_jbig2_symbol_coding(self, tmp_path):
+        out, res, pages = run_recode(tmp_path, jbig2_symbol_mode='auto')
+        assert res['compression_ratio'] > 1.0
+        r = PdfReader(out)
+        for page in range(r.page_count()):
+            for _, _, s in r.page_images(page):
+                sm = r.resolve(s.dict.get('SMask'))
+                if sm is None:
+                    continue
+                w = int(r.resolve(sm.dict['Width']))
+                h = int(r.resolve(sm.dict['Height']))
+                bits = decode_jbig2(sm.raw, w, h)
+                dec = r.resolve(sm.dict.get('Decode'))
+                mask = bits if dec and float(r.resolve(dec[0])) == 1.0 \
+                    else ~bits
+                # same ink statistics regardless of chosen coding
+                assert 0.005 < mask.mean() < 0.6
+
+    def test_symbol_vs_generic_same_mask(self, tmp_path):
+        out_g, _, _ = run_recode(tmp_path, jbig2_symbol_mode=False)
+        out_s, _, _ = run_recode(tmp_path, jbig2_symbol_mode=True,
+                                 out_pdf=str(tmp_path / 'out_sym.pdf'))
+
+        def masks(path):
+            r = PdfReader(path)
+            got = []
+            for page in range(r.page_count()):
+                for _, _, s in r.page_images(page):
+                    sm = r.resolve(s.dict.get('SMask'))
+                    if sm is None:
+                        continue
+                    w = int(r.resolve(sm.dict['Width']))
+                    h = int(r.resolve(sm.dict['Height']))
+                    bits = decode_jbig2(sm.raw, w, h)
+                    dec = r.resolve(sm.dict.get('Decode'))
+                    got.append(bits if dec and
+                               float(r.resolve(dec[0])) == 1.0 else ~bits)
+            return got
+
+        for mg, ms in zip(masks(out_g), masks(out_s)):
+            assert (mg == ms).all()   # symbol coding is lossless
+
     def test_resume_from_artifacts(self, tmp_path):
         stack, hocr, pages = make_book(tmp_path, n_pages=2)
         art = tmp_path / 'artifacts'
