@@ -5,8 +5,8 @@ Replaces the integral-image + per-pixel-gather formulation of
 ``mrc.py:188-270``: each line bbox crop is thresholded independently at
 k=0.1, both polarities, with windows clamped to the crop).
 
-Eight lines ride the VPU sublanes per grid step: grid
-(n_lines/8, max_h + u), each line walking its own rows through three
+GROUP (16) lines ride the VPU sublanes per grid step: grid
+(n_lines/GROUP, max_h + u), each line walking its own rows through three
 scalar-prefetch-indexed row streams (window enter / leave / centre).
 Lines in a group have independent bboxes, so row validity uses masked
 adds rather than predication.  Lanes outside a line's [l, r) are zeroed
@@ -32,7 +32,8 @@ from .optimise_pallas import _cumsum_lanes, _shift_right_zero, \
 
 MAX_LINE_H = 128          # default bucket
 LINE_H_BUCKETS = (64, 128, 256, 512)
-GROUP = 8                 # lines per grid step (sublane packing)
+GROUP = 16                # lines per grid step (sublane packing); larger
+                          # groups amortize per-grid-step overhead
 
 
 def _make_kernel(wpp, window, k, R, max_h):
@@ -204,7 +205,7 @@ def line_thresholds_pallas(gray, boxes, pages, window, k=0.1, R=128.0,
         interpret=interpret,
     )(t, bb, ll, rr, pages, *([gp] * (3 * GROUP)))
 
-    # (n/8, max_h, 8, wpp) -> (n, max_h, wpp)
+    # (n/G, max_h, G, wpp) -> (n, max_h, wpp)
     out_t = jnp.transpose(out_t, (0, 2, 1, 3)).reshape(n, max_h, wpp)
     out_i = jnp.transpose(out_i, (0, 2, 1, 3)).reshape(n, max_h, wpp)
     return out_t, out_i

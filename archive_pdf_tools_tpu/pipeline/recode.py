@@ -260,6 +260,8 @@ def insert_images_mrc(builder, hocr_file, in_pdf=None, image_files=None,
                       jbig2_symbol_mode=False):
     """Pass 2 (``recode.py:266-529``), batched."""
     timing_data = []
+    if img_dir is not None:
+        os.makedirs(img_dir, exist_ok=True)
     jobs = []
     skipped_pages = 0
     for idx, hocr_page in enumerate(hocr_page_iterator(hocr_file)):
@@ -578,13 +580,18 @@ def recode(from_pdf=None, from_imagestack=None, dpi=None, hocr_file=None,
            ignore_invalid_pagenumbers=False,
            mask_compression=COMPRESSOR_JBIG2,
            batch_pages=DEFAULT_BATCH_PAGES, exact_denoise=True,
-           resume=False, profile_dir=None, jbig2_symbol_mode=False):
+           resume=False, profile_dir=None, jbig2_symbol_mode=False,
+           skip_pages=None):
     """Whole-tool pipeline (``recode.py:562-796``); returns
     {'errors': set, 'compression_ratio': float}.
 
     profile_dir: when set, pass 2 runs under jax.profiler.trace for
     device-level timing (the TPU analog of the reference's timing_data
-    prints, SURVEY.md section 5)."""
+    prints, SURVEY.md section 5).
+
+    skip_pages: extra hOCR page indices to skip, unioned with the
+    scandata skip list (used by parallel/multihost.py page-range
+    sharding; the reference only skips via scandata)."""
     errors = set()
     start_time = time()
 
@@ -603,11 +610,11 @@ def recode(from_pdf=None, from_imagestack=None, dpi=None, hocr_file=None,
 
     reporter = Reporter(reporter)
 
-    skip_pages = []
+    skip_pages = list(skip_pages) if skip_pages else []
     dpi_pages = None
     if scandata_file is not None:
         sd = Scandata(scandata_file)
-        skip_pages = sd.skip_pages()
+        skip_pages = sorted(set(skip_pages) | set(sd.skip_pages()))
         dpi_pages = sd.dpi_per_page()
         scandata_doc_dpi = sd.document_dpi()
         if scandata_doc_dpi is not None:

@@ -45,6 +45,94 @@ class TestPageMesh:
         assert out[0].shape == (2, 256, 384)
 
 
+class TestMultiHost:
+    def test_range_assignment_covers_all_pages(self):
+        from archive_pdf_tools_tpu.parallel.multihost import \
+            assign_page_range
+        for n_pages in (1, 7, 8, 9, 100):
+            for n_hosts in (1, 2, 3, 8):
+                seen = []
+                for hid in range(n_hosts):
+                    a, b = assign_page_range(n_pages, n_hosts, hid)
+                    seen.extend(range(a, b))
+                assert seen == list(range(n_pages)), (n_pages, n_hosts)
+
+    def test_host_stop_after(self):
+        from archive_pdf_tools_tpu.parallel.multihost import \
+            host_stop_after
+        skip, stop = host_stop_after(10, 3, 1)
+        assert skip == [0, 1, 2, 3] and stop == 4
+        skip, stop = host_stop_after(10, 3, 2)
+        assert skip == list(range(8)) and stop == 2
+
+    def test_gather_artifacts_renumbers(self, tmp_path):
+        from archive_pdf_tools_tpu.parallel.multihost import \
+            gather_artifacts
+        d0 = tmp_path / 'h0'
+        d1 = tmp_path / 'h1'
+        d0.mkdir()
+        d1.mkdir()
+        (d0 / '000000_mask.jbig2').write_bytes(b'a')
+        (d0 / '000001_meta.json').write_bytes(b'b')
+        (d1 / '000000_mask.jbig2').write_bytes(b'c')
+        merged = tmp_path / 'all'
+        n = gather_artifacts([str(d0), (str(d1), 2)], str(merged))
+        assert n == 3
+        assert (merged / '000000_mask.jbig2').read_bytes() == b'a'
+        assert (merged / '000002_mask.jbig2').read_bytes() == b'c'
+
+    def test_two_host_split_recode_matches_single(self, tmp_path):
+        """Each 'host' recodes its page range into its own artifact dir;
+        the assembly host gathers + resumes and must reproduce the
+        single-host masks."""
+        from archive_pdf_tools_tpu.parallel.multihost import (
+            assign_page_range, host_stop_after, gather_artifacts)
+        from archive_pdf_tools_tpu.pipeline.recode import recode
+        from archive_pdf_tools_tpu.pdf.reader import PdfReader
+        from archive_pdf_tools_tpu.codecs.jbig2 import decode_jbig2
+        from tests.fixtures import make_book
+        from tests.test_recode_e2e import J2K_BG, J2K_FG
+
+        stack, hocr, _ = make_book(tmp_path, n_pages=2)
+        kw = dict(from_imagestack=stack, hocr_file=hocr, dpi=100,
+                  jbig2=True, bg_compression_flags=[J2K_BG],
+                  fg_compression_flags=[J2K_FG])
+
+        single = str(tmp_path / 'single.pdf')
+        recode(out_pdf=single, **kw)
+
+        n_hosts, dirs = 2, []
+        for hid in range(n_hosts):
+            skip, count = host_stop_after(2, n_hosts, hid)
+            d = str(tmp_path / ('host%d' % hid))
+            # recode() replicates the reference's stop_after off-by-one
+            # (recode.py:602-604 decrements once), so pass count + 1
+            recode(out_pdf=str(tmp_path / ('h%d.pdf' % hid)), out_dir=d,
+                   skip_pages=skip, stop_after=count + 1, **kw)
+            dirs.append((d, assign_page_range(2, n_hosts, hid)[0]))
+        merged = str(tmp_path / 'merged')
+        gather_artifacts(dirs, merged)
+        final = str(tmp_path / 'final.pdf')
+        recode(out_pdf=final, out_dir=merged, resume=True, **kw)
+
+        def masks(path):
+            r = PdfReader(path)
+            out = []
+            for p in range(r.page_count()):
+                for _, _, s in r.page_images(p):
+                    sm = r.resolve(s.dict.get('SMask'))
+                    if sm is not None:
+                        w = int(r.resolve(sm.dict['Width']))
+                        h = int(r.resolve(sm.dict['Height']))
+                        out.append(decode_jbig2(sm.raw, w, h))
+            return out
+
+        ms, mf = masks(single), masks(final)
+        assert len(ms) == len(mf) == 2
+        for a, b in zip(ms, mf):
+            assert (a == b).all()
+
+
 class TestShardMapPallas:
     def test_optimise_kernel_under_shard_map(self):
         from jax.experimental.shard_map import shard_map
