@@ -5,7 +5,7 @@ Replaces the integral-image + per-pixel-gather formulation of
 ``mrc.py:188-270``: each line bbox crop is thresholded independently at
 k=0.1, both polarities, with windows clamped to the crop).
 
-GROUP (16) lines ride the VPU sublanes per grid step: grid
+GROUP (8) lines ride the VPU sublanes per grid step: grid
 (n_lines/GROUP, max_h + u), each line walking its own rows through three
 scalar-prefetch-indexed row streams (window enter / leave / centre).
 Lines in a group have independent bboxes, so row validity uses masked
@@ -32,8 +32,10 @@ from .optimise_pallas import _cumsum_lanes, _shift_right_zero, \
 
 MAX_LINE_H = 128          # default bucket
 LINE_H_BUCKETS = (64, 128, 256, 512)
-GROUP = 16                # lines per grid step (sublane packing); larger
-                          # groups amortize per-grid-step overhead
+GROUP = 8                 # lines per grid step (sublane packing).
+                          # GROUP=16 measured ~7% slower end-to-end: the
+                          # doubled per-step stream DMAs cost more than
+                          # the halved step count saves.
 
 
 def _make_kernel(wpp, window, k, R, max_h):

@@ -42,6 +42,7 @@ class PageState:
         self.width = width
         self.height = height
         self.text_ops = b''
+        self.extra_ops = b''      # raw operators appended after images
         self.images = []          # (name, xobj_ref) draw order
         self.extra = {}
 
@@ -328,6 +329,8 @@ class DocumentBuilder:
                         (b'%g' % page.width), (b'%g' % page.height),
                         name.encode('ascii')))
                 resources[Name('XObject')] = xdict
+            if page.extra_ops:
+                ops.append(page.extra_ops + b'\n')
             ops.append(page.text_ops)
             content_ref = self.w.add(Stream({}, b''.join(ops),
                                             deflate=deflate))

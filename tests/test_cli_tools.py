@@ -70,6 +70,21 @@ class TestPdfMetadataJson:
         rep = json.loads(open(out).read())
         assert rep['page-count'] == 2
 
+    def test_vector_colour_detected(self, tmp_path):
+        """Colour set only by vector operators (no images) must flip the
+        page's colour-mode (reference renders the page,
+        bin/pdf-metadata-json:61-113; we inspect the content stream)."""
+        from archive_pdf_tools_tpu.pdf.builder import DocumentBuilder
+        for ops, want in ((b'1 0 0 rg 0 0 50 50 re f', 'RGB'),
+                          (b'0.5 g 0 0 50 50 re f', 'Grayscale')):
+            b = DocumentBuilder()
+            idx = b.add_text_page([], 200, 300, ppi=72)
+            b.pages[idx].extra_ops = ops
+            path = str(tmp_path / ('v_%s.pdf' % want))
+            b.save(path)
+            rep = analyse(path, sample_pixels=False)
+            assert rep['pages'][0]['colour-mode'] == want, want
+
 
 class TestCompressPdfImages:
     def test_compress(self, jpeg_pdf, tmp_path, capsys):
