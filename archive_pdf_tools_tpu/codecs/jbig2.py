@@ -25,10 +25,13 @@ _SO_PATH = os.path.join(_NATIVE_DIR, 'libjbig2tpu.so')
 _lib = None
 
 
+_SOURCES = ('jbig2.cpp', 'crypto.cpp')
+
+
 def _build_native():
-    src = os.path.join(_NATIVE_DIR, 'jbig2.cpp')
+    srcs = [os.path.join(_NATIVE_DIR, f) for f in _SOURCES]
     cmd = ['g++', '-O3', '-fPIC', '-std=c++17', '-shared',
-           '-o', _SO_PATH, src]
+           '-o', _SO_PATH] + srcs
     subprocess.check_call(cmd)
 
 
@@ -36,9 +39,10 @@ def _get_lib():
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_SO_PATH) or (
+    if not os.path.exists(_SO_PATH) or any(
             os.path.getmtime(_SO_PATH)
-            < os.path.getmtime(os.path.join(_NATIVE_DIR, 'jbig2.cpp'))):
+            < os.path.getmtime(os.path.join(_NATIVE_DIR, f))
+            for f in _SOURCES):
         _build_native()
     lib = ctypes.CDLL(_SO_PATH)
     lib.jbig2tpu_encode.restype = ctypes.c_long

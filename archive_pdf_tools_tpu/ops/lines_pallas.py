@@ -6,8 +6,10 @@ Replaces the integral-image + per-pixel-gather formulation of
 k=0.1, both polarities, with windows clamped to the crop).
 
 GROUP (8) lines ride the VPU sublanes per grid step: grid
-(n_lines/GROUP, max_h + u), each line walking its own rows through three
-scalar-prefetch-indexed row streams (window enter / leave / centre).
+(n_lines/GROUP, max_h + u), each line walking its own rows through one
+scalar-prefetch-indexed row stream (window enter); the leave and centre
+rows are re-read from a VMEM row ring instead of streaming two more HBM
+copies per line.
 Lines in a group have independent bboxes, so row validity uses masked
 adds rather than predication.  Lanes outside a line's [l, r) are zeroed
 on ingest so the lane prefix sums self-clamp horizontally; the
@@ -38,16 +40,14 @@ GROUP = 8                 # lines per grid step (sublane packing).
                           # the halved step count saves.
 
 
-def _make_kernel(wpp, window, k, R, max_h):
+def _make_kernel(wpp, window, k, R, max_h, ring_n):
     o = (window + 1) // 2
     u = window // 2
 
     def kernel(t_ref, b_ref, l_ref, r_ref, page_ref, *refs):
         add_refs = refs[0:GROUP]
-        rem_refs = refs[GROUP:2 * GROUP]
-        px_refs = refs[2 * GROUP:3 * GROUP]
-        out_t_ref, out_i_ref = refs[3 * GROUP:3 * GROUP + 2]
-        colsum, colsumsq = refs[3 * GROUP + 2:]
+        out_t_ref, out_i_ref = refs[GROUP:GROUP + 2]
+        ring, colsum, colsumsq = refs[GROUP + 2:]
 
         i = pl.program_id(0)
         s2 = pl.program_id(1)
@@ -70,19 +70,22 @@ def _make_kernel(wpp, window, k, R, max_h):
         lanes = jax.lax.broadcasted_iota(jnp.int32, (GROUP, wpp), 1)
         in_cols = jnp.logical_and(lanes >= ll, lanes < rr)
 
-        def gather_rows(refs_group):
-            return jnp.concatenate(
-                [r[0] for r in refs_group], axis=0).astype(jnp.int32)
-
-        # window enter: each line's global row t_j + s2 (masked add)
-        add_rows = jnp.where(in_cols, gather_rows(add_refs), 0)
+        # window enter: each line's global row t_j + s2 (masked add).
+        # The raw rows go into a VMEM ring so the window-leave row (u+o
+        # steps later) and the centre row (u steps later) are re-read
+        # from VMEM instead of streaming three HBM copies per line.
+        raw_u8 = jnp.concatenate([r[0] for r in add_refs], axis=0)
+        ring[pl.ds(s2 % ring_n, 1)] = raw_u8[None]
+        add_rows = jnp.where(in_cols, raw_u8.astype(jnp.int32), 0)
         add_rows = jnp.where(s2 < height, add_rows, 0)
         colsum[...] = colsum[...] + add_rows
         colsumsq[...] = colsumsq[...] + add_rows * add_rows
 
         # window leave: row t_j + s2 - u - o (masked subtract)
         rem = s2 - u - o
-        rem_rows = jnp.where(in_cols, gather_rows(rem_refs), 0)
+        rem_slot = jnp.maximum(rem, 0) % ring_n
+        rem_raw = ring[pl.ds(rem_slot, 1)][0].astype(jnp.int32)
+        rem_rows = jnp.where(in_cols, rem_raw, 0)
         rem_rows = jnp.where(
             jnp.logical_and(rem >= 0, rem < height), rem_rows, 0)
         colsum[...] = colsum[...] - rem_rows
@@ -106,7 +109,8 @@ def _make_kernel(wpp, window, k, R, max_h):
                        - jnp.maximum(lanes - o, ll - 1))
             cnt = jnp.maximum(rows_in * cols_in, 1)
 
-            px = jnp.where(in_cols, gather_rows(px_refs), 0)
+            px_raw = ring[pl.ds(r_loc % ring_n, 1)][0].astype(jnp.int32)
+            px = jnp.where(in_cols, px_raw, 0)
 
             kf = jnp.float32(k)
             k2 = kf * kf / jnp.float32(R) / jnp.float32(R)
@@ -169,13 +173,10 @@ def line_thresholds_pallas(gray, boxes, pages, window, k=0.1, R=128.0,
             return (row * bsz + page_ref[line], 0, 0)
         return index_map
 
-    in_specs = []
-    for offset_fn in (lambda tt, s2: tt + s2,
-                      lambda tt, s2: tt + s2 - u - o,
-                      lambda tt, s2: tt + s2 - u):
-        for j in range(GROUP):
-            in_specs.append(pl.BlockSpec((1, 1, wpp),
-                                         mk_index(j, offset_fn)))
+    ring_n = window + 1          # enter row must outlive the leave read
+    in_specs = [pl.BlockSpec((1, 1, wpp),
+                             mk_index(j, lambda tt, s2: tt + s2))
+                for j in range(GROUP)]
 
     def out_map(i, s2, t_ref, b_ref, l_ref, r_ref, page_ref):
         return (i, jnp.clip(s2 - u, 0, max_h - 1), 0, 0)
@@ -189,13 +190,14 @@ def line_thresholds_pallas(gray, boxes, pages, window, k=0.1, R=128.0,
             pl.BlockSpec((1, 1, GROUP, wpp), out_map),
         ],
         scratch_shapes=[
+            pltpu.VMEM((ring_n, GROUP, wpp), jnp.uint8),
             pltpu.VMEM((GROUP, wpp), jnp.int32),
             pltpu.VMEM((GROUP, wpp), jnp.int32),
         ],
     )
 
     out_t, out_i = pl.pallas_call(
-        _make_kernel(wpp, window, float(k), float(R), max_h),
+        _make_kernel(wpp, window, float(k), float(R), max_h, ring_n),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((n // GROUP, max_h, GROUP, wpp),
@@ -205,7 +207,7 @@ def line_thresholds_pallas(gray, boxes, pages, window, k=0.1, R=128.0,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(t, bb, ll, rr, pages, *([gp] * (3 * GROUP)))
+    )(t, bb, ll, rr, pages, *([gp] * GROUP))
 
     # (n/G, max_h, G, wpp) -> (n, max_h, wpp)
     out_t = jnp.transpose(out_t, (0, 2, 1, 3)).reshape(n, max_h, wpp)

@@ -293,8 +293,46 @@ class PdfReader:
         self.trailer = {}
         self._cache = {}
         self._objstm_cache = {}
+        self._crypt = None
+        self._encrypt_num = None
         self._load_xref()
+        self._init_crypt()
         self._pages = None
+
+    def _init_crypt(self, password=b''):
+        """Standard security handler (the reference gets this from
+        PyMuPDF; see pdf/crypt.py)."""
+        enc_ref = self.trailer.get('Encrypt')
+        if enc_ref is None:
+            return
+        self._encrypt_num = enc_ref.num if isinstance(enc_ref, PRef) \
+            else None
+        enc = self.resolve(enc_ref)
+        ids = self.trailer.get('ID')
+        id0 = ids[0] if isinstance(ids, list) and ids else b''
+        if not isinstance(id0, bytes):
+            id0 = b''
+        from .crypt import StandardDecryptor
+        self._crypt = StandardDecryptor(enc, id0, password=password,
+                                        resolve=self.resolve)
+
+    def _decrypt_value(self, val, num):
+        """Recursively decrypt strings (and the stream body) of a
+        just-parsed top-level object."""
+        c = self._crypt
+        if isinstance(val, bytes):
+            return c.decrypt_string(val, num)
+        if isinstance(val, list):
+            return [self._decrypt_value(v, num) for v in val]
+        if isinstance(val, dict):
+            return {k: self._decrypt_value(v, num) for k, v in val.items()}
+        if isinstance(val, PStream):
+            t = val.dict.get('Type')
+            val.dict = self._decrypt_value(val.dict, num)
+            if str(t) != 'XRef':        # xref streams are never encrypted
+                val.raw = c.decrypt_stream(val.raw, num)
+            return val
+        return val
 
     # ---- xref loading ---------------------------------------------------
 
@@ -442,6 +480,8 @@ class PdfReader:
         if entry[0] == 'file':
             obj, stream = self._parse_object_at(entry[1])
             val = stream if stream is not None else obj
+            if self._crypt is not None and num != self._encrypt_num:
+                val = self._decrypt_value(val, num)
         else:
             _, stm_num, idx = entry
             val = self._objstm_object(stm_num, idx)

@@ -240,3 +240,175 @@ class TestReaderXrefStream:
         r = PdfReader(data)
         assert r.page_count() == 1
         assert r.page_size(0) == (100.0, 200.0)
+
+
+class TestEncryption:
+    """Reader-side standard security handler (pdf/crypt.py; the
+    reference relies on PyMuPDF for encrypted input)."""
+
+    def test_aes_known_answers(self):
+        from archive_pdf_tools_tpu.pdf.crypt import aes_cbc_nopad
+        # FIPS-197 C.1 (AES-128) and C.3 (AES-256), single block, IV=0
+        pt = bytes.fromhex('00112233445566778899aabbccddeeff')
+        k128 = bytes.fromhex('000102030405060708090a0b0c0d0e0f')
+        ct = aes_cbc_nopad(k128, b'\0' * 16, pt, decrypt=False)
+        assert ct.hex() == '69c4e0d86a7b0430d8cdb78070b4c55a'
+        assert aes_cbc_nopad(k128, b'\0' * 16, ct, decrypt=True) == pt
+        k256 = bytes.fromhex('000102030405060708090a0b0c0d0e0f'
+                             '101112131415161718191a1b1c1d1e1f')
+        ct = aes_cbc_nopad(k256, b'\0' * 16, pt, decrypt=False)
+        assert ct.hex() == '8ea2b7ca516745bfeafc49904b496089'
+
+    def test_rc4_known_answer(self):
+        from archive_pdf_tools_tpu.pdf.crypt import rc4
+        # classic "Key"/"Plaintext" vector
+        assert rc4(b'Key', b'Plaintext').hex() == 'bbf316e8d940af0ad3'
+
+    @staticmethod
+    def _esc(s):
+        out = bytearray()
+        for b in s:
+            if b in (0x28, 0x29, 0x5C):
+                out += b'\\' + bytes([b])
+            elif b == 0x0D:
+                out += b'\\r'
+            elif b == 0x0A:
+                out += b'\\n'
+            else:
+                out.append(b)
+        return bytes(out)
+
+    def _build_encrypted(self, enc_dict_body, encrypt_stream, doc_id):
+        """Assemble a one-page PDF whose content stream is encrypted by
+        the caller-provided function(num, data)."""
+        contents = b'BT /F1 12 Tf 10 100 Td (secret words) Tj ET'
+        body = encrypt_stream(4, contents)
+        objs = {
+            1: b'<< /Type /Catalog /Pages 2 0 R >>',
+            2: b'<< /Type /Pages /Kids [3 0 R] /Count 1 >>',
+            3: (b'<< /Type /Page /Parent 2 0 R /MediaBox [0 0 200 200] '
+                b'/Contents 4 0 R >>'),
+            4: b'<< /Length %d >>stream\n%s\nendstream' % (len(body), body),
+            5: enc_dict_body,
+        }
+        out = bytearray(b'%PDF-1.6\n')
+        offsets = {}
+        for n in sorted(objs):
+            offsets[n] = len(out)
+            out += b'%d 0 obj\n%s\nendobj\n' % (n, objs[n])
+        xref_at = len(out)
+        out += b'xref\n0 6\n0000000000 65535 f \n'
+        for n in sorted(objs):
+            out += b'%010d 00000 n \n' % offsets[n]
+        out += (b'trailer\n<< /Size 6 /Root 1 0 R /Encrypt 5 0 R /ID [<'
+                + doc_id.hex().encode() + b'> <' + doc_id.hex().encode()
+                + b'>] >>\nstartxref\n%d\n%%%%EOF\n' % xref_at)
+        return bytes(out), contents
+
+    def test_rc4_128_document(self):
+        import hashlib
+        import struct
+        from archive_pdf_tools_tpu.pdf.crypt import rc4, PAD
+        from archive_pdf_tools_tpu.pdf.reader import PdfReader
+        doc_id = bytes(range(16))
+        o_entry = bytes(range(100, 132))
+        p = -44 & 0xFFFFFFFF
+        key = hashlib.md5(PAD + o_entry + struct.pack('<I', p)
+                          + doc_id).digest()
+        for _ in range(50):
+            key = hashlib.md5(key[:16]).digest()
+        key = key[:16]
+
+        def enc(num, data):
+            k = hashlib.md5(key + struct.pack('<I', num)[:3]
+                            + b'\0\0').digest()[:16]
+            return rc4(k, data)
+
+        enc_dict = (b'<< /Filter /Standard /V 2 /R 3 /Length 128 /O <'
+                    + o_entry.hex().encode()
+                    + b'> /U <' + (b'\0' * 32).hex().encode()
+                    + b'> /P -44 >>')
+        pdf, plain = self._build_encrypted(enc_dict, enc, doc_id)
+        r = PdfReader(pdf)
+        assert r.page_contents(0).strip() == plain
+
+    def test_aesv2_document(self):
+        import hashlib
+        import struct
+        from archive_pdf_tools_tpu.pdf.crypt import aes_cbc_nopad, PAD
+        from archive_pdf_tools_tpu.pdf.reader import PdfReader
+        doc_id = bytes(range(16, 32))
+        o_entry = bytes(range(200, 232))
+        p = -44 & 0xFFFFFFFF
+        key = hashlib.md5(PAD + o_entry + struct.pack('<I', p)
+                          + doc_id).digest()
+        for _ in range(50):
+            key = hashlib.md5(key[:16]).digest()
+        key = key[:16]
+
+        def enc(num, data):
+            k = hashlib.md5(key + struct.pack('<I', num)[:3] + b'\0\0'
+                            + b'sAlT').digest()[:16]
+            pad = 16 - len(data) % 16
+            iv = bytes(range(32, 48))
+            ct = aes_cbc_nopad(k, iv, data + bytes([pad]) * pad,
+                               decrypt=False)
+            return iv + ct
+
+        enc_dict = (b'<< /Filter /Standard /V 4 /R 4 /Length 128'
+                    b' /CF << /StdCF << /CFM /AESV2 /Length 16 >> >>'
+                    b' /StmF /StdCF /StrF /StdCF /O <'
+                    + o_entry.hex().encode()
+                    + b'> /U <' + (b'\0' * 32).hex().encode()
+                    + b'> /P -44 >>')
+        pdf, plain = self._build_encrypted(enc_dict, enc, doc_id)
+        r = PdfReader(pdf)
+        assert r.page_contents(0).strip() == plain
+
+    def test_aes256_r6_document(self):
+        from archive_pdf_tools_tpu.pdf.crypt import (aes_cbc_nopad,
+                                                     _hash_2a)
+        from archive_pdf_tools_tpu.pdf.reader import PdfReader
+        doc_id = bytes(range(32, 48))
+        file_key = bytes(range(64, 96))
+        vsalt = bytes(range(8))
+        ksalt = bytes(range(8, 16))
+        u_hash = _hash_2a(b'', vsalt)
+        u_entry = u_hash + vsalt + ksalt
+        ik = _hash_2a(b'', ksalt)
+        ue = aes_cbc_nopad(ik, b'\0' * 16, file_key, decrypt=False)
+        o_entry = bytes(range(100, 148))          # wrong on purpose
+        oe = bytes(range(110, 142))
+
+        def enc(num, data):
+            pad = 16 - len(data) % 16
+            iv = bytes(range(48, 64))
+            ct = aes_cbc_nopad(file_key, iv, data + bytes([pad]) * pad,
+                               decrypt=False)
+            return iv + ct
+
+        enc_dict = (b'<< /Filter /Standard /V 5 /R 6 /Length 256'
+                    b' /CF << /StdCF << /CFM /AESV3 /Length 32 >> >>'
+                    b' /StmF /StdCF /StrF /StdCF'
+                    b' /O <' + o_entry.hex().encode()
+                    + b'> /U <' + u_entry.hex().encode()
+                    + b'> /OE <' + oe.hex().encode()
+                    + b'> /UE <' + ue.hex().encode()
+                    + b'> /P -44 >>')
+        pdf, plain = self._build_encrypted(enc_dict, enc, doc_id)
+        r = PdfReader(pdf)
+        assert r.page_contents(0).strip() == plain
+
+    def test_wrong_password_raises(self):
+        import pytest as _pytest
+        from archive_pdf_tools_tpu.pdf.crypt import (aes_cbc_nopad,
+                                                     _hash_2a,
+                                                     StandardDecryptor)
+        vsalt, ksalt = b'A' * 8, b'B' * 8
+        u = _hash_2a(b'right', vsalt) + vsalt + ksalt
+        enc = {'Filter': 'Standard', 'V': 5, 'R': 6,
+               'O': b'\0' * 48, 'U': u, 'OE': b'\0' * 32,
+               'UE': b'\0' * 32, 'P': -44}
+        with _pytest.raises(ValueError):
+            StandardDecryptor(enc, b'', password=b'wrong')
+        StandardDecryptor(enc, b'', password=b'right')   # no raise
