@@ -47,7 +47,9 @@ def _prefix_compose(tables, width, nbits, nstates, mf, identity):
 
 
 def _make_kernel(n, mincnt, h, w, wp, nstates, mf, identity):
-    def kernel(msk_a_ref, msk_y_ref, out_ref, botcol, topcol, ring):
+    rn = n + 1   # original row stays live from BOT-add to its own turn
+
+    def kernel(msk_a_ref, out_ref, botcol, topcol, ring, in_ring):
         s = pl.program_id(0)
         y = s - n
 
@@ -57,14 +59,16 @@ def _make_kernel(n, mincnt, h, w, wp, nstates, mf, identity):
             topcol[...] = jnp.zeros_like(topcol)
             ring[...] = jnp.zeros_like(ring)
 
-        # BOT add: original row s enters the lookahead window [y+1, y+n]
+        # BOT add: original row s enters the lookahead window [y+1, y+n];
+        # the raw row goes into a VMEM ring for its own turn n steps on
         @pl.when(s < h)
         def _():
+            in_ring[pl.ds(s % rn, 1)] = msk_a_ref[...]
             botcol[...] = botcol[...] + msk_a_ref[0].astype(jnp.int32)
 
         @pl.when(y >= 0)
         def _():
-            m_row = msk_y_ref[0].astype(jnp.int32)       # (B, Wp)
+            m_row = in_ring[pl.ds(y % rn, 1)][0].astype(jnp.int32)
             # BOT remove: row y leaves the below-window
             botcol[...] = botcol[...] - m_row
 
@@ -134,17 +138,18 @@ def fast_mask_denoise_pallas(mask, mincnt=4, n_size=2, interpret=False):
     out = pl.pallas_call(
         _make_kernel(n, mincnt, h, w, wp, nstates, mf, identity),
         grid=(h + n,),
-        in_specs=[spec(add_row), spec(out_row)],
+        in_specs=[spec(add_row)],
         out_specs=pl.BlockSpec((1, b, wp), lambda s: (out_row(s), 0, 0)),
         out_shape=jax.ShapeDtypeStruct((h, b, wp), jnp.uint8),
         scratch_shapes=[
             pltpu.VMEM((b, wp), jnp.int32),       # botcol
             pltpu.VMEM((b, wp), jnp.int32),       # topcol
-            pltpu.VMEM((n, b, wp), jnp.int32),    # ring
+            pltpu.VMEM((n, b, wp), jnp.int32),    # ring (produced rows)
+            pltpu.VMEM((n + 1, b, wp), jnp.uint8),  # original rows
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(mi, mi)
+    )(mi,)
 
     return jnp.transpose(out, (1, 0, 2))[:, :, :w].astype(bool)

@@ -55,9 +55,10 @@ def _shift_left_edge(x, k, width):
 
 
 def _make_kernel(n, h, wp):
-    def kernel(img_a_ref, msk_a_ref, img_r_ref, msk_r_ref,
-               img_y_ref, msk_y_ref, out_ref,
-               fir_val, fir_cnt, colsum, ring):
+    rn = 2 * n + 1   # input rows stay live from FIR-add to FIR-remove
+
+    def kernel(img_a_ref, msk_a_ref, out_ref,
+               fir_val, fir_cnt, colsum, ring, in_img, in_msk):
         s = pl.program_id(0)
         y = s - (n - 1)
 
@@ -68,9 +69,14 @@ def _make_kernel(n, h, wp):
             colsum[...] = jnp.zeros_like(colsum)
             ring[...] = jnp.zeros_like(ring)
 
-        # FIR add: row s enters the window (rows [y-n, y+n))
+        # FIR add: row s enters the window (rows [y-n, y+n)); the raw
+        # row also goes into a VMEM ring so the FIR-remove (2n steps
+        # later) and the output row (n-1 steps later) re-read VMEM
+        # instead of streaming three HBM copies.
         @pl.when(s < h)
         def _():
+            in_img[pl.ds(s % rn, 1)] = img_a_ref[...]
+            in_msk[pl.ds(s % rn, 1)] = msk_a_ref[...]
             m = msk_a_ref[0].astype(jnp.int32)          # (1, B, Wp)
             v = img_a_ref[0].astype(jnp.int32)          # (C, B, Wp)
             fir_val[...] = fir_val[...] + v * m
@@ -79,15 +85,17 @@ def _make_kernel(n, h, wp):
         # FIR remove: row s - 2n leaves the window
         @pl.when(s - 2 * n >= 0)
         def _():
-            m = msk_r_ref[0].astype(jnp.int32)
-            v = img_r_ref[0].astype(jnp.int32)
+            slot = (s - 2 * n) % rn
+            m = in_msk[pl.ds(slot, 1)][0].astype(jnp.int32)
+            v = in_img[pl.ds(slot, 1)][0].astype(jnp.int32)
             fir_val[...] = fir_val[...] - v * m
             fir_cnt[...] = fir_cnt[...] - m
 
         @pl.when(y >= 0)
         def _():
-            img_row = img_y_ref[0].astype(jnp.int32)    # (C, B, Wp)
-            msk_row = msk_y_ref[0].astype(jnp.int32)    # (1, B, Wp)
+            yslot = y % rn
+            img_row = in_img[pl.ds(yslot, 1)][0].astype(jnp.int32)
+            msk_row = in_msk[pl.ds(yslot, 1)][0].astype(jnp.int32)
 
             # horizontal FIR window [x-n, x+n)
             f_val = _cumsum_lanes(fir_val[...], wp)
@@ -125,7 +133,7 @@ def _make_kernel(n, h, wp):
 def _max_batch(n, c):
     """VMEM budget: scratch is ~(n*c + 2c + 1) * B * Wp * 4 bytes; cap it
     near 11MB so blocks and register spill fit the 16MB/core VMEM."""
-    per_page = (n * c + 2 * c + 1) * 2816 * 4
+    per_page = ((n * c + 2 * c + 1) * 4 + (2 * n + 1) * (c + 1)) * 2816
     return max(4, (11 * 1024 * 1024) // per_page)
 
 
@@ -164,7 +172,6 @@ def _optimise_impl(mask, img, n_size, interpret=False):
         mi = jnp.pad(mi, ((0, 0), (0, 0), (0, 0), (0, wp - w)))
 
     add_row = lambda s: jnp.minimum(s, h - 1)
-    rem_row = lambda s: jnp.maximum(s - 2 * n, 0)
     out_row = lambda s: jnp.maximum(s - (n - 1), 0)
 
     def img_spec(f):
@@ -176,11 +183,7 @@ def _optimise_impl(mask, img, n_size, interpret=False):
     out = pl.pallas_call(
         _make_kernel(n, h, wp),
         grid=(h + n - 1,),
-        in_specs=[
-            img_spec(add_row), msk_spec(add_row),
-            img_spec(rem_row), msk_spec(rem_row),
-            img_spec(out_row), msk_spec(out_row),
-        ],
+        in_specs=[img_spec(add_row), msk_spec(add_row)],
         out_specs=pl.BlockSpec((1, c, b, wp),
                                lambda s: (out_row(s), 0, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((h, c, b, wp), jnp.uint8),
@@ -188,12 +191,14 @@ def _optimise_impl(mask, img, n_size, interpret=False):
             pltpu.VMEM((c, b, wp), jnp.int32),     # fir_val
             pltpu.VMEM((1, b, wp), jnp.int32),     # fir_cnt
             pltpu.VMEM((c, b, wp), jnp.int32),     # colsum
-            pltpu.VMEM((n, c, b, wp), jnp.int32),  # ring
+            pltpu.VMEM((n, c, b, wp), jnp.int32),  # ring (produced rows)
+            pltpu.VMEM((2 * n + 1, c, b, wp), jnp.uint8),  # input rows
+            pltpu.VMEM((2 * n + 1, 1, b, wp), jnp.uint8),  # input mask
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(xi, mi, xi, mi, xi, mi)
+    )(xi, mi)
 
     out = jnp.transpose(out[..., :w], (2, 0, 3, 1))    # (B, H, W, C)
     return out[..., 0] if gray else out
