@@ -606,15 +606,44 @@ class PdfReader:
         return None
 
     def extract_image(self, stream):
-        """(raw bytes, filter name, width, height, colorspace name)."""
+        """(raw bytes, filter name, width, height, colorspace name).
+
+        Non-device colourspaces reduce to the closest device space:
+        ICCBased by component count, Indexed to its base space (callers
+        treating the samples as that base see the palette indices — the
+        recode pipeline re-derives colour from decoded pixels), Lab and
+        CalRGB to DeviceRGB, CalGray to DeviceGray."""
         d = stream.dict
         filt = self.resolve(d.get('Filter'))
         if isinstance(filt, list):
             filt = filt[-1] if filt else None
-        cs = self.resolve(d.get('ColorSpace'))
-        if isinstance(cs, list):
-            cs = str(cs[0]) if cs else None
+        cs = self._device_colorspace(self.resolve(d.get('ColorSpace')))
         return (stream.raw, str(filt) if filt else None,
                 int(self.resolve(d.get('Width'))),
                 int(self.resolve(d.get('Height'))),
-                str(cs) if cs else None)
+                cs)
+
+    def _device_colorspace(self, cs, depth=0):
+        if cs is None or depth > 4:
+            return None
+        if isinstance(cs, PName) or isinstance(cs, str):
+            name = str(cs)
+            if name in ('CalRGB', 'Lab'):
+                return 'DeviceRGB'
+            if name == 'CalGray':
+                return 'DeviceGray'
+            return name
+        if isinstance(cs, list) and cs:
+            head = str(self.resolve(cs[0]))
+            if head == 'ICCBased' and len(cs) > 1:
+                prof = self.resolve(cs[1])
+                n = 3
+                if isinstance(prof, PStream):
+                    n = int(self.resolve(prof.dict.get('N', 3)))
+                return {1: 'DeviceGray', 3: 'DeviceRGB',
+                        4: 'DeviceCMYK'}.get(n, 'DeviceRGB')
+            if head == 'Indexed' and len(cs) > 1:
+                return self._device_colorspace(self.resolve(cs[1]),
+                                               depth + 1)
+            return self._device_colorspace(head, depth + 1)
+        return None

@@ -412,3 +412,36 @@ class TestEncryption:
         with _pytest.raises(ValueError):
             StandardDecryptor(enc, b'', password=b'wrong')
         StandardDecryptor(enc, b'', password=b'right')   # no raise
+
+
+class TestColourspaceReduction:
+    def test_iccbased_and_cal_spaces(self):
+        from archive_pdf_tools_tpu.pdf.reader import PdfReader, PStream
+        from archive_pdf_tools_tpu.pdf.writer import (PdfWriter, Name,
+                                                       Stream, Raw)
+        w = PdfWriter()
+        icc = w.add(Stream({Name('N'): 3}, b'\x00' * 8))
+        img = w.add(Stream({
+            Name('Type'): Name('XObject'), Name('Subtype'): Name('Image'),
+            Name('Width'): 2, Name('Height'): 2,
+            Name('BitsPerComponent'): 8,
+            Name('ColorSpace'): Raw(b"[/ICCBased %d 0 R]" % int(icc)),
+        }, b'\x00' * 12))
+        # minimal page tree
+        pages = w.reserve()
+        page = w.add({Name('Type'): Name('Page'), Name('Parent'): pages,
+                      Name('MediaBox'): [0, 0, 10, 10],
+                      Name('Resources'): {
+                          Name('XObject'): {Name('Im0'): img}}})
+        w.set(pages, {Name('Type'): Name('Pages'), Name('Kids'): [page],
+                      Name('Count'): 1})
+        root = w.add({Name('Type'): Name('Catalog'), Name('Pages'): pages})
+        import io as _io
+        buf = _io.BytesIO()
+        w.save(buf, root)
+        r = PdfReader(buf.getvalue())
+        _, _, s = r.page_images(0)[0]
+        raw, filt, iw, ih, cs = r.extract_image(s)
+        assert cs == 'DeviceRGB'
+        assert r._device_colorspace('CalGray') == 'DeviceGray'
+        assert r._device_colorspace('Lab') == 'DeviceRGB'
