@@ -159,7 +159,10 @@ def hocr_page_to_word_data(page, scaler=1):
                 words.append({
                     'text': text,
                     'bbox': wbbox,
-                    'fontsize': int(fsize * scaler),
+                    # archive-hocr-tools carries the scaled size as a
+                    # float (the renderer accepts fractional Tf sizes,
+                    # reference pdfrenderer.py:166-177); do not truncate.
+                    'fontsize': fsize * scaler,
                     'confidence': conf,
                     'writing_direction': direction,
                 })
