@@ -100,11 +100,11 @@ def decompose_masks(np_images, word_datas, dpi=None, downsample=None,
 
         from ..ops.lines_pallas import line_thresholds_pallas
         interp = jax.devices()[0].platform == 'cpu'
-        crops_t, crops_i = line_thresholds_pallas(
+        crops_t, crops_i, ones, ones_inv = line_thresholds_pallas(
             gray, jnp.asarray(boxes), jnp.asarray(pages), window,
             interpret=interp, max_line_h=line_bucket)
-        ones, ones_inv, size = D.line_crop_counts(crops_t, crops_i,
-                                                  jnp.asarray(boxes))
+        size = ((boxes[1] - boxes[0]) *
+                (boxes[3] - boxes[2])).astype(np.int64)
 
         # prefetch every sigma-needy crop in ONE device gather+transfer
         # (the select_lines branch that needs the wavelet sigma is

@@ -63,10 +63,9 @@ def mrc_full_step_pallas(images, boxes, pages, selector, window,
     gray = D.gray_601(images) if rgb else images
     b, h, w = gray.shape
 
-    crops_t, crops_i = line_thresholds_pallas(gray, boxes, pages, window,
-                                              interpret=interpret,
-                                              max_line_h=max_line_h)
-    ones, ones_inv, size = D.line_crop_counts(crops_t, crops_i, boxes)
+    crops_t, crops_i, ones, ones_inv = line_thresholds_pallas(
+        gray, boxes, pages, window, interpret=interpret,
+        max_line_h=max_line_h)
     gmask, _sigma = D.global_threshold_fused_static(
         gray, window, blur_radius, interpret=interpret)
     mask = D.paste_selected_crops(crops_t, crops_i, boxes, pages,

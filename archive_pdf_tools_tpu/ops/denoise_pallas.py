@@ -18,8 +18,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .optimise_pallas import (_cumsum_lanes, _shift_right_zero,
-                              _shift_left_edge)
+from .optimise_pallas import _window_sum_lanes, _shift_left_zero
 
 
 def _compose(a, b, nbits, nstates, mf):
@@ -73,16 +72,16 @@ def _make_kernel(n, mincnt, h, w, wp, nstates, mf, identity):
             botcol[...] = botcol[...] - m_row
 
             # horizontal [x-n, x+n] windows of top/bot column sums
+            # (direct windowed sums: zero outside [0, w) clamps for
+            # free; wp >= w + n keeps the left shift in-range)
             def win(colv):
-                f = _cumsum_lanes(colv, wp)
-                return (_shift_left_edge(f, n, wp)
-                        - _shift_right_zero(f, n + 1))
+                return _shift_left_zero(
+                    _window_sum_lanes(colv, 2 * n + 1), n, wp)
 
             top = win(topcol[...])
             bot = win(botcol[...])
             # CUR: original row y, cols [x+1, x+n]
-            fr = _cumsum_lanes(m_row, wp)
-            cur = _shift_left_edge(fr, n, wp) - fr
+            cur = _shift_left_zero(_window_sum_lanes(m_row, n), n, wp)
 
             tau = mincnt - top - bot - cur
 
@@ -92,12 +91,28 @@ def _make_kernel(n, mincnt, h, w, wp, nstates, mf, identity):
                 jnp.logical_or(y < n, y >= h - n))
             forced = jnp.logical_or(m_row == 0, border)
 
-            table = jnp.zeros_like(m_row)
-            for st in range(nstates):
-                pc = bin(st).count('1')
-                u = jnp.where(forced, m_row, (pc >= tau).astype(jnp.int32))
-                nxt = ((st << 1) | u) & mf
-                table = table | (nxt << (n * st))
+            # Each pixel's transition is one of n+2 constant tables
+            # (u(st) = popcount(st) >= tau, with tau clipped to
+            # [0, n+1]); forced pixels use the constant-u tables.
+            # Selecting among compile-time packed tables is cheaper
+            # than building the table per state.
+            def packed(ufn):
+                t = 0
+                for st in range(nstates):
+                    t |= (((st << 1) | (1 if ufn(st) else 0)) & mf) \
+                        << (n * st)
+                return t
+
+            t_by_tau = [packed(lambda st, tt=tt: bin(st).count('1') >= tt)
+                        for tt in range(n + 2)]
+            tau_c = jnp.clip(tau, 0, n + 1)
+            table = jnp.full_like(m_row, t_by_tau[n + 1])
+            for tt in range(n, -1, -1):
+                table = jnp.where(tau_c == tt, t_by_tau[tt], table)
+            table = jnp.where(
+                forced,
+                jnp.where(m_row > 0, t_by_tau[0], t_by_tau[n + 1]),
+                table)
 
             prefix = _prefix_compose(table, wp, n, nstates, mf, identity)
             out_row = prefix & mf & 1    # newest bit of state from s0=0
@@ -124,7 +139,7 @@ def fast_mask_denoise_pallas(mask, mincnt=4, n_size=2, interpret=False):
         identity |= st << (n * st)
 
     b, h, w = mask.shape
-    wp = -(-w // 128) * 128
+    wp = -(-(w + n) // 128) * 128  # headroom for the windowed-sum shift
     mi = jnp.transpose(mask.astype(jnp.uint8), (1, 0, 2))   # (H, B, W)
     if wp != w:
         mi = jnp.pad(mi, ((0, 0), (0, 0), (0, wp - w)))

@@ -12,7 +12,7 @@ rows are re-read from a VMEM row ring instead of streaming two more HBM
 copies per line.
 Lines in a group have independent bboxes, so row validity uses masked
 adds rather than predication.  Lanes outside a line's [l, r) are zeroed
-on ingest so the lane prefix sums self-clamp horizontally; the
+on ingest so the windowed lane sums self-clamp horizontally; the
 scalar-prefetched bbox clamps vertically.  The inverted crop's
 statistics are derived algebraically (S' = 255C - S, Q' = 65025C - 510S
 + Q), so both masks cost one walk.  Outputs are per-line crop buffers;
@@ -29,8 +29,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .optimise_pallas import _cumsum_lanes, _shift_right_zero, \
-    _shift_left_edge
+from .optimise_pallas import _window_sum_lanes, _shift_left_zero, \
+    _floor_div_exact
 
 MAX_LINE_H = 128          # default bucket
 LINE_H_BUCKETS = (64, 128, 256, 512)
@@ -46,8 +46,8 @@ def _make_kernel(wpp, window, k, R, max_h, ring_n):
 
     def kernel(t_ref, b_ref, l_ref, r_ref, page_ref, *refs):
         add_refs = refs[0:GROUP]
-        out_t_ref, out_i_ref = refs[GROUP:GROUP + 2]
-        ring, colsum, colsumsq = refs[GROUP + 2:]
+        out_t_ref, out_i_ref, cnt_t_ref, cnt_i_ref = refs[GROUP:GROUP + 4]
+        ring, colsum, colsumsq, acc_t, acc_i = refs[GROUP + 4:]
 
         i = pl.program_id(0)
         s2 = pl.program_id(1)
@@ -66,6 +66,8 @@ def _make_kernel(wpp, window, k, R, max_h, ring_n):
         def _():
             colsum[...] = jnp.zeros_like(colsum)
             colsumsq[...] = jnp.zeros_like(colsumsq)
+            acc_t[...] = jnp.zeros_like(acc_t)
+            acc_i[...] = jnp.zeros_like(acc_i)
 
         lanes = jax.lax.broadcasted_iota(jnp.int32, (GROUP, wpp), 1)
         in_cols = jnp.logical_and(lanes >= ll, lanes < rr)
@@ -95,12 +97,13 @@ def _make_kernel(wpp, window, k, R, max_h, ring_n):
 
         @pl.when(jnp.logical_and(r_loc >= 0, r_loc < max_h))
         def _():
-            cs = _cumsum_lanes(colsum[...], wpp)
-            cq = _cumsum_lanes(colsumsq[...], wpp)
-            s_win = (_shift_left_edge(cs, u, wpp)
-                     - _shift_right_zero(cs, o))
-            q_win = (_shift_left_edge(cq, u, wpp)
-                     - _shift_right_zero(cq, o))
+            # windowed lane sums over cols [x-o+1, x+u]; colsum is zero
+            # outside [l, r) so the horizontal clamp is free, and
+            # wpp >= w + u keeps the final left shift in-range
+            s_win = _shift_left_zero(
+                _window_sum_lanes(colsum[...], window), u, wpp)
+            q_win = _shift_left_zero(
+                _window_sum_lanes(colsumsq[...], window), u, wpp)
 
             y = t + r_loc
             rows_in = (jnp.minimum(y + u, bb - 1)
@@ -118,7 +121,7 @@ def _make_kernel(wpp, window, k, R, max_h, ring_n):
 
             def sauvola(s_v, q_v, px_v):
                 mean = jnp.floor(s_v.astype(jnp.float32) / cnt_f)
-                ex2 = (q_v // cnt).astype(jnp.float32)
+                ex2 = _floor_div_exact(q_v, cnt).astype(jnp.float32)
                 var = ex2 - mean * mean
                 tt = px_v.astype(jnp.float32) + mean * (kf - 1.0)
                 rhs = mean * mean * k2 * var
@@ -130,10 +133,21 @@ def _make_kernel(wpp, window, k, R, max_h, ring_n):
             ink_inv = sauvola(s_inv, q_inv, 255 - px)
 
             valid = jnp.logical_and(in_cols, r_loc < height)
-            out_t_ref[0, 0] = jnp.where(
-                jnp.logical_and(valid, ink), 1, 0).astype(jnp.uint8)
-            out_i_ref[0, 0] = jnp.where(
-                jnp.logical_and(valid, ink_inv), 1, 0).astype(jnp.uint8)
+            bit_t = jnp.where(jnp.logical_and(valid, ink), 1, 0)
+            bit_i = jnp.where(jnp.logical_and(valid, ink_inv), 1, 0)
+            out_t_ref[0, 0] = bit_t.astype(jnp.uint8)
+            out_i_ref[0, 0] = bit_i.astype(jnp.uint8)
+            # fused ink counts: per-lane accumulate, reduce on the
+            # group's last step (saves a separate pass over the crops)
+            acc_t[...] = acc_t[...] + bit_t
+            acc_i[...] = acc_i[...] + bit_i
+
+        @pl.when(s2 == max_h + u - 1)
+        def _():
+            cnt_t_ref[0] = jnp.broadcast_to(
+                jnp.sum(acc_t[...], axis=-1, keepdims=True), (GROUP, 128))
+            cnt_i_ref[0] = jnp.broadcast_to(
+                jnp.sum(acc_i[...], axis=-1, keepdims=True), (GROUP, 128))
 
     return kernel
 
@@ -145,9 +159,10 @@ def line_thresholds_pallas(gray, boxes, pages, window, k=0.1, R=128.0,
                            interpret=False, max_line_h=MAX_LINE_H):
     """gray: uint8 (B, H, W); boxes: (4, n) int32 rows t,b,l,r (n a
     multiple of 8); pages: (n,) int32 page of each line.  Returns
-    (thres, thres_inv) uint8 crop buffers of shape (n, max_line_h, Wp)
-    holding each line's mask rows at [0:b-t] (lanes are page columns;
-    only [l, r) is meaningful)."""
+    (thres, thres_inv, ones, ones_inv): uint8 crop buffers of shape
+    (n, max_line_h, Wp) holding each line's mask rows at [0:b-t] (lanes
+    are page columns; only [l, r) is meaningful) plus fused int32
+    per-line ink counts for both polarities."""
     bsz, h, w = gray.shape
     n = boxes.shape[1]
     if n % GROUP:
@@ -157,7 +172,7 @@ def line_thresholds_pallas(gray, boxes, pages, window, k=0.1, R=128.0,
         n += pad
     o = (window + 1) // 2
     u = window // 2
-    wpp = -(-w // 128) * 128
+    wpp = -(-(w + u) // 128) * 128   # headroom for the windowed-sum shift
     max_h = int(max_line_h)
 
     gp = jnp.pad(gray, ((0, 0), (0, 0), (0, wpp - w)))
@@ -181,6 +196,9 @@ def line_thresholds_pallas(gray, boxes, pages, window, k=0.1, R=128.0,
     def out_map(i, s2, t_ref, b_ref, l_ref, r_ref, page_ref):
         return (i, jnp.clip(s2 - u, 0, max_h - 1), 0, 0)
 
+    def cnt_map(i, s2, t_ref, b_ref, l_ref, r_ref, page_ref):
+        return (i, 0, 0)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(n // GROUP, max_h + u),
@@ -188,22 +206,28 @@ def line_thresholds_pallas(gray, boxes, pages, window, k=0.1, R=128.0,
         out_specs=[
             pl.BlockSpec((1, 1, GROUP, wpp), out_map),
             pl.BlockSpec((1, 1, GROUP, wpp), out_map),
+            pl.BlockSpec((1, GROUP, 128), cnt_map),
+            pl.BlockSpec((1, GROUP, 128), cnt_map),
         ],
         scratch_shapes=[
             pltpu.VMEM((ring_n, GROUP, wpp), jnp.uint8),
             pltpu.VMEM((GROUP, wpp), jnp.int32),
             pltpu.VMEM((GROUP, wpp), jnp.int32),
+            pltpu.VMEM((GROUP, wpp), jnp.int32),   # ink count acc (plain)
+            pltpu.VMEM((GROUP, wpp), jnp.int32),   # ink count acc (inv)
         ],
     )
 
-    out_t, out_i = pl.pallas_call(
+    out_t, out_i, cnt_t, cnt_i = pl.pallas_call(
         _make_kernel(wpp, window, float(k), float(R), max_h, ring_n),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((n // GROUP, max_h, GROUP, wpp),
                                  jnp.uint8),
             jax.ShapeDtypeStruct((n // GROUP, max_h, GROUP, wpp),
-                                 jnp.uint8)],
+                                 jnp.uint8),
+            jax.ShapeDtypeStruct((n // GROUP, GROUP, 128), jnp.int32),
+            jax.ShapeDtypeStruct((n // GROUP, GROUP, 128), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
@@ -212,4 +236,6 @@ def line_thresholds_pallas(gray, boxes, pages, window, k=0.1, R=128.0,
     # (n/G, max_h, G, wpp) -> (n, max_h, wpp)
     out_t = jnp.transpose(out_t, (0, 2, 1, 3)).reshape(n, max_h, wpp)
     out_i = jnp.transpose(out_i, (0, 2, 1, 3)).reshape(n, max_h, wpp)
-    return out_t, out_i
+    ones = cnt_t[:, :, 0].reshape(n)
+    ones_inv = cnt_i[:, :, 0].reshape(n)
+    return out_t, out_i, ones, ones_inv

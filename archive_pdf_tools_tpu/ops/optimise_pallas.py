@@ -11,8 +11,8 @@ batch on sublanes, width on lanes):
   incremental state the reference keeps in serial cursors: masked-FIR
   column sums/counts (window rows [y-n, y+n)), the IIR column sums of
   the last n produced rows, and an n-row ring buffer.  Per step: three
-  log-shift lane prefix sums, edge-clamped window shifts, and the
-  count-weighted fill.
+  log-shift windowed lane sums (widths 2n, 2n, n), zero-filled window
+  shifts, and the count-weighted fill.
 
 Integer division note: the fill is floor(val / cnt) with val < 2^17 and
 cnt <= (2n)^2 + n^2; both are exact in f32, and a non-integer rational
@@ -29,29 +29,55 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _cumsum_lanes(x, width):
-    """Inclusive prefix sum along the last (lane) axis via log shifts."""
-    lanes = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
-    k = 1
-    while k < width:
-        shifted = jnp.roll(x, k, axis=x.ndim - 1)
-        x = x + jnp.where(lanes >= k, shifted, 0)
-        k *= 2
-    return x
-
-
 def _shift_right_zero(x, k):
     """y[i] = x[i-k] with zero fill (k static)."""
     lanes = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
     return jnp.where(lanes >= k, jnp.roll(x, k, axis=x.ndim - 1), 0)
 
 
-def _shift_left_edge(x, k, width):
-    """y[i] = x[min(i+k, W-1)] for a nondecreasing x (edge fill = max)."""
+def _shift_left_zero(x, k, width):
+    """y[i] = x[i+k] with zero fill (k static)."""
     lanes = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
-    rolled = jnp.roll(x, -k, axis=x.ndim - 1)
-    last = jnp.max(x, axis=-1, keepdims=True)
-    return jnp.where(lanes < width - k, rolled, last)
+    return jnp.where(lanes < width - k, jnp.roll(x, -k, axis=x.ndim - 1), 0)
+
+
+def _window_sum_lanes(x, win):
+    """W[i] = sum of x[i-win+1 .. i] (entries left of 0 count as zero).
+
+    Built by shift-doubling to the powers of two in ``win`` then binary
+    composition — ceil(log2 win) + popcount(win) - 1 shift+adds, vs
+    ceil(log2 W) for a full prefix sum.  Unlike the prefix-difference
+    trick this never wraps modulo 2^32, so it is safe even when the
+    full-row prefix total would overflow int32.
+    """
+    pow2 = {1: x}
+    k = 1
+    while k * 2 <= win:
+        pow2[k * 2] = pow2[k] + _shift_right_zero(pow2[k], k)
+        k *= 2
+    total = None
+    acc = 0
+    for p in sorted((b for b in pow2 if win & b), reverse=True):
+        if total is None:
+            total, acc = pow2[p], p
+        else:
+            total = total + _shift_right_zero(pow2[p], acc)
+            acc += p
+    return total
+
+
+def _floor_div_exact(q, c):
+    """Exact floor(q / c) for int32 q >= 0, c > 0 with q/c < 2^17.
+
+    f32 divide + one-step integer correction: the f32 quotient's
+    absolute error is < 3 * (q/c) * 2^-24 < 0.02 for q/c <= 65025, so
+    the floored estimate is off by at most one; the exact i32 remainder
+    fixes it.  Avoids Mosaic's slow vector integer division.
+    """
+    t = jnp.floor(q.astype(jnp.float32) /
+                  c.astype(jnp.float32)).astype(jnp.int32)
+    r = q - t * c
+    return t + jnp.where(r >= c, 1, 0) - jnp.where(r < 0, 1, 0)
 
 
 def _make_kernel(n, h, wp):
@@ -97,19 +123,17 @@ def _make_kernel(n, h, wp):
             img_row = in_img[pl.ds(yslot, 1)][0].astype(jnp.int32)
             msk_row = in_msk[pl.ds(yslot, 1)][0].astype(jnp.int32)
 
-            # horizontal FIR window [x-n, x+n)
-            f_val = _cumsum_lanes(fir_val[...], wp)
-            f_cnt = _cumsum_lanes(fir_cnt[...], wp)
-            fir_v = (_shift_left_edge(f_val, n - 1, wp)
-                     - _shift_right_zero(f_val, n + 1))
-            fir_c = (_shift_left_edge(f_cnt, n - 1, wp)
-                     - _shift_right_zero(f_cnt, n + 1))
+            # horizontal FIR window [x-n, x+n): direct windowed lane
+            # sums (zero outside the data clamps for free; wp >= w+n-1
+            # keeps the left shift in-range)
+            fir_v = _shift_left_zero(
+                _window_sum_lanes(fir_val[...], 2 * n), n - 1, wp)
+            fir_c = _shift_left_zero(
+                _window_sum_lanes(fir_cnt[...], 2 * n), n - 1, wp)
 
-            # IIR: exclusive prefix of finished-rows column sums,
-            # window cols [x-n, x)
-            p = _cumsum_lanes(colsum[...], wp)
-            e = p - colsum[...]
-            iir_v = e - _shift_right_zero(e, n)
+            # IIR: finished-rows column sums over cols [x-n, x)
+            iir_v = _shift_right_zero(
+                _window_sum_lanes(colsum[...], n), 1)
             lanes = jax.lax.broadcasted_iota(jnp.int32, msk_row.shape, 2)
             iir_c = jnp.minimum(y, n) * jnp.minimum(lanes, n)
 
@@ -162,7 +186,7 @@ def _optimise_impl(mask, img, n_size, interpret=False):
         img = img[..., None]
     b, h, w, c = img.shape
     n = int(n_size)
-    wp = -(-w // 128) * 128
+    wp = -(-(w + n - 1) // 128) * 128  # headroom for the window shift
 
     # layout (H, C, B, Wp) / (H, 1, B, Wp): rows lead, lanes on width
     xi = jnp.transpose(img, (1, 3, 0, 2))

@@ -9,7 +9,7 @@ Replaces the XLA pipeline of ``mrc/decompose.py:global_threshold_input``
   vertical MAC with per-step rotated per-page weights, then 97-tap
   horizontal MAC), truncates it to uint8 exactly like the reference's
   f32->u8 cast, feeds it into rolling Sauvola column sums (+squares),
-  and 50 rows later emits the thresholded mask row from lane prefix
+  and 50 rows later emits the thresholded mask row from windowed lane
   sums with exact clamped counts.
 
 The per-page gaussian weights come from the XLA side (data-dependent
@@ -30,8 +30,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .optimise_pallas import _cumsum_lanes, _shift_right_zero, \
-    _shift_left_edge
+from .optimise_pallas import _window_sum_lanes, _shift_left_zero, \
+    _floor_div_exact
 
 MAX_BLUR_RADIUS = 48          # supports sigma_est up to ~120
 RADIUS_BUCKETS = (8, 16, 48)  # compile-time taps chosen from the data
@@ -110,13 +110,14 @@ def _make_kernel(h, w, wpp, window, k, R, radius):
         def _():
             px = blur_ring[pl.ds(y % ring_blur, 1)][0].astype(jnp.int32).astype(jnp.float32)
 
-            cs = _cumsum_lanes(colsum[...], wpp)
-            cq = _cumsum_lanes(colsumsq[...], wpp)
-            # cols [x-l+1, x+r] inclusive, clamped to [0, w)
-            s_win = (_shift_left_edge(cs, u, wpp)
-                     - _shift_right_zero(cs, o))
-            q_win = (_shift_left_edge(cq, u, wpp)
-                     - _shift_right_zero(cq, o))
+            # cols [x-l+1, x+r] inclusive, clamped to [0, w): direct
+            # windowed lane sums (colsum is zero outside [0, w), so the
+            # clamping is free; wpp >= w + u keeps the final left shift
+            # in-range)
+            s_win = _shift_left_zero(
+                _window_sum_lanes(colsum[...], window), u, wpp)
+            q_win = _shift_left_zero(
+                _window_sum_lanes(colsumsq[...], window), u, wpp)
 
             lanes = jax.lax.broadcasted_iota(jnp.int32, px.shape, 1)
             cols_in = (jnp.minimum(lanes + u, w - 1)
@@ -127,7 +128,7 @@ def _make_kernel(h, w, wpp, window, k, R, radius):
 
             cnt_f = cnt.astype(jnp.float32)
             mean = jnp.floor(s_win.astype(jnp.float32) / cnt_f)
-            ex2 = (q_win // cnt).astype(jnp.float32)
+            ex2 = _floor_div_exact(q_win, cnt).astype(jnp.float32)
             var = ex2 - mean * mean
 
             kf = jnp.float32(k)
@@ -165,7 +166,9 @@ def _blur_sauvola_impl(img, weights, window, k=0.34, R=128.0,
     o = (window + 1) // 2
     u = window // 2
     taps = 2 * radius + 1
-    wpp = -(-(w + 2 * radius) // 128) * 128
+    # lane headroom: blur needs w + 2*radius, the windowed-sum left
+    # shift needs w + window//2
+    wpp = -(-(w + max(2 * radius, window // 2)) // 128) * 128
 
     # reflect-pad rows and columns; lanes beyond w+2r zero-padded
     xp = jnp.pad(img, ((0, 0), (radius, radius),

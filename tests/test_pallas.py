@@ -121,15 +121,18 @@ class TestLinesPallas:
                           [70, 115, 5, 245]], np.int32)
         t, b, l, r = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
         pages = np.array([0, 1, 1], np.int32)
-        th, ti = line_thresholds_pallas(gray, np.stack([t, b, l, r]),
-                                        pages, 51, 0.1, interpret=True)
+        th, ti, ones, ones_inv = line_thresholds_pallas(
+            gray, np.stack([t, b, l, r]), pages, 51, 0.1, interpret=True)
         th, ti = np.asarray(th), np.asarray(ti)
+        ones, ones_inv = np.asarray(ones), np.asarray(ones_inv)
         for i in range(3):
             crop = gray[pages[i], t[i]:b[i], l[i]:r[i]]
             ref = golden.sauvola_mask_ref(crop, 51, 51, 0.1)
             refi = golden.sauvola_mask_ref(255 - crop, 51, 51, 0.1)
             assert (ref == th[i][:b[i] - t[i], l[i]:r[i]].astype(bool)).all()
             assert (refi == ti[i][:b[i] - t[i], l[i]:r[i]].astype(bool)).all()
+            assert ones[i] == ref.sum()          # fused ink counts
+            assert ones_inv[i] == refi.sum()
 
     @pytest.mark.skipif(os.environ.get('APT_RUN_SLOW') != '1',
                         reason='full-tap interpret run costs minutes; '

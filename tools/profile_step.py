@@ -84,7 +84,7 @@ def main():
 
     lines_f = jax.jit(lambda g, bx, pg: line_thresholds_pallas(
         g, bx, pg, window, max_line_h=64))
-    t, (crops_t, crops_i) = timeit(lines_f, gray, boxes_d, pages_d)
+    t, (crops_t, crops_i, _o, _oi) = timeit(lines_f, gray, boxes_d, pages_d)
     print(f'lines      {t*1e3:8.1f} ms', flush=True)
 
     gthr_f = jax.jit(lambda g: D.global_threshold_fused_static(
@@ -109,9 +109,6 @@ def main():
     t, _bg = timeit(bg_f, mask, gray)
     print(f'bg n=10    {t*1e3:8.1f} ms', flush=True)
 
-    cnt_f = jax.jit(lambda ct, ci, bx: D.line_crop_counts(ct, ci, bx))
-    t, _ = timeit(cnt_f, crops_t, crops_i, boxes_d)
-    print(f'counts     {t*1e3:8.1f} ms', flush=True)
 
 
 if __name__ == '__main__':
