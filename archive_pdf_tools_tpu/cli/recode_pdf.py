@@ -92,6 +92,12 @@ def build_parser():
                            'exact-match classes; beyond the reference, '
                            'which always emits a plain generic region). '
                            'auto picks the smaller encoding per page')
+    misc.add_argument('--jbig2-bands', type=int, default=1,
+                      help='Code each JBIG2 mask as N independent '
+                           'horizontal region segments encoded on a '
+                           'thread pool (generic mode only; the MQ '
+                           'coder is serial per region, so banding is '
+                           'how one mask uses multiple host cores)')
     misc.add_argument('--resume', action='store_true', default=False,
                       help='Reuse per-page artifacts already present in '
                            '--out-dir (checkpoint/resume)')
@@ -233,7 +239,8 @@ def main(argv=None):
         exact_denoise=not args.approx_denoise,
         resume=args.resume, profile_dir=args.profile,
         jbig2_symbol_mode={'off': False, 'on': True,
-                           'auto': 'auto'}[args.jbig2_symbol_coding])
+                           'auto': 'auto'}[args.jbig2_symbol_coding],
+        jbig2_bands=args.jbig2_bands)
 
     for error in res['errors']:
         print('Encountered runtime error:', error)

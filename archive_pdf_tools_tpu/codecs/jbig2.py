@@ -55,6 +55,11 @@ def _get_lib():
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_long]
+    lib.jbig2tpu_encode_band.restype = ctypes.c_long
+    lib.jbig2tpu_encode_band.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_uint,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_long]
     lib.jbig2tpu_decode.restype = ctypes.c_long
     lib.jbig2tpu_decode.argtypes = [
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
@@ -63,14 +68,23 @@ def _get_lib():
     return lib
 
 
-def encode_jbig2(mask, embedded=True, tpgdon=True, symbol_mode=False):
+def encode_jbig2(mask, embedded=True, tpgdon=True, symbol_mode=False,
+                 bands=1):
     """Encode a bool/uint8 (H, W) mask to JBIG2 bytes.
 
     symbol_mode: False -> generic region coding (the reference's plain
     ``jbig2 -p``, mrc.py:502-510); True -> symbol-dictionary + text-region
     coding (jbig2enc ``-s`` analogue, but lossless: only bit-identical
     connected components share a dictionary symbol); 'auto' -> whichever
-    of the two encodes smaller."""
+    of the two encodes smaller.
+
+    bands > 1 (generic mode only) splits the page into that many
+    horizontal bands coded as independent region segments on a thread
+    pool — the arithmetic coder is serial per region, so banding is how
+    the encode uses multiple host cores.  Any JBIG2 consumer handles the
+    multi-segment stream (regions composite onto the page with OR)."""
+    if bands > 1 and not symbol_mode:
+        return _encode_jbig2_banded(mask, embedded, tpgdon, int(bands))
     lib = _get_lib()
     m = np.ascontiguousarray(np.asarray(mask).astype(np.uint8))
     h, w = m.shape
@@ -93,6 +107,65 @@ def encode_jbig2(mask, embedded=True, tpgdon=True, symbol_mode=False):
         if n >= 0:
             return out[:n].tobytes()
         cap = -n
+
+
+def _segment_header(number, seg_type, page, data_len):
+    import struct
+    return struct.pack('>IBBBI', number, seg_type, 0x00, page, data_len)
+
+
+def _page_info_segment(w, h):
+    import struct
+    return _segment_header(0, 48, 1, 19) + \
+        struct.pack('>IIII', w, h, 0, 0) + b'\x01\x00\x00'
+
+
+def _encode_jbig2_banded(mask, embedded, tpgdon, bands):
+    """Split the mask into horizontal bands coded as independent
+    immediate generic region segments on a thread pool (the ctypes call
+    releases the GIL, so bands use multiple host cores).  Regions
+    composite onto the page with the OR operator; bands are disjoint, so
+    the decoded page is identical to single-region coding.  Compression
+    cost: each band restarts the MQ coder and contexts (~tens of bytes
+    per band)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    lib = _get_lib()
+    m = np.ascontiguousarray(np.asarray(mask).astype(np.uint8))
+    h, w = m.shape
+    bands = max(1, min(int(bands), max(1, h // 128)))
+    edges = [h * i // bands for i in range(bands + 1)]
+
+    def encode_band(i):
+        y0, y1 = edges[i], edges[i + 1]
+        band = m[y0:y1]
+        cap = w * (y1 - y0) // 4 + 1024
+        while True:
+            out = np.empty(cap, np.uint8)
+            n = lib.jbig2tpu_encode_band(
+                band.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                w, y1 - y0, y0, 1 if tpgdon else 0, i + 1,
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap)
+            if n >= 0:
+                return out[:n].tobytes()
+            cap = -n
+
+    if bands == 1:
+        segs = [encode_band(0)]
+    else:
+        with ThreadPoolExecutor(max_workers=bands) as pool:
+            segs = list(pool.map(encode_band, range(bands)))
+
+    parts = []
+    if not embedded:
+        parts.append(b'\x97\x4a\x42\x32\x0d\x0a\x1a\x0a\x01'
+                     b'\x00\x00\x00\x01')   # file header, 1 page
+    parts.append(_page_info_segment(w, h))
+    parts.extend(segs)
+    if not embedded:
+        parts.append(_segment_header(bands + 1, 49, 1, 0))  # end of page
+        parts.append(_segment_header(bands + 2, 51, 0, 0))  # end of file
+    return b''.join(parts)
 
 
 def decode_jbig2(data, w, h):

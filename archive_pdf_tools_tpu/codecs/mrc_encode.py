@@ -34,12 +34,18 @@ EncodedLayer = namedtuple('EncodedLayer', 'data fmt width height gray')
 
 
 def encode_mrc_mask(np_mask, fmt=COMPRESSOR_JBIG2, embedded=True,
-                    timing_data=None, debug=False, jbig2_symbol_mode=False):
+                    timing_data=None, debug=False, jbig2_symbol_mode=False,
+                    jbig2_bands=1):
     """Mask -> EncodedMask. fmt: jbig2 | ccitt | png (``mrc.py:474-520``).
 
     jbig2_symbol_mode (beyond the reference, which always emits a plain
     generic region): False / True / 'auto' symbol-dictionary coding —
-    still lossless (exact-match symbol classes only)."""
+    still lossless (exact-match symbol classes only).
+
+    jbig2_bands > 1 (generic mode): code the page as that many
+    independent horizontal region segments on a thread pool — the MQ
+    coder is serial per region, so this is how the mask encode scales
+    across host cores."""
     t = _time.time()
     m = np.asarray(np_mask).astype(bool)
     h, w = m.shape
@@ -59,7 +65,8 @@ def encode_mrc_mask(np_mask, fmt=COMPRESSOR_JBIG2, embedded=True,
                 if len(gen) <= len(data):
                     data, decode = gen, None
         else:
-            data = jbig2_codec.encode_jbig2(~m, embedded=embedded)
+            data = jbig2_codec.encode_jbig2(~m, embedded=embedded,
+                                            bands=jbig2_bands)
         key = 'mask_jbig2'
     elif fmt == COMPRESSOR_CCITT:
         data = ccitt_codec.encode_ccitt_g4(m)
@@ -135,12 +142,13 @@ def encode_mrc_images(mask, fg, bg, bg_compression_flags=None,
                       jpeg2000_implementation=JPEG2000_IMPL_PILLOW,
                       mrc_image_format=COMPRESSOR_JPEG2000,
                       tmp_dir=None, threads=None, timing_data=None,
-                      debug=False, jbig2_symbol_mode=False):
+                      debug=False, jbig2_symbol_mode=False, jbig2_bands=1):
     """All three MRC components -> (EncodedMask, EncodedLayer, EncodedLayer).
     In-memory analog of ``mrc.py:633-673``."""
     em = encode_mrc_mask(mask, fmt=mask_fmt, embedded=embedded_jbig2,
                          timing_data=timing_data, debug=debug,
-                         jbig2_symbol_mode=jbig2_symbol_mode)
+                         jbig2_symbol_mode=jbig2_symbol_mode,
+                         jbig2_bands=jbig2_bands)
     ef = encode_mrc_foreground(
         fg, fg_compression_flags,
         jpeg2000_implementation=jpeg2000_implementation,

@@ -257,7 +257,7 @@ def insert_images_mrc(builder, hocr_file, in_pdf=None, image_files=None,
                       threads=None, errors=None,
                       batch_pages=DEFAULT_BATCH_PAGES,
                       exact_denoise=True, resume=False,
-                      jbig2_symbol_mode=False):
+                      jbig2_symbol_mode=False, jbig2_bands=1):
     """Pass 2 (``recode.py:266-529``), batched."""
     timing_data = []
     if img_dir is not None:
@@ -348,7 +348,7 @@ def insert_images_mrc(builder, hocr_file, in_pdf=None, image_files=None,
             jpeg2000_implementation=jpeg2000_implementation,
             mrc_image_format=mrc_image_format, tmp_dir=tmp_dir,
             threads=threads, timing_data=timing_data, debug=debug,
-            jbig2_symbol_mode=jbig2_symbol_mode)
+            jbig2_symbol_mode=jbig2_symbol_mode, jbig2_bands=jbig2_bands)
         if img_dir is not None:
             ext = {'jbig2': 'jbig2', 'ccitt': 'g4', 'png': 'png'}[em.fmt]
             with open(os.path.join(img_dir, '%.6d_mask.%s'
@@ -581,7 +581,7 @@ def recode(from_pdf=None, from_imagestack=None, dpi=None, hocr_file=None,
            mask_compression=COMPRESSOR_JBIG2,
            batch_pages=DEFAULT_BATCH_PAGES, exact_denoise=True,
            resume=False, profile_dir=None, jbig2_symbol_mode=False,
-           skip_pages=None):
+           jbig2_bands=1, skip_pages=None):
     """Whole-tool pipeline (``recode.py:562-796``); returns
     {'errors': set, 'compression_ratio': float}.
 
@@ -663,7 +663,7 @@ def recode(from_pdf=None, from_imagestack=None, dpi=None, hocr_file=None,
             mask_compression=mask_compression,
             threads=threads, errors=errors, batch_pages=batch_pages,
             exact_denoise=exact_denoise, resume=resume,
-            jbig2_symbol_mode=jbig2_symbol_mode)
+            jbig2_symbol_mode=jbig2_symbol_mode, jbig2_bands=jbig2_bands)
     elif image_mode in (IMAGE_MODE_PASSTHROUGH, IMAGE_MODE_PIXMAP):
         insert_images_legacy(builder, in_pdf, image_mode,
                              report_every=report_every, stop_after=stop)

@@ -918,6 +918,39 @@ long jbig2tpu_encode(const uint8_t* img, int w, int h, int tpgdon,
   return static_cast<long>(buf.size());
 }
 
+// Encode ONE immediate lossless generic region segment (type 39) for a
+// horizontal band of a larger page: img is (band_h, w) at page row y0.
+// Emits only the region segment (no file/page plumbing) with the given
+// segment number, so callers can encode bands concurrently and then
+// concatenate page-info + band segments into one stream (external
+// combination operator OR; bands are disjoint).  Returns bytes written
+// or -needed if cap is too small.
+long jbig2tpu_encode_band(const uint8_t* img, int w, int band_h, int y0,
+                          int tpgdon, unsigned segnum, uint8_t* out,
+                          long cap) {
+  std::vector<uint8_t> mq;
+  EncodeGenericRegion(img, w, band_h, tpgdon != 0, &mq);
+
+  std::vector<uint8_t> buf;
+  buf.reserve(mq.size() + 64);
+  const uint32_t region_len = 17 + 1 + 8 + static_cast<uint32_t>(mq.size());
+  SegmentHeader(&buf, segnum, 39, 1, region_len);
+  PutU32(&buf, static_cast<uint32_t>(w));
+  PutU32(&buf, static_cast<uint32_t>(band_h));
+  PutU32(&buf, 0);  // region x
+  PutU32(&buf, static_cast<uint32_t>(y0));  // region y
+  buf.push_back(0x00);  // external combination operator: OR
+  buf.push_back(static_cast<uint8_t>(tpgdon ? 0x08 : 0x00));  // GB flags
+  const int8_t at[8] = {3, -1, -3, -1, 2, -2, -2, -2};
+  for (int i = 0; i < 8; ++i) buf.push_back(static_cast<uint8_t>(at[i]));
+  buf.insert(buf.end(), mq.begin(), mq.end());
+
+  if (static_cast<long>(buf.size()) > cap)
+    return -static_cast<long>(buf.size());
+  std::memcpy(out, buf.data(), buf.size());
+  return static_cast<long>(buf.size());
+}
+
 // Symbol-coded encode (jbig2enc -s equivalent, but lossless: exact-match
 // symbol classes only).  mode: 1 = force symbol coding, 2 = auto (emit
 // whichever of generic/symbol is smaller).  Returns bytes written,
@@ -1004,10 +1037,15 @@ long jbig2tpu_decode(const uint8_t* data, long len, uint8_t* out,
       if (static_cast<long>(dlen) < 26) return -1;
       const uint32_t rw = u32(body);
       const uint32_t rh = u32(body + 4);
-      if (static_cast<int>(rw) != w || static_cast<int>(rh) != h) return -1;
+      const uint32_t rx = u32(body + 8);
+      const uint32_t ry = u32(body + 12);
+      // full-width bands at a row offset (rx always 0 in our streams)
+      if (static_cast<int>(rw) != w || rx != 0 ||
+          static_cast<long>(ry) + rh > static_cast<long>(h)) return -1;
       const bool tpgdon = (data[body + 17] & 0x08) != 0;
       if (DecodeGenericRegion(data + body + 26, dlen - 26, tpgdon,
-                              out, w, h) != 0) return -1;
+                              out + static_cast<long>(ry) * w, w,
+                              static_cast<int>(rh)) != 0) return -1;
       decoded_any = true;
     }
     pos = body + dlen;

@@ -49,6 +49,26 @@ class TestJBIG2:
         data = encode_jbig2(m)
         assert len(data) < m.size // 8 // 3   # beats raw packed by 3x+
 
+    def test_banded_roundtrip(self):
+        for seed, bands in ((0, 2), (1, 3), (2, 7)):
+            m = text_mask(seed=seed, h=896)
+            data = encode_jbig2(m, bands=bands)
+            assert (decode_jbig2(data, 320, 896) == m).all()
+            mono = encode_jbig2(m)
+            # banding restarts the coder per band: small overhead only
+            assert len(data) < len(mono) + 200 * bands
+
+    def test_banded_standalone(self):
+        m = text_mask(h=512)
+        data = encode_jbig2(m, embedded=False, bands=2)
+        assert data[:4] == b'\x97JB2'
+        assert (decode_jbig2(data, 320, 512) == m).all()
+
+    def test_bands_clamped_for_short_pages(self):
+        m = text_mask(h=160)          # fewer rows than 2 x 128
+        data = encode_jbig2(m, bands=8)
+        assert (decode_jbig2(data, 320, 160) == m).all()
+
 
 def glyph_mask(h=400, w=520, seed=1):
     """Text-like page reusing a small set of exact glyph bitmaps."""
