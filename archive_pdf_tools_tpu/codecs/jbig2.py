@@ -53,7 +53,7 @@ def _get_lib():
     lib.jbig2tpu_encode_symbol.restype = ctypes.c_long
     lib.jbig2tpu_encode_symbol.argtypes = [
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
-        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_long]
     lib.jbig2tpu_encode_band.restype = ctypes.c_long
     lib.jbig2tpu_encode_band.argtypes = [
@@ -69,14 +69,17 @@ def _get_lib():
 
 
 def encode_jbig2(mask, embedded=True, tpgdon=True, symbol_mode=False,
-                 bands=1):
+                 bands=1, symbol_corr_pct=90):
     """Encode a bool/uint8 (H, W) mask to JBIG2 bytes.
 
     symbol_mode: False -> generic region coding (the reference's plain
     ``jbig2 -p``, mrc.py:502-510); True -> symbol-dictionary + text-region
     coding (jbig2enc ``-s`` analogue, but lossless: only bit-identical
     connected components share a dictionary symbol); 'auto' -> whichever
-    of the two encodes smaller.
+    of the two encodes smaller; 'lossy' -> correlation-classified symbol
+    coding (jbig2enc's default classifier behaviour: near-identical
+    glyphs share one exemplar at ``symbol_corr_pct``/100 correlation,
+    with a 2x2 all-mismatch veto against character substitution).
 
     bands > 1 (generic mode only) splits the page into that many
     horizontal bands coded as independent region segments on a thread
@@ -96,6 +99,7 @@ def encode_jbig2(mask, embedded=True, tpgdon=True, symbol_mode=False,
                 m.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), w, h,
                 1 if tpgdon else 0, 1 if embedded else 0,
                 2 if symbol_mode == 'auto' else 1,
+                int(symbol_corr_pct) if symbol_mode == 'lossy' else 0,
                 out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap)
             if n == -1:     # degenerate (empty mask): generic fallback
                 return encode_jbig2(m, embedded, tpgdon)

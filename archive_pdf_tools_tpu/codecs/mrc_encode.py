@@ -57,8 +57,10 @@ def encode_mrc_mask(np_mask, fmt=COMPRESSOR_JBIG2, embedded=True,
         # text, not of paper), so it stores ink as jbig2 black and flips
         # back with a /Decode [1 0] array on the image dict.
         if jbig2_symbol_mode:
-            data = jbig2_codec.encode_jbig2(m, embedded=embedded,
-                                            symbol_mode=True)
+            data = jbig2_codec.encode_jbig2(
+                m, embedded=embedded,
+                symbol_mode='lossy' if jbig2_symbol_mode == 'lossy'
+                else True)
             decode = (1, 0)
             if jbig2_symbol_mode == 'auto':
                 gen = jbig2_codec.encode_jbig2(~m, embedded=embedded)

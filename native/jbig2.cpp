@@ -14,6 +14,7 @@
 // Build: g++ -O3 -shared -fPIC -o libjbig2tpu.so jbig2.cpp
 
 #include <algorithm>
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <vector>
@@ -480,12 +481,73 @@ uint64_t HashBitmap(const SymBitmap& s) {
   return hv;
 }
 
+// Correlation score for lossy classification (jbig2enc -s analogue):
+// align the candidate and the class exemplar by centroid, then
+// corr = |A AND B|^2 / (|A|*|B|) over the aligned overlap.  Returns the
+// centroid-aligned placement shift in (dx, dy).  A 2x2 all-mismatch
+// block anywhere vetoes the match (that is how visually distinct glyph
+// pairs like e/c or 6/8 differ, per the classic pattern-matching
+// literature), preventing character substitution errors.
+double CorrelationScore(const SymBitmap& a, const SymBitmap& b,
+                        long ones_a, long ones_b, double acx, double acy,
+                        double bcx, double bcy, int* dx_out, int* dy_out) {
+  const int dx = static_cast<int>(std::lround(acx - bcx));
+  const int dy = static_cast<int>(std::lround(acy - bcy));
+  *dx_out = dx;
+  *dy_out = dy;
+  // b placed at (dx, dy) in a's frame; iterate the union bbox
+  const int x0 = std::min(0, dx), y0 = std::min(0, dy);
+  const int x1 = std::max(a.w, b.w + dx), y1 = std::max(a.h, b.h + dy);
+  auto at_a = [&](int x, int y) {
+    return x >= 0 && x < a.w && y >= 0 && y < a.h &&
+           a.px[static_cast<size_t>(y) * a.w + x] != 0;
+  };
+  auto at_b = [&](int x, int y) {
+    return x - dx >= 0 && x - dx < b.w && y - dy >= 0 && y - dy < b.h &&
+           b.px[static_cast<size_t>(y - dy) * b.w + (x - dx)] != 0;
+  };
+  long inter = 0;
+  for (int y = y0; y < y1; ++y)
+    for (int x = x0; x < x1; ++x)
+      if (at_a(x, y) && at_b(x, y)) ++inter;
+  // 2x2 all-mismatch veto
+  for (int y = y0; y + 1 < y1; ++y) {
+    for (int x = x0; x + 1 < x1; ++x) {
+      bool all = true;
+      for (int sy = 0; sy < 2 && all; ++sy)
+        for (int sx = 0; sx < 2 && all; ++sx)
+          if (at_a(x + sx, y + sy) == at_b(x + sx, y + sy)) all = false;
+      if (all) return 0.0;
+    }
+  }
+  if (ones_a == 0 || ones_b == 0) return 0.0;
+  return static_cast<double>(inter) * static_cast<double>(inter) /
+         (static_cast<double>(ones_a) * static_cast<double>(ones_b));
+}
+
+void Centroid(const SymBitmap& s, long* ones, double* cx, double* cy) {
+  long n = 0, sx = 0, sy = 0;
+  for (int y = 0; y < s.h; ++y)
+    for (int x = 0; x < s.w; ++x)
+      if (s.px[static_cast<size_t>(y) * s.w + x]) {
+        ++n; sx += x; sy += y;
+      }
+  *ones = n;
+  *cx = n ? static_cast<double>(sx) / n : 0.0;
+  *cy = n ? static_cast<double>(sy) / n : 0.0;
+}
+
 // 8-connected component extraction; exact-match classification (identical
 // bitmaps share one dictionary symbol, so the coding stays lossless: the
 // OR of all placed instances reproduces the input page bit-for-bit).
+// corr_thresh_pct > 0 additionally merges near-identical components into
+// one class when their centroid-aligned correlation reaches the
+// threshold (jbig2enc -s style classification; the coding then becomes
+// lossy: instances render the class exemplar).
 void ExtractSymbols(const uint8_t* img, int w, int h,
                     std::vector<SymBitmap>* symbols,
-                    std::vector<Instance>* instances) {
+                    std::vector<Instance>* instances,
+                    int corr_thresh_pct = 0) {
   std::vector<int32_t> label(static_cast<size_t>(w) * h, -1);
   std::vector<int> stack;
   struct CC { int x0, y0, x1, y1; };
@@ -539,9 +601,13 @@ void ExtractSymbols(const uint8_t* img, int w, int h,
     }
   }
 
-  // classify: exact match by (w, h, pixels)
+  // classify: exact match by (w, h, pixels); optionally correlation
+  struct Meta { long ones; double cx, cy; };
   std::vector<int> cls(ccs.size());
+  std::vector<int> shx(ccs.size(), 0), shy(ccs.size(), 0);
   std::vector<std::pair<uint64_t, int>> seen;  // (hash, symbol index)
+  std::vector<Meta> meta;                      // parallel to *symbols
+  const double thresh = corr_thresh_pct / 100.0;
   for (size_t k = 0; k < raw.size(); ++k) {
     raw[k].hash = HashBitmap(raw[k]);
     int found = -1;
@@ -553,8 +619,33 @@ void ExtractSymbols(const uint8_t* img, int w, int h,
         break;
       }
     }
+    long ones_k = 0;
+    double cxk = 0.0, cyk = 0.0;
+    if (corr_thresh_pct > 0 && found < 0) {
+      Centroid(raw[k], &ones_k, &cxk, &cyk);
+      for (size_t s = 0; s < symbols->size(); ++s) {
+        const SymBitmap& ex = (*symbols)[s];
+        if (std::abs(ex.w - raw[k].w) > 2 ||
+            std::abs(ex.h - raw[k].h) > 2)
+          continue;
+        int dx = 0, dy = 0;
+        const double sc = CorrelationScore(
+            raw[k], ex, ones_k, meta[s].ones, cxk, cyk,
+            meta[s].cx, meta[s].cy, &dx, &dy);
+        if (sc >= thresh) {
+          found = static_cast<int>(s);
+          shx[k] = dx;
+          shy[k] = dy;
+          break;
+        }
+      }
+    }
     if (found < 0) {
       found = static_cast<int>(symbols->size());
+      if (corr_thresh_pct > 0) {
+        if (ones_k == 0) Centroid(raw[k], &ones_k, &cxk, &cyk);
+        meta.push_back(Meta{ones_k, cxk, cyk});
+      }
       symbols->push_back(std::move(raw[k]));
       seen.emplace_back((*symbols)[found].hash, found);
     }
@@ -580,7 +671,11 @@ void ExtractSymbols(const uint8_t* img, int w, int h,
 
   instances->resize(ccs.size());
   for (size_t k = 0; k < ccs.size(); ++k) {
-    (*instances)[k] = Instance{ccs[k].x0, ccs[k].y0, rank[cls[k]]};
+    // correlation matches place the class exemplar centroid-aligned
+    // with the component (shift 0 for exact matches)
+    (*instances)[k] = Instance{std::max(ccs[k].x0 + shx[k], 0),
+                               std::max(ccs[k].y0 + shy[k], 0),
+                               rank[cls[k]]};
   }
   std::sort(instances->begin(), instances->end(),
             [](const Instance& a, const Instance& b) {
@@ -951,16 +1046,20 @@ long jbig2tpu_encode_band(const uint8_t* img, int w, int band_h, int y0,
   return static_cast<long>(buf.size());
 }
 
-// Symbol-coded encode (jbig2enc -s equivalent, but lossless: exact-match
-// symbol classes only).  mode: 1 = force symbol coding, 2 = auto (emit
-// whichever of generic/symbol is smaller).  Returns bytes written,
-// -needed if cap is too small, or -1 on empty/degenerate input in
-// forced-symbol mode (callers fall back to generic).
+// Symbol-coded encode (jbig2enc -s equivalent).  mode: 1 = force symbol
+// coding, 2 = auto (emit whichever of generic/symbol is smaller).
+// corr_thresh_pct: 0 = lossless exact-match classes only; > 0 also
+// merges components whose centroid-aligned correlation reaches the
+// threshold (lossy, like jbig2enc's default classifier; a 2x2
+// all-mismatch veto guards against character substitution).  Returns
+// bytes written, -needed if cap is too small, or -1 on empty/degenerate
+// input in forced-symbol mode (callers fall back to generic).
 long jbig2tpu_encode_symbol(const uint8_t* img, int w, int h, int tpgdon,
-                            int embedded, int mode, uint8_t* out, long cap) {
+                            int embedded, int mode, int corr_thresh_pct,
+                            uint8_t* out, long cap) {
   std::vector<SymBitmap> syms;
   std::vector<Instance> inst;
-  ExtractSymbols(img, w, h, &syms, &inst);
+  ExtractSymbols(img, w, h, &syms, &inst, corr_thresh_pct);
 
   std::vector<uint8_t> sym_buf;
   if (!syms.empty())

@@ -83,11 +83,50 @@ def glyph_mask(h=400, w=520, seed=1):
     return m
 
 
+def noisy_glyph_mask(h=400, w=520, seed=1, flips=2):
+    """glyph_mask with a few salt-noise bit flips per glyph instance, so
+    instances are near-identical but not exact copies."""
+    rng = np.random.default_rng(seed)
+    glyphs = [rng.random((11, 8)) < 0.5 for _ in range(4)]
+    m = np.zeros((h, w), bool)
+    for row in range(4, h - 14, 16):
+        x = 6
+        while x < w - 14:
+            g = glyphs[int(rng.integers(0, 4))].copy()
+            for _ in range(flips):
+                gy, gx = rng.integers(1, 10), rng.integers(1, 7)
+                g[gy, gx] = ~g[gy, gx]
+            m[row:row + 11, x:x + 8] |= g
+            x += 8 + int(rng.integers(2, 6))
+    return m
+
+
 class TestJBIG2Symbol:
     def test_lossless_roundtrip(self):
         m = glyph_mask()
         data = encode_jbig2(m, symbol_mode=True)
         assert (decode_jbig2(data, m.shape[1], m.shape[0]) == m).all()
+
+    def test_lossy_classifier_compresses_noisy_glyphs(self):
+        m = noisy_glyph_mask()
+        exact = encode_jbig2(m, symbol_mode=True)
+        lossy = encode_jbig2(m, symbol_mode='lossy')
+        # near-identical instances merge into fewer classes (the random
+        # 50%-density synthetic glyphs trip the 2x2 veto far more often
+        # than real text; real pages merge much further)
+        assert len(lossy) < 0.75 * len(exact)
+        got = decode_jbig2(lossy, m.shape[1], m.shape[0])
+        agree = (got == m).mean()
+        assert agree > 0.97          # exemplar substitution only
+        # every glyph instance is still rendered somewhere close by:
+        # ink counts stay within a few percent
+        assert abs(int(got.sum()) - int(m.sum())) < 0.1 * m.sum()
+
+    def test_lossy_is_exact_on_exact_copies(self):
+        m = glyph_mask()
+        lossy = encode_jbig2(m, symbol_mode='lossy')
+        # identical instances classify exactly; output stays lossless
+        assert (decode_jbig2(lossy, m.shape[1], m.shape[0]) == m).all()
 
     def test_beats_generic_on_repeated_glyphs(self):
         m = glyph_mask()
