@@ -24,7 +24,6 @@ f32 like ops/sauvola.py.
 
 import functools
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -57,10 +56,13 @@ def _make_kernel(h, w, wpp, window, k, R, radius):
             colsum[...] = jnp.zeros_like(colsum)
             colsumsq[...] = jnp.zeros_like(colsumsq)
 
-        # ingest padded input row s (guarded past the end)
+        # ingest padded input row s (guarded past the end); the ring
+        # holds f32 so the 2*radius+1 tap reads skip the u8->i32->f32
+        # conversion (bit-identical: same values, converted once)
         @pl.when(s < h + 2 * radius)
         def _():
-            in_ring[pl.ds(s % ring_in, 1)] = img_ref[...]
+            in_ring[pl.ds(s % ring_in, 1)] = \
+                img_ref[...].astype(jnp.int32).astype(jnp.float32)
 
         bs = s - pre    # blurred row index produced this step
         whor = whor_ref[0]                          # (B, 128) f32
@@ -72,9 +74,7 @@ def _make_kernel(h, w, wpp, window, k, R, radius):
             vrow = jnp.zeros(in_ring.shape[1:], jnp.float32)
             for t in range(taps):
                 slot = (bs + t) % ring_in
-                row = in_ring[pl.ds(slot, 1)][0]
-                vrow = vrow + whor[:, t:t + 1] * \
-                    row.astype(jnp.int32).astype(jnp.float32)
+                vrow = vrow + whor[:, t:t + 1] * in_ring[pl.ds(slot, 1)][0]
 
             # horizontal MAC (same separable weights)
             brow = jnp.zeros_like(vrow)
@@ -196,7 +196,7 @@ def _blur_sauvola_impl(img, weights, window, k=0.34, R=128.0,
         out_shape=jax.ShapeDtypeStruct((h, b, wpp), jnp.uint8),
         scratch_shapes=[
             pltpu.VMEM((-(-(taps + 1) // 8) * 8, b, wpp),
-                       jnp.uint8),                             # input ring
+                       jnp.float32),      # input ring (pre-converted)
             pltpu.VMEM((-(-(window + 1) // 8) * 8, b, wpp),
                        jnp.uint8),                             # blurred ring
             pltpu.VMEM((b, wpp), jnp.int32),         # colsum
