@@ -22,20 +22,9 @@ from .optimise_pallas import _window_sum_lanes, _shift_left_zero
 
 
 def _compose(a, b, nbits, nstates, mf):
-    """Packed-table composition: out[s] = b[a[s]] for n-bit fields."""
-    import os
-    if os.environ.get('APT_COMPOSE_VARIANT') == 'mux':
-        # constant-shift extracts + select chain instead of the
-        # vector-variable shift (perf experiment)
-        bk = [(b >> (nbits * k)) & mf for k in range(nstates)]
-        out = jnp.zeros_like(a)
-        for s in range(nstates):
-            a_s = (a >> (nbits * s)) & mf
-            b_at = bk[nstates - 1]
-            for k in range(nstates - 2, -1, -1):
-                b_at = jnp.where(a_s == k, bk[k], b_at)
-            out = out | (b_at << (nbits * s))
-        return out
+    """Packed-table composition: out[s] = b[a[s]] for n-bit fields.
+    (A constant-shift + select-chain variant measured 13% slower than
+    the vector-variable shift on v5e.)"""
     out = jnp.zeros_like(a)
     for s in range(nstates):
         a_s = (a >> (nbits * s)) & mf

@@ -156,9 +156,10 @@ def _make_kernel(n, h, wp):
 
 def _max_batch(n, c):
     """VMEM budget: scratch is ~(n*c + 2c + 1) * B * Wp * 4 bytes; cap it
-    near 11MB so blocks and register spill fit the 16MB/core VMEM."""
+    near 24MB (this chip compiles ~23MB of scratch comfortably; chunking
+    a batch costs more than the larger rings)."""
     per_page = ((n * c + 2 * c + 1) * 4 + (2 * n + 1) * (c + 1)) * 2816
-    return max(4, (11 * 1024 * 1024) // per_page)
+    return max(4, (24 * 1024 * 1024) // per_page)
 
 
 def optimise_pallas(mask, img, n_size, interpret=False):
@@ -169,13 +170,16 @@ def optimise_pallas(mask, img, n_size, interpret=False):
     (RGB at n=10 caps near 24 pages; gray fits 64+).
     """
     c = 1 if img.ndim == 3 else img.shape[-1]
+    b = img.shape[0]
     cap = _max_batch(int(n_size), c)
-    if img.shape[0] > cap:
-        outs = [_optimise_impl(mask[i:i + cap], img[i:i + cap], n_size,
+    if b > cap:
+        # equal chunks: one compiled shape, best utilization
+        n_chunks = -(-b // cap)
+        step = -(-b // n_chunks)
+        outs = [_optimise_impl(mask[i:i + step], img[i:i + step], n_size,
                                interpret)
-                for i in range(0, img.shape[0], cap)]
-        import jax.numpy as _jnp
-        return _jnp.concatenate(outs, axis=0)
+                for i in range(0, b, step)]
+        return jnp.concatenate(outs, axis=0)
     return _optimise_impl(mask, img, n_size, interpret)
 
 

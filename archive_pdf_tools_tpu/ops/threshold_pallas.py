@@ -34,7 +34,15 @@ from .optimise_pallas import _window_sum_lanes, _shift_left_zero, \
 
 MAX_BLUR_RADIUS = 48          # supports sigma_est up to ~120
 RADIUS_BUCKETS = (8, 16, 48)  # compile-time taps chosen from the data
-MAX_BATCH = 16                # VMEM budget: rings are 2*RING*B*Wpp bytes
+
+
+def _max_batch(radius, w=2550):
+    """VMEM budget: the f32 input ring is (2r+2 rounded to 8) rows, the
+    u8 blurred ring window+3 rounded to 8; cap scratch near 24MB."""
+    wpp = -(-(w + max(2 * radius, 51)) // 128) * 128
+    ring_in = -(-(2 * radius + 2) // 8) * 8
+    per_page = (ring_in * 4 + 104 + 8) * wpp
+    return max(4, (24 * 1024 * 1024) // per_page)
 
 
 def _make_kernel(h, w, wpp, window, k, R, radius):
@@ -149,11 +157,15 @@ def blur_sauvola_pallas(img, weights, window, k=0.34, R=128.0,
     per-page scipy radii; the MAC cost is linear in it).  Returns bool
     (B, H, W) ink mask of the blurred-then-truncated image.  Batches
     beyond the VMEM ring budget run as chunked kernel calls."""
-    if img.shape[0] > MAX_BATCH:
-        outs = [_blur_sauvola_impl(img[i:i + MAX_BATCH],
-                                   weights[i:i + MAX_BATCH],
+    b = img.shape[0]
+    cap = _max_batch(radius, img.shape[2])
+    if b > cap:
+        # equal chunks: one compiled shape, best utilization
+        n_chunks = -(-b // cap)
+        step = -(-b // n_chunks)
+        outs = [_blur_sauvola_impl(img[i:i + step], weights[i:i + step],
                                    window, k, R, interpret, radius)
-                for i in range(0, img.shape[0], MAX_BATCH)]
+                for i in range(0, b, step)]
         return jnp.concatenate(outs, axis=0)
     return _blur_sauvola_impl(img, weights, window, k, R, interpret, radius)
 
