@@ -75,8 +75,10 @@ def decompose_masks(np_images, word_datas, dpi=None, downsample=None,
     total = sum(len(bx) for bx in page_boxes)
     n_seg = _round_lines(total)
 
-    tallest = max((bo - t for bx in page_boxes for (t, bo, l, r) in bx),
-                  default=0)
+    # crop rows are 8-aligned (lines_pallas): a line occupies rows
+    # [t%8, t%8 + height) of its bucket
+    tallest = max((bo - t + t % 8 for bx in page_boxes
+                   for (t, bo, l, r) in bx), default=0)
     line_bucket = next((b for b in LINE_H_BUCKETS if tallest <= b), None)
     pallas_lines = use_pallas() and line_bucket is not None
 
@@ -130,8 +132,9 @@ def decompose_masks(np_images, word_datas, dpi=None, downsample=None,
         def sigma_fn(i):
             tt, bo, ll, rr = boxes[:, i]
             ct, ci = _needy_cache[int(i)]
-            ct = ct[:bo - tt, ll:rr]
-            ci = ci[:bo - tt, ll:rr]
+            off = tt % 8
+            ct = ct[off:off + (bo - tt), ll:rr]
+            ci = ci[off:off + (bo - tt), ll:rr]
             return (estimate_sigma_np(ct.astype(np.float64)),
                     estimate_sigma_np(ci.astype(np.float64)))
     else:
@@ -186,9 +189,13 @@ def decompose_masks(np_images, word_datas, dpi=None, downsample=None,
     if pallas_lines:
         selector = np.where(use_plain, 1,
                             np.where(use_inv, 2, 0)).astype(np.int32)
-        mask = D.paste_selected_crops(
-            crops_t, crops_i, jnp.asarray(boxes), jnp.asarray(pages),
-            jnp.asarray(selector), gmask, len(np_images), h)
+        from ..ops.paste_pallas import build_paste_plan, paste_crops_pallas
+        plan = build_paste_plan(boxes, pages, selector, len(np_images))
+        mask = paste_crops_pallas(
+            crops_t, crops_i,
+            *(jnp.asarray(plan[kk]) for kk in
+              ('li', 't', 'b', 'l', 'r', 'sel', 'gpage', 'gfirst')),
+            gmask, interpret=interp)
     else:
         mask = D.compose_mask(thres, thres_inv, jnp.asarray(use_plain),
                               jnp.asarray(use_inv), jnp.asarray(id_map),

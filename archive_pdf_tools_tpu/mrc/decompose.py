@@ -255,12 +255,15 @@ def compose_mask(thres, thres_inv, use_plain, use_inv, line_id, global_mask):
 @jax.jit
 def line_crop_counts(crops_t, crops_i, boxes):
     """Per-line ink counts over the valid crop region of the Pallas line
-    buffers ((n, MAX_H, Wp) uint8)."""
+    buffers ((n, MAX_H, Wp) uint8; crop rows 8-aligned, see
+    lines_pallas)."""
     n, max_h, wp = crops_t.shape
     rows = jnp.arange(max_h, dtype=jnp.int32)[None, :, None]
     cols = jnp.arange(wp, dtype=jnp.int32)[None, None, :]
     t, b, l, r = boxes[0], boxes[1], boxes[2], boxes[3]
-    valid = (rows < (b - t)[:, None, None]) & \
+    off = t % 8
+    valid = (rows >= off[:, None, None]) & \
+            (rows < (off + b - t)[:, None, None]) & \
             (cols >= l[:, None, None]) & (cols < r[:, None, None])
     ones = jnp.sum(jnp.where(valid, crops_t, 0), axis=(1, 2))
     ones_inv = jnp.sum(jnp.where(valid, crops_i, 0), axis=(1, 2))
@@ -273,7 +276,8 @@ def paste_selected_crops(crops_t, crops_i, boxes, pages, selector,
                          global_mask, bsz, h):
     """Paste each line's selected threshold crop (selector 0=none,
     1=plain, 2=inverse) into page maps in document order (last line
-    wins), then OR the global mask (``mrc.py:265-266,329``)."""
+    wins), then OR the global mask (``mrc.py:265-266,329``).  Crop rows
+    are 8-aligned in page coordinates (see lines_pallas)."""
     n, max_h, wp = crops_t.shape
     buf = jnp.zeros((bsz, h + max_h, wp), jnp.uint8)
 
@@ -282,11 +286,15 @@ def paste_selected_crops(crops_t, crops_i, boxes, pages, selector,
 
     def body(acc, xs):
         ct, ci, t, b, l, r, page, sel = xs
-        ok = (rows < (b - t)) & (cols >= l) & (cols < r) & (sel > 0)
+        off = t % 8
+        ok = (rows >= off) & (rows < off + (b - t)) & \
+            (cols >= l) & (cols < r) & (sel > 0)
         chosen = jnp.where(sel == 1, ct, ci)
-        cur = jax.lax.dynamic_slice(acc, (page, t, 0), (1, max_h, wp))
+        cur = jax.lax.dynamic_slice(acc, (page, t - off, 0),
+                                    (1, max_h, wp))
         new = jnp.where(ok[None], chosen[None], cur)
-        return jax.lax.dynamic_update_slice(acc, new, (page, t, 0)), None
+        return jax.lax.dynamic_update_slice(acc, new,
+                                            (page, t - off, 0)), None
 
     buf, _ = jax.lax.scan(
         body, buf,

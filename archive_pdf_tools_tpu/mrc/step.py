@@ -49,13 +49,16 @@ def mrc_full_step(images, line_id, boxes, use_plain, use_inv,
                                     'max_line_h', 'blur_radius'))
 def mrc_full_step_pallas(images, boxes, pages, selector, window,
                          rgb=False, denoise=DENOISE_FAST, interpret=False,
-                         max_line_h=128, blur_radius=16):
+                         max_line_h=128, blur_radius=16, paste_plan=None):
     """The flagship step on the Pallas kernel path: line-band thresholds,
     fused blur+Sauvola, ordered crop pasting, exact despeckle, radiate
     fills — one jit, streamed row-walk kernels throughout.
 
     boxes: (4, n) int32; pages: (n,) int32; selector: (n,) int32 per-line
-    pick (0 none / 1 plain / 2 inverse) from the host heuristic."""
+    pick (0 none / 1 plain / 2 inverse) from the host heuristic.
+    paste_plan: optional tuple of the 8 ``build_paste_plan`` arrays
+    (li, t, b, l, r, sel, gpage, gfirst); with it the paste runs as the
+    Pallas page-block kernel instead of the serial XLA scan."""
     from ..ops.lines_pallas import line_thresholds_pallas
     from ..ops.optimise_pallas import optimise_pallas
     from ..ops.denoise_pallas import fast_mask_denoise_pallas
@@ -68,8 +71,13 @@ def mrc_full_step_pallas(images, boxes, pages, selector, window,
         max_line_h=max_line_h)
     gmask, _sigma = D.global_threshold_fused_static(
         gray, window, blur_radius, interpret=interpret)
-    mask = D.paste_selected_crops(crops_t, crops_i, boxes, pages,
-                                  selector, gmask, b, h)
+    if paste_plan is not None:
+        from ..ops.paste_pallas import paste_crops_pallas
+        mask = paste_crops_pallas(crops_t, crops_i, *paste_plan, gmask,
+                                  interpret=interpret)
+    else:
+        mask = D.paste_selected_crops(crops_t, crops_i, boxes, pages,
+                                      selector, gmask, b, h)
     if denoise == DENOISE_FAST:
         mask = fast_mask_denoise_pallas(mask, 4, 2, interpret=interpret)
 

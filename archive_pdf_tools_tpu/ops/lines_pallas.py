@@ -60,7 +60,8 @@ def _make_kernel(wpp, window, k, R, max_h, ring_n):
         bb = scal(b_ref)
         ll = scal(l_ref)
         rr = scal(r_ref)
-        height = bb - t
+        off = t % 8                # crop rows sit 8-aligned: crop row k
+        height = bb - t            # is page row (t - off) + k
 
         @pl.when(s2 == 0)
         def _():
@@ -79,17 +80,18 @@ def _make_kernel(wpp, window, k, R, max_h, ring_n):
         raw_u8 = jnp.concatenate([r[0] for r in add_refs], axis=0)
         ring[pl.ds(s2 % ring_n, 1)] = raw_u8[None]
         add_rows = jnp.where(in_cols, raw_u8.astype(jnp.int32), 0)
-        add_rows = jnp.where(s2 < height, add_rows, 0)
+        add_rows = jnp.where(
+            jnp.logical_and(s2 >= off, s2 < off + height), add_rows, 0)
         colsum[...] = colsum[...] + add_rows
         colsumsq[...] = colsumsq[...] + add_rows * add_rows
 
-        # window leave: row t_j + s2 - u - o (masked subtract)
+        # window leave: row t_al_j + s2 - u - o (masked subtract)
         rem = s2 - u - o
         rem_slot = jnp.maximum(rem, 0) % ring_n
         rem_raw = ring[pl.ds(rem_slot, 1)][0].astype(jnp.int32)
         rem_rows = jnp.where(in_cols, rem_raw, 0)
         rem_rows = jnp.where(
-            jnp.logical_and(rem >= 0, rem < height), rem_rows, 0)
+            jnp.logical_and(rem >= off, rem < off + height), rem_rows, 0)
         colsum[...] = colsum[...] - rem_rows
         colsumsq[...] = colsumsq[...] - rem_rows * rem_rows
 
@@ -105,7 +107,7 @@ def _make_kernel(wpp, window, k, R, max_h, ring_n):
             q_win = _shift_left_zero(
                 _window_sum_lanes(colsumsq[...], window), u, wpp)
 
-            y = t + r_loc
+            y = (t - off) + r_loc
             rows_in = (jnp.minimum(y + u, bb - 1)
                        - jnp.maximum(y - o, t - 1))       # (G, 1)
             cols_in = (jnp.minimum(lanes + u, rr - 1)
@@ -132,7 +134,9 @@ def _make_kernel(wpp, window, k, R, max_h, ring_n):
             q_inv = 65025 * cnt - 510 * s_win + q_win
             ink_inv = sauvola(s_inv, q_inv, 255 - px)
 
-            valid = jnp.logical_and(in_cols, r_loc < height)
+            valid = jnp.logical_and(
+                in_cols, jnp.logical_and(r_loc >= off,
+                                         r_loc < off + height))
             bit_t = jnp.where(jnp.logical_and(valid, ink), 1, 0)
             bit_i = jnp.where(jnp.logical_and(valid, ink_inv), 1, 0)
             out_t_ref[0, 0] = bit_t.astype(jnp.uint8)
@@ -160,11 +164,15 @@ def line_thresholds_pallas(gray, boxes, pages, window, k=0.1, R=128.0,
     """gray: uint8 (B, H, W); boxes: (4, n) int32 rows t,b,l,r (n a
     multiple of 8); pages: (n,) int32 page of each line.  Returns
     (thres, thres_inv, ones, ones_inv): uint8 crop buffers of shape
-    (n, max_line_h, Wp) holding each line's mask rows at [0:b-t] (lanes
-    are page columns; only [l, r) is meaningful) plus fused int32
-    per-line ink counts for both polarities."""
+    (n, max_line_h, Wp) holding each line's mask rows 8-aligned: crop
+    row k is page row (t & ~7) + k, valid rows [t%8, t%8 + (b-t))
+    (lanes are page columns; only [l, r) is meaningful) plus fused
+    int32 per-line ink counts for both polarities."""
     bsz, h, w = gray.shape
     n = boxes.shape[1]
+    # Crop rows are 8-aligned in page coordinates: crop row k of line j
+    # holds page row (t_j & ~7) + k; rows [t%8, t%8 + (b-t)) are valid.
+    # This keeps the paste kernel's VMEM writes sublane-tile-aligned.
     if n % GROUP:
         pad = GROUP - n % GROUP
         boxes = jnp.pad(boxes, ((0, 0), (0, pad)))
@@ -190,7 +198,7 @@ def line_thresholds_pallas(gray, boxes, pages, window, k=0.1, R=128.0,
 
     ring_n = window + 1          # enter row must outlive the leave read
     in_specs = [pl.BlockSpec((1, 1, wpp),
-                             mk_index(j, lambda tt, s2: tt + s2))
+                             mk_index(j, lambda tt, s2: tt - tt % 8 + s2))
                 for j in range(GROUP)]
 
     def out_map(i, s2, t_ref, b_ref, l_ref, r_ref, page_ref):

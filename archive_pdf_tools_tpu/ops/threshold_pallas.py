@@ -78,19 +78,23 @@ def _make_kernel(h, w, wpp, window, k, R, radius):
         @pl.when(jnp.logical_and(bs >= 0, bs < h))
         def _():
             # vertical MAC: tap t is padded row bs+t, ring slot
-            # (bs+t) % ring_in (static tap index, dynamic slot)
-            vrow = jnp.zeros(in_ring.shape[1:], jnp.float32)
-            for t in range(taps):
-                slot = (bs + t) % ring_in
-                vrow = vrow + whor[:, t:t + 1] * in_ring[pl.ds(slot, 1)][0]
+            # (bs+t) % ring_in (static tap index, dynamic slot).
+            # Gaussian taps are symmetric (w[t] == w[2r-t], identity row
+            # included), so fold mirrored taps to halve the multiplies.
+            vrow = whor[:, radius:radius + 1] * \
+                in_ring[pl.ds((bs + radius) % ring_in, 1)][0]
+            for t in range(radius):
+                pair = in_ring[pl.ds((bs + t) % ring_in, 1)][0] + \
+                    in_ring[pl.ds((bs + 2 * radius - t) % ring_in, 1)][0]
+                vrow = vrow + whor[:, t:t + 1] * pair
 
-            # horizontal MAC (same separable weights)
-            brow = jnp.zeros_like(vrow)
-            for t in range(taps):
-                shift = radius - t
-                shifted = vrow if shift == 0 else \
-                    jnp.roll(vrow, shift, axis=-1)
-                brow = brow + whor[:, t:t + 1] * shifted
+            # horizontal MAC (same separable weights, same fold)
+            brow = whor[:, radius:radius + 1] * vrow
+            for t in range(radius):
+                sh = radius - t
+                pair = jnp.roll(vrow, sh, axis=-1) + \
+                    jnp.roll(vrow, -sh, axis=-1)
+                brow = brow + whor[:, t:t + 1] * pair
 
             # re-base lanes to original columns; truncate like the
             # reference's float->uint8 cast; zero the padding lanes

@@ -25,24 +25,29 @@ from ..mrc.step import mrc_full_step_pallas
 
 
 def sharded_mrc_step(mesh, window, rgb=False, denoise='fast',
-                     interpret=False, max_line_h=128):
+                     interpret=False, max_line_h=128, with_paste_plan=False):
     """Build a pjit-able function running the full Pallas MRC step on
     each chip's page shard.
 
     Returned fn signature: (images (B, H, W[,3]) sharded on pages,
     boxes (D, 4, n), pages (D, n), selector (D, n)) where D = mesh size
-    and the per-shard line arrays use *local* page indices.
+    and the per-shard line arrays use *local* page indices.  With
+    ``with_paste_plan`` the fn takes a 5th argument: the tuple of 8
+    per-shard ``build_paste_plan`` arrays from ``split_paste_plans``
+    (runs the Pallas paste kernel instead of the XLA scan).
     """
-    def local_step(images, boxes, pages, selector):
+    def local_step(images, boxes, pages, selector, *plan):
         # leading shard dim of the line arrays is this chip's slice
         return mrc_full_step_pallas(
             images, boxes[0], pages[0], selector[0], window=window,
             rgb=rgb, denoise=denoise, interpret=interpret,
-            max_line_h=max_line_h)[:3]
+            max_line_h=max_line_h,
+            paste_plan=tuple(a[0] for a in plan) if plan else None)[:3]
 
+    n_in = 4 + (8 if with_paste_plan else 0)
     return shard_map(
         local_step, mesh=mesh,
-        in_specs=(P('pages'), P('pages'), P('pages'), P('pages')),
+        in_specs=tuple([P('pages')] * n_in),
         out_specs=(P('pages'), P('pages'), P('pages')),
         check_rep=False)
 
@@ -70,3 +75,14 @@ def split_lines_per_shard(boxes, pages, selector, batch, n_shards):
         out_pages[s, j] = p - s * per
         out_sel[s, j] = selector[i]
     return out_boxes, out_pages, out_sel
+
+
+def split_paste_plans(shard_boxes, shard_pages, shard_sel, per_shard_pages):
+    """Host helper: per-shard ``build_paste_plan`` arrays stacked on a
+    leading shard dim, for ``sharded_mrc_step(with_paste_plan=True)``."""
+    from ..ops.paste_pallas import build_paste_plan
+    keys = ('li', 't', 'b', 'l', 'r', 'sel', 'gpage', 'gfirst')
+    plans = [build_paste_plan(shard_boxes[s], shard_pages[s],
+                              shard_sel[s], per_shard_pages)
+             for s in range(shard_boxes.shape[0])]
+    return tuple(np.stack([p[k] for p in plans]) for k in keys)

@@ -69,6 +69,11 @@ def main():
     dev = jax.device_put
     args = tuple(dev(a) for a in (images, boxes, pages_vec, selector))
 
+    from archive_pdf_tools_tpu.ops.paste_pallas import build_paste_plan
+    plan = build_paste_plan(boxes, pages_vec, selector, batch)
+    plan_dev = tuple(dev(plan[k]) for k in
+                     ('li', 't', 'b', 'l', 'r', 'sel', 'gpage', 'gfirst'))
+
     # host-side radius bucket choice, as the recode pipeline does it
     from archive_pdf_tools_tpu.mrc.decompose import (pick_blur_radius,
                                                      gray_601)
@@ -77,7 +82,8 @@ def main():
     def step():
         out = mrc_full_step_pallas(*args, window=window,
                                    rgb=rgb, denoise='fast',
-                                   max_line_h=64, blur_radius=radius)
+                                   max_line_h=64, blur_radius=radius,
+                                   paste_plan=plan_dev)
         jax.block_until_ready(out)
         # the axon platform's block_until_ready can return early; a tiny
         # device->host readback guarantees real synchronization

@@ -129,10 +129,70 @@ class TestLinesPallas:
             crop = gray[pages[i], t[i]:b[i], l[i]:r[i]]
             ref = golden.sauvola_mask_ref(crop, 51, 51, 0.1)
             refi = golden.sauvola_mask_ref(255 - crop, 51, 51, 0.1)
-            assert (ref == th[i][:b[i] - t[i], l[i]:r[i]].astype(bool)).all()
-            assert (refi == ti[i][:b[i] - t[i], l[i]:r[i]].astype(bool)).all()
+            off = t[i] % 8        # crop rows are 8-aligned (lines_pallas)
+            sl = slice(off, off + b[i] - t[i])
+            assert (ref == th[i][sl, l[i]:r[i]].astype(bool)).all()
+            assert (refi == ti[i][sl, l[i]:r[i]].astype(bool)).all()
             assert ones[i] == ref.sum()          # fused ink counts
             assert ones_inv[i] == refi.sum()
+
+    def test_paste_kernel_matches_scan(self):
+        """paste_crops_pallas == the XLA-scan paste, including overlap
+        order, unselected lines, and pages with no lines."""
+        import jax.numpy as jnp
+        from archive_pdf_tools_tpu.ops.lines_pallas import \
+            line_thresholds_pallas
+        from archive_pdf_tools_tpu.ops.paste_pallas import \
+            build_paste_plan, paste_crops_pallas
+        from archive_pdf_tools_tpu.mrc import decompose as D
+
+        bsz, h, w = 3, 120, 250
+        gray = np.stack([synth_page(h, w, seed=s) for s in range(bsz)])
+        # overlapping boxes on page 0; page 2 has no lines at all
+        boxes = np.array([[20, 60, 100, 250],
+                          [35, 80, 60, 220],       # overlaps the first
+                          [70, 115, 5, 245],
+                          [9, 40, 30, 200]], np.int32).T
+        pages = np.array([0, 0, 1, 1], np.int32)
+        selector = np.array([1, 2, 0, 1], np.int32)
+        gmask = np.zeros((bsz, h, w), bool)
+        gmask[:, 100:104, 10:50] = True
+
+        th, ti, _o, _oi = line_thresholds_pallas(
+            gray, jnp.asarray(boxes), jnp.asarray(pages), 51, 0.1,
+            interpret=True)
+        th, ti = th[:boxes.shape[1]], ti[:boxes.shape[1]]  # drop GROUP pad
+
+        ref = np.asarray(D.paste_selected_crops(
+            th, ti, jnp.asarray(boxes), jnp.asarray(pages),
+            jnp.asarray(selector), jnp.asarray(gmask), bsz, h))
+
+        plan = build_paste_plan(boxes, pages, selector, bsz)
+        got = np.asarray(paste_crops_pallas(
+            th, ti,
+            *(jnp.asarray(plan[k]) for k in
+              ('li', 't', 'b', 'l', 'r', 'sel', 'gpage', 'gfirst')),
+            jnp.asarray(gmask), interpret=True))
+        assert (ref == got).all()
+
+    def test_paste_kernel_no_selected_lines(self):
+        import jax.numpy as jnp
+        from archive_pdf_tools_tpu.ops.paste_pallas import \
+            build_paste_plan, paste_crops_pallas
+        bsz, h, w = 2, 64, 130
+        crops = np.ones((8, 16, 256), np.uint8)
+        boxes = np.array([[8, 30, 0, 100]], np.int32).T
+        pages = np.array([1], np.int32)
+        selector = np.array([0], np.int32)
+        gmask = np.zeros((bsz, h, w), bool)
+        gmask[0, 5, 5] = True
+        plan = build_paste_plan(boxes, pages, selector, bsz)
+        got = np.asarray(paste_crops_pallas(
+            jnp.asarray(crops), jnp.asarray(crops),
+            *(jnp.asarray(plan[k]) for k in
+              ('li', 't', 'b', 'l', 'r', 'sel', 'gpage', 'gfirst')),
+            jnp.asarray(gmask), interpret=True))
+        assert (got == gmask).all()
 
     @pytest.mark.skipif(os.environ.get('APT_RUN_SLOW') != '1',
                         reason='full-tap interpret run costs minutes; '

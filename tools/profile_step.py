@@ -92,9 +92,14 @@ def main():
     t, (gmask, _s) = timeit(gthr_f, gray)
     print(f'blur+thr   {t*1e3:8.1f} ms', flush=True)
 
-    paste_f = jax.jit(lambda ct, ci, bx, pg, sl, gm: D.paste_selected_crops(
-        ct, ci, bx, pg, sl, gm, batch, h))
-    t, mask = timeit(paste_f, crops_t, crops_i, boxes_d, pages_d, sel_d, gmask)
+    from archive_pdf_tools_tpu.ops.paste_pallas import (build_paste_plan,
+                                                        paste_crops_pallas)
+    plan = build_paste_plan(boxes, pages_vec, selector, batch)
+    plan_d = tuple(jax.device_put(plan[k]) for k in
+                   ('li', 't', 'b', 'l', 'r', 'sel', 'gpage', 'gfirst'))
+    paste_f = jax.jit(lambda ct, ci, gm: paste_crops_pallas(
+        ct, ci, *plan_d, gm))
+    t, mask = timeit(paste_f, crops_t, crops_i, gmask)
     print(f'paste      {t*1e3:8.1f} ms', flush=True)
 
     den_f = jax.jit(lambda m: fast_mask_denoise_pallas(m, 4, 2))
