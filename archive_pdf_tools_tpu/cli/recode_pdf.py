@@ -13,6 +13,7 @@ from shutil import which
 from ..const import (VERSION, IMAGE_MODE_MRC, IMAGE_MODE_SKIP,
                      JPEG2000_IMPL_KAKADU, JPEG2000_IMPL_OPENJPEG,
                      JPEG2000_IMPL_GROK, JPEG2000_IMPL_PILLOW,
+                     JPEG2000_IMPL_TPU,
                      COMPRESSOR_JPEG2000, COMPRESSOR_JPEG, COMPRESSOR_JBIG2,
                      COMPRESSOR_CCITT, DENOISE_NONE, DENOISE_FAST,
                      DENOISE_BREGMAN)
@@ -28,6 +29,8 @@ _J2K_DEFAULTS = {
         'quality_mode:"rates";quality_layers:[750]',
         'quality_mode:"rates";quality_layers:[100]',
         'quality_mode:"rates";quality_layers:[300]'),
+    JPEG2000_IMPL_TPU: ('ratio:500', 'ratio:750',
+                        'ratio:100', 'ratio:300'),
 }
 _JPEG_DEFAULTS = ('-S30', '-S20', '-S40', '-S30')   # bin/recode_pdf:274-287
 
@@ -118,7 +121,8 @@ def build_parser():
     comp.add_argument('-J', '--jpeg2000-implementation', type=str,
                       default=JPEG2000_IMPL_PILLOW,
                       choices=[JPEG2000_IMPL_KAKADU, JPEG2000_IMPL_OPENJPEG,
-                               JPEG2000_IMPL_GROK, JPEG2000_IMPL_PILLOW])
+                               JPEG2000_IMPL_GROK, JPEG2000_IMPL_PILLOW,
+                               JPEG2000_IMPL_TPU])
     comp.add_argument('--bg-compression-flags', type=str, default=None)
     comp.add_argument('--fg-compression-flags', type=str, default=None)
     comp.add_argument('--mrc-image-format', type=str,

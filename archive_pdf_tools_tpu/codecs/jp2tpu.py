@@ -1,0 +1,671 @@
+"""In-tree TPU JPEG2000 encoder (irreversible 9/7, Part-1 codestream).
+
+The reference drives external Kakadu/OpenJPEG/Grok binaries through
+tempfiles (``jpeg2000.py:37-42``, ``mrc.py:553-570``).  This module is a
+self-contained encoder with the compute split the TPU way:
+
+  device (jnp)   DC shift, ICT colour transform, the L-level CDF 9/7
+                 lifting DWT and per-subband deadzone quantization —
+                 pure elementwise/roll arithmetic that XLA fuses; pages
+                 can be batched.
+  host (C++)     EBCOT Tier-1 context-modelled MQ coding per 64x64 code
+                 block (native/jp2t1.cpp via ctypes, GIL released, one
+                 thread per block batch).
+  host (python)  PCRD-style rate allocation (convex-hull slopes over
+                 per-pass rate/distortion, global threshold), Tier-2
+                 packet headers with inclusion/zero-bitplane tag trees,
+                 markers, JP2 boxes.
+
+Truncation is realised by re-encoding each block with its chosen pass
+count, so every emitted code-block stream is a cleanly flushed MQ
+codeword.  Output verifies against Pillow's OpenJPEG decoder
+(tests/test_jp2tpu.py).
+"""
+
+import ctypes
+import functools
+import math
+import os
+import struct
+import subprocess
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+# --- CDF 9/7 lifting constants (ITU-T T.800 Annex F) ---
+ALPHA = -1.586134342059924
+BETA = -0.052980118572961
+GAMMA = 0.882911075530934
+DELTA = 0.443506852043971
+K = 1.230174104914001
+
+CB = 64            # code-block side
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), 'native')
+_SO_PATH = os.path.join(_NATIVE_DIR, 'libjp2t1.so')
+_lib = None
+
+
+def _get_lib():
+    global _lib
+    if _lib is not None:
+        return _lib
+    src = os.path.join(_NATIVE_DIR, 'jp2t1.cpp')
+    if not os.path.exists(_SO_PATH) or \
+            os.path.getmtime(_SO_PATH) < os.path.getmtime(src):
+        subprocess.check_call(['g++', '-O3', '-fPIC', '-std=c++17',
+                               '-shared', '-o', _SO_PATH, src])
+    lib = ctypes.CDLL(_SO_PATH)
+    lib.jp2t1_encode_block.restype = ctypes.c_long
+    lib.jp2t1_encode_block.argtypes = [
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_long,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_double)]
+    _lib = lib
+    return lib
+
+
+# --- device transform ---------------------------------------------------
+
+def _lift_indices(n):
+    """Neighbour index vectors realizing whole-sample symmetric
+    extension for the even/odd split of a length-n signal."""
+    ne = (n + 1) // 2
+    no = n // 2
+    idx_er = np.minimum(np.arange(no) + 1, ne - 1)   # even[k+1] for odd k
+    idx_ol = np.maximum(np.arange(ne) - 1, 0)        # odd[k-1] for even k
+    idx_or = np.minimum(np.arange(ne), max(no - 1, 0))  # odd[k]
+    return idx_er, idx_ol, idx_or
+
+
+def _lift_axis(x, axis):
+    """One 9/7 analysis level along ``axis`` (any length >= 2): returns
+    (low, high) with sizes ceil(n/2), floor(n/2) — the T.800 subband
+    size convention for origin 0."""
+    import jax.numpy as jnp
+    x = jnp.moveaxis(x, axis, -1)
+    n = x.shape[-1]
+    idx_er, idx_ol, idx_or = _lift_indices(n)
+    even = x[..., 0::2]
+    odd = x[..., 1::2]
+
+    no = odd.shape[-1]
+    odd = odd + ALPHA * (even[..., :no] + even[..., idx_er])
+    even = even + BETA * (odd[..., idx_ol] + odd[..., idx_or])
+    odd = odd + GAMMA * (even[..., :no] + even[..., idx_er])
+    even = even + DELTA * (odd[..., idx_ol] + odd[..., idx_or])
+    low = even * (1.0 / K)
+    high = odd * K
+    return (jnp.moveaxis(low, -1, axis), jnp.moveaxis(high, -1, axis))
+
+
+def dwt97(img, levels):
+    """Forward L-level 9/7 DWT of (..., H, W) f32 (H, W even multiples).
+    Returns the list of per-level subband dicts, finest first:
+    [{'HL','LH','HH'}, ...] plus the final 'LL'."""
+    bands = []
+    ll = img
+    for _ in range(levels):
+        lo_r, hi_r = _lift_axis(ll, -2)       # rows (vertical)
+        ll_, hl = _lift_axis(lo_r, -1)        # cols of the low rows
+        lh, hh = _lift_axis(hi_r, -1)
+        bands.append({'HL': hl, 'LH': lh, 'HH': hh})
+        ll = ll_
+    return bands, ll
+
+
+def idwt97_np(bands, ll):
+    """Numpy inverse (test oracle for the forward transform)."""
+    def unlift(low, high, axis):
+        low = np.moveaxis(np.asarray(low), axis, -1)
+        high = np.moveaxis(np.asarray(high), axis, -1)
+        n = low.shape[-1] + high.shape[-1]
+        idx_er, idx_ol, idx_or = _lift_indices(n)
+        even = low * K
+        odd = high * (1.0 / K)
+        no = odd.shape[-1]
+        even = even - DELTA * (odd[..., idx_ol] + odd[..., idx_or])
+        odd = odd - GAMMA * (even[..., :no] + even[..., idx_er])
+        even = even - BETA * (odd[..., idx_ol] + odd[..., idx_or])
+        odd = odd - ALPHA * (even[..., :no] + even[..., idx_er])
+        out = np.zeros(even.shape[:-1] + (n,), even.dtype)
+        out[..., 0::2] = even
+        out[..., 1::2] = odd
+        return np.moveaxis(out, -1, axis)
+
+    ll = np.asarray(ll)
+    for lvl in reversed(bands):
+        lo = unlift(ll, lvl['HL'], -1)
+        hi = unlift(lvl['LH'], lvl['HH'], -1)
+        ll = unlift(lo, hi, -2)
+    return ll
+
+
+# --- quantization -------------------------------------------------------
+
+def _band_norm(level, orient):
+    """Approximate L2 norm of the synthesis basis (distortion weight);
+    doubles per decomposition level."""
+    base = {'LL': 1.0, 'LH': 0.56, 'HL': 0.56, 'HH': 0.31}[orient]
+    return base * (2.0 ** level)
+
+
+def _step_to_eps_mu(step, gain):
+    """Quantizer step -> (eps, mu) per T.800 E.1.1 with R_b = 8 + gain
+    (8-bit input): step = 2^(R_b - eps) * (1 + mu / 2^11)."""
+    rb = 8 + gain
+    e = rb - math.floor(math.log2(step))
+    m = step / (2.0 ** (rb - e)) - 1.0
+    mu = int(round(m * 2048))
+    if mu > 2047:
+        mu = 0
+        e -= 1
+    eps = max(0, min(31, e))
+    return eps, mu
+
+
+def band_layout(levels, base_delta):
+    """Static per-subband metadata in codestream order (LL first, then
+    per resolution HL, LH, HH): (orient, level, gain, eps, mu, step)."""
+    out = [None] * (3 * levels + 1)
+    def meta(level, orient, gain):
+        delta = base_delta / _band_norm(level, orient)
+        eps, mu = _step_to_eps_mu(delta, gain)
+        # actual step implied by (eps, mu) so encoder/decoder agree
+        step = (2.0 ** (8 + gain - eps)) * (1.0 + mu / 2048.0)
+        return (orient, level, gain, eps, mu, step)
+    out[0] = meta(levels, 'LL', 0)
+    for r in range(levels):                  # coarsest first
+        level = levels - r
+        out[1 + 3 * r] = meta(level, 'HL', 1)
+        out[2 + 3 * r] = meta(level, 'LH', 1)
+        out[3 + 3 * r] = meta(level, 'HH', 2)
+    return out
+
+
+def quantize(bands, ll, base_delta):
+    """Deadzone quantizer: q = sign(c) * floor(|c| / delta_b) with
+    delta_b = base_delta / band_norm.  Returns a list of (orient, level,
+    gain, eps, mu, step, int32 array) in codestream order."""
+    import jax.numpy as jnp
+    levels = len(bands)
+    layout = band_layout(levels, base_delta)
+    arrs = [ll]
+    for lvl in reversed(bands):
+        arrs += [lvl['HL'], lvl['LH'], lvl['HH']]
+    out = []
+    for (orient, level, gain, eps, mu, step), a in zip(layout, arrs):
+        qv = jnp.trunc(jnp.asarray(a) / step).astype(jnp.int32)
+        out.append((orient, level, gain, eps, mu, step, np.asarray(qv)))
+    return out
+
+
+import jax
+
+
+@functools.partial(jax.jit,
+                   static_argnames=('levels', 'rgb', 'base_delta'))
+def _device_transform(arr, levels, rgb, base_delta):
+    """DC shift + (ICT) + DWT + quantize, one jit per (shape, levels,
+    rgb, base_delta) — a single device dispatch per encode."""
+    import jax.numpy as jnp
+    x = arr.astype(jnp.float32) - 128.0
+    if rgb:
+        r, g, b = x[..., 0], x[..., 1], x[..., 2]
+        comps = [0.299 * r + 0.587 * g + 0.114 * b,
+                 -0.16875 * r - 0.33126 * g + 0.5 * b,
+                 0.5 * r - 0.41869 * g - 0.08131 * b]
+    else:
+        comps = [x]
+    layout = band_layout(levels, base_delta)
+    out = []
+    for comp in comps:
+        bands, ll = dwt97(comp, levels)
+        arrs = [ll]
+        for lvl in reversed(bands):
+            arrs += [lvl['HL'], lvl['LH'], lvl['HH']]
+        out.append(tuple(
+            jnp.trunc(a / m[5]).astype(jnp.int32)
+            for m, a in zip(layout, arrs)))
+    return tuple(out)
+
+
+# --- Tier-1 driver ------------------------------------------------------
+
+_ORIENT_CODE = {'LL': 0, 'LH': 0, 'HL': 1, 'HH': 2}
+
+
+def _encode_block(lib, blk, orient_code, max_passes=-1, max_bytes=0):
+    h, w = blk.shape
+    cap = max(4096, w * h * 4)
+    out = np.empty(cap, np.uint8)
+    nbps = ctypes.c_int()
+    npasses = ctypes.c_int()
+    rates = np.zeros(128, np.int64)
+    dists = np.zeros(128, np.float64)
+    blk = np.ascontiguousarray(blk, np.int32)
+    n = lib.jp2t1_encode_block(
+        blk.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), w, h,
+        orient_code, max_passes, max_bytes,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap,
+        ctypes.byref(nbps), ctypes.byref(npasses),
+        rates.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+        dists.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+    if n < 0:
+        raise RuntimeError('jp2t1 buffer overflow')
+    np_ = npasses.value
+    return (out[:n].tobytes(), nbps.value, np_,
+            rates[:np_].copy(), dists[:np_].copy())
+
+
+class _CodeBlock:
+    __slots__ = ('data', 'nbps', 'npasses', 'rates', 'dists', 'arr',
+                 'orient_code', 'weight', 'chosen', 'chosen_bytes')
+
+    def __init__(self, arr, orient_code, weight):
+        self.arr = arr
+        self.orient_code = orient_code
+        self.weight = weight
+        self.chosen = 0
+        self.chosen_bytes = b''
+
+
+def _allocate_rate(blocks, target_bytes, lib, workers):
+    """PCRD: convex-hull pass slopes, global threshold binary search,
+    then re-encode each block at its chosen pass count."""
+    # candidate truncation points: convex hull of (rate, weighted dist)
+    hulls = []
+    for cb in blocks:
+        pts = [(0, 0.0)]
+        for i in range(cb.npasses):
+            pts.append((int(cb.rates[i]), cb.dists[i] * cb.weight))
+        hull = [0]
+        for i in range(1, len(pts)):
+            while len(hull) >= 2:
+                a, b = hull[-2], hull[-1]
+                s1 = (pts[b][1] - pts[a][1]) / max(1, pts[b][0] - pts[a][0])
+                s2 = (pts[i][1] - pts[b][1]) / max(1, pts[i][0] - pts[b][0])
+                if s2 >= s1:
+                    hull.pop()
+                else:
+                    break
+            hull.append(i)
+        hulls.append((pts, hull))
+
+    def passes_at(slope):
+        total = 0
+        chosen = []
+        for (pts, hull) in hulls:
+            pick = 0
+            for j in range(1, len(hull)):
+                a, b = hull[j - 1], hull[j]
+                s = (pts[b][1] - pts[a][1]) / max(1, pts[b][0] - pts[a][0])
+                if s >= slope:
+                    pick = hull[j]
+                else:
+                    break
+            chosen.append(pick)
+            total += pts[pick][0]
+        return total, chosen
+
+    lo, hi = 1e-9, 1e12
+    best = None
+    for _ in range(48):
+        mid = math.sqrt(lo * hi)
+        total, chosen = passes_at(mid)
+        if total <= target_bytes:
+            best = chosen
+            hi = mid
+        else:
+            lo = mid
+    if best is None:
+        best = [0] * len(blocks)
+    for cb, pick in zip(blocks, best):
+        cb.chosen = pick
+    _final_encode(blocks, lib, workers)
+
+
+def _final_encode(blocks, lib, workers):
+    def run(cb):
+        if cb.chosen <= 0:
+            cb.chosen_bytes = b''
+            cb.chosen = 0
+            return
+        if cb.chosen >= cb.npasses:
+            cb.chosen = cb.npasses
+            cb.chosen_bytes = cb.data
+            return
+        data, _nb, np_, _r, _d = _encode_block(
+            lib, cb.arr, cb.orient_code, max_passes=cb.chosen)
+        cb.chosen = np_
+        cb.chosen_bytes = data
+
+    if workers > 1:
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            list(pool.map(run, blocks))
+    else:
+        for cb in blocks:
+            run(cb)
+
+
+# --- Tier-2: tag trees and packet headers ------------------------------
+
+class _BitWriter:
+    """Packet-header bit writer with 0xFF bit-stuffing: a byte following
+    an 0xFF carries only 7 bits (MSB forced 0).  The per-byte capacity
+    is fixed when the byte starts, not re-evaluated per bit."""
+
+    def __init__(self):
+        self.bytes = bytearray()
+        self.bits = 0
+        self.nbits = 0
+        self.limit = 8
+
+    def put(self, bit):
+        if self.nbits == 0:
+            self.limit = 7 if (self.bytes and self.bytes[-1] == 0xFF) \
+                else 8
+        self.bits = (self.bits << 1) | (bit & 1)
+        self.nbits += 1
+        if self.nbits == self.limit:
+            self.bytes.append(self.bits)
+            self.bits = 0
+            self.nbits = 0
+
+    def put_bits(self, val, n):
+        for i in range(n - 1, -1, -1):
+            self.put((val >> i) & 1)
+
+    def flush(self):
+        if self.nbits:
+            self.bytes.append(self.bits << (self.limit - self.nbits))
+            self.bits = 0
+            self.nbits = 0
+        if self.bytes and self.bytes[-1] == 0xFF:   # can't end on FF
+            self.bytes.append(0)
+        return bytes(self.bytes)
+
+
+class _TagTree:
+    """Tag tree (T.800 B.10.2), encoder side.  Per node: the value
+    (min over its leaves), a broadcast lower bound ``low`` and a
+    ``known`` flag; threshold coding emits 0 for "value above current
+    bound", 1 when the node's value is reached."""
+
+    def __init__(self, w, h):
+        self.levels = [(w, h)]
+        while w > 1 or h > 1:
+            w = (w + 1) // 2
+            h = (h + 1) // 2
+            self.levels.append((w, h))
+        self.value = [np.zeros((lh, lw), np.int32)
+                      for (lw, lh) in self.levels]
+        self.low = [np.zeros((lh, lw), np.int32)
+                    for (lw, lh) in self.levels]
+        self.known = [np.zeros((lh, lw), bool)
+                      for (lw, lh) in self.levels]
+
+    def set(self, x, y, v):
+        self.value[0][y, x] = v
+
+    def finalize(self):
+        for li in range(1, len(self.levels)):
+            prev = self.value[li - 1]
+            lw, lh = self.levels[li]
+            cur = np.full((lh, lw), 2 ** 30, np.int32)
+            for yy in range(prev.shape[0]):
+                for xx in range(prev.shape[1]):
+                    cur[yy // 2, xx // 2] = min(cur[yy // 2, xx // 2],
+                                                prev[yy, xx])
+            self.value[li] = cur
+
+    def encode(self, bw, x, y, threshold):
+        path = []
+        lx, ly = x, y
+        for li in range(len(self.levels)):
+            path.append((li, lx, ly))
+            lx //= 2
+            ly //= 2
+        low = 0
+        for (li, lx, ly) in reversed(path):      # root first
+            if low > self.low[li][ly, lx]:
+                self.low[li][ly, lx] = low
+            else:
+                low = self.low[li][ly, lx]
+            while low < threshold:
+                if low >= self.value[li][ly, lx]:
+                    if not self.known[li][ly, lx]:
+                        bw.put(1)
+                        self.known[li][ly, lx] = True
+                    break
+                bw.put(0)
+                low += 1
+            self.low[li][ly, lx] = low
+
+
+# --- packet / codestream assembly --------------------------------------
+
+def _npasses_code(bw, n):
+    """Number-of-coding-passes codeword (T.800 B.10.6)."""
+    if n == 1:
+        bw.put(0)
+    elif n == 2:
+        bw.put(1)
+        bw.put(0)
+    elif n <= 5:
+        bw.put_bits(0b11, 2)
+        bw.put_bits(n - 3, 2)
+    elif n <= 36:
+        bw.put_bits(0b1111, 4)
+        bw.put_bits(n - 6, 5)
+    else:
+        bw.put_bits(0b111111111, 9)
+        bw.put_bits(n - 37, 7)
+
+
+class _Band:
+    """One subband of one component: quantized array + code blocks."""
+
+    def __init__(self, orient, level, gain, eps, mu, step, arr):
+        self.orient = orient
+        self.level = level
+        self.gain = gain
+        self.eps = eps
+        self.mu = mu
+        self.step = step
+        self.arr = arr
+        h, w = arr.shape
+        self.nx = -(-w // CB) if w else 0
+        self.ny = -(-h // CB) if h else 0
+        self.blocks = []          # raster order
+        weight = (step * _band_norm(level, orient)) ** 2
+        for by in range(self.ny):
+            for bx in range(self.nx):
+                blk = arr[by * CB:(by + 1) * CB, bx * CB:(bx + 1) * CB]
+                self.blocks.append(_CodeBlock(
+                    np.ascontiguousarray(blk, np.int32),
+                    _ORIENT_CODE[orient], weight))
+
+
+def _t1_all(bands, lib, workers, target_bytes=None):
+    blocks = [cb for band in bands for cb in band.blocks]
+    # rate-aware work cap: when a byte target exists, no block's passes
+    # can all be included beyond ~4x its fair share of the budget, so
+    # stop its T1 encode there (big speedup at high ratios)
+    caps = {}
+    if target_bytes:
+        total_px = sum(cb.arr.size for cb in blocks) or 1
+        for cb in blocks:
+            caps[id(cb)] = max(512,
+                               4 * target_bytes * cb.arr.size // total_px)
+
+    def run(cb):
+        (cb.data, cb.nbps, cb.npasses, cb.rates, cb.dists) = \
+            _encode_block(lib, cb.arr, cb.orient_code,
+                          max_bytes=caps.get(id(cb), 0))
+
+    if workers > 1:
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            list(pool.map(run, blocks))
+    else:
+        for cb in blocks:
+            run(cb)
+    return blocks
+
+
+def _packet(bands_at_res, mb):
+    """One packet (single layer, one precinct): header + body bytes.
+    bands_at_res: list of _Band in HL, LH, HH (or [LL]) order."""
+    bw = _BitWriter()
+    included = [cb for band in bands_at_res for cb in band.blocks
+                if cb.chosen > 0 and len(cb.chosen_bytes)]
+    if not any(band.blocks for band in bands_at_res):
+        return b''                      # no blocks at all: no packet
+    if not included:
+        bw.put(0)                       # empty packet
+        return bw.flush()
+    bw.put(1)
+    body = bytearray()
+    for band in bands_at_res:
+        if not band.blocks:
+            continue
+        incl = _TagTree(band.nx, band.ny)
+        zbt = _TagTree(band.nx, band.ny)
+        for i, cb in enumerate(band.blocks):
+            x, y = i % band.nx, i // band.nx
+            ok = cb.chosen > 0 and len(cb.chosen_bytes)
+            incl.set(x, y, 0 if ok else 1)
+            zbt.set(x, y, max(0, mb[band] - cb.nbps) if ok else 0)
+        incl.finalize()
+        zbt.finalize()
+        lblock = {}
+        for i, cb in enumerate(band.blocks):
+            x, y = i % band.nx, i // band.nx
+            ok = cb.chosen > 0 and len(cb.chosen_bytes)
+            incl.encode(bw, x, y, 1)
+            if not ok:
+                continue
+            zbt.encode(bw, x, y, max(0, mb[band] - cb.nbps) + 1)
+            _npasses_code(bw, cb.chosen)
+            lb = lblock.get(i, 3)
+            ln = len(cb.chosen_bytes)
+            full = lb + int(math.floor(math.log2(cb.chosen)))
+            need = max(1, ln.bit_length())
+            while full < need:
+                bw.put(1)
+                lb += 1
+                full += 1
+            bw.put(0)
+            lblock[i] = lb
+            bw.put_bits(ln, full)
+            body += cb.chosen_bytes
+    return bw.flush() + bytes(body)
+
+
+def _assemble(w, h, ncomp, levels, guard, comp_bands, mct):
+    """Markers + tile + packets (LRCP, one layer, one precinct/res)."""
+    out = bytearray()
+    out += b'\xff\x4f'                                   # SOC
+    # SIZ
+    siz = struct.pack('>HIIIIIIIIH', 0, w, h, 0, 0, w, h, 0, 0, ncomp)
+    for _ in range(ncomp):
+        siz += struct.pack('>BBB', 7, 1, 1)
+    out += b'\xff\x51' + struct.pack('>H', 2 + len(siz)) + siz
+    # COD
+    cod = struct.pack('>BBHBBBBBB', 0, 0, 1, 1 if mct else 0,
+                      levels, 4, 4, 0, 0)
+    out += b'\xff\x52' + struct.pack('>H', 2 + len(cod)) + cod
+    # QCD (scalar expounded; same for every component)
+    qcd = struct.pack('>B', 0x02 | (guard << 5))
+    for band in comp_bands[0]:
+        qcd += struct.pack('>H', (band.eps << 11) | band.mu)
+    out += b'\xff\x5c' + struct.pack('>H', 2 + len(qcd)) + qcd
+
+    # packets, LRCP: layer(1) -> res -> comp
+    mb = {band: guard + band.eps - 1
+          for bands in comp_bands for band in bands}
+    packets = bytearray()
+    for r in range(levels + 1):
+        for c in range(ncomp):
+            bands = comp_bands[c]
+            if r == 0:
+                at_res = [bands[0]]
+            else:
+                at_res = bands[1 + 3 * (r - 1): 1 + 3 * r]
+            packets += _packet(at_res, mb)
+
+    psot = 12 + 2 + len(packets)
+    out += b'\xff\x90' + struct.pack('>HHIBB', 10, 0, psot, 0, 1)  # SOT
+    out += b'\xff\x93'                                   # SOD
+    out += packets
+    out += b'\xff\xd9'                                   # EOC
+    return bytes(out)
+
+
+def _jp2_wrap(codestream, w, h, ncomp):
+    def box(tag, payload):
+        return struct.pack('>I', 8 + len(payload)) + tag + payload
+
+    sig = box(b'jP  ', b'\x0d\x0a\x87\x0a')
+    ftyp = box(b'ftyp', b'jp2 ' + b'\x00' * 4 + b'jp2 ')
+    ihdr = box(b'ihdr', struct.pack('>IIHBBBB', h, w, ncomp, 7, 7, 0, 0))
+    colr = box(b'colr', struct.pack('>BBBI', 1, 0, 0,
+                                    16 if ncomp == 3 else 17))
+    jp2h = box(b'jp2h', ihdr + colr)
+    jp2c = box(b'jp2c', codestream)
+    return sig + ftyp + jp2h + jp2c
+
+
+def encode_jp2_tpu(img, ratio=None, base_delta=1.0 / 64, levels=5,
+                   workers=None, wrap_jp2=True):
+    """Encode a uint8 image ((H, W) gray or (H, W, 3) RGB) to JPEG2000.
+
+    ratio: target compression ratio vs the raw bytes (OpenJPEG ``-r``
+    semantics, jpeg2000.py:192-197) via PCRD pass truncation; None = no
+    truncation (quality set by base_delta alone).
+    base_delta: finest-band quantizer step in DC-shifted units (LL gets
+    base_delta / 2^levels via the norm weighting).
+    Returns .jp2 bytes (or a raw codestream with wrap_jp2=False).
+    """
+    import jax.numpy as jnp
+
+    lib = _get_lib()
+    arr = np.asarray(img, np.uint8)
+    rgb = arr.ndim == 3
+    h, w = arr.shape[:2]
+    ncomp = 3 if rgb else 1
+    if workers is None:
+        workers = min(8, os.cpu_count() or 1)
+    levels = max(1, min(levels,
+                        max(1, int(math.floor(math.log2(min(h, w) / 4))))))
+
+    qbands = _device_transform(jnp.asarray(arr), levels, rgb,
+                               float(base_delta))
+    layout = band_layout(levels, float(base_delta))
+    comp_bands = [[_Band(*m, np.asarray(q)) for m, q in zip(layout, qb)]
+                  for qb in qbands]
+
+    all_bands = [band for bands in comp_bands for band in bands]
+    target = None
+    if ratio is not None and ratio > 1:
+        target = int(h * w * ncomp / float(ratio))
+    blocks = _t1_all(all_bands, lib, workers, target_bytes=target)
+
+    # guard bits: Mb = guard + eps - 1 must cover every block's planes
+    guard = 2
+    for band in all_bands:
+        for cb in band.blocks:
+            guard = max(guard, cb.nbps - band.eps + 1)
+    guard = min(7, guard)
+
+    if target is not None:
+        _allocate_rate(blocks, target, lib, workers)
+    else:
+        for cb in blocks:
+            cb.chosen = cb.npasses
+            cb.chosen_bytes = cb.data
+
+    stream = _assemble(w, h, ncomp, levels, guard, comp_bands, rgb)
+    return _jp2_wrap(stream, w, h, ncomp) if wrap_jp2 else stream

@@ -24,7 +24,7 @@ from PIL import Jpeg2KImagePlugin
 
 from ..const import (JPEG2000_IMPL_KAKADU, JPEG2000_IMPL_OPENJPEG,
                      JPEG2000_IMPL_GROK, JPEG2000_IMPL_PILLOW,
-                     JPEG2000_IMPLS,
+                     JPEG2000_IMPL_TPU, JPEG2000_IMPLS,
                      RECODE_RUNTIME_WARNING_INVALID_JP2_HEADERS)
 
 KDU_COMPRESS = 'kdu_compress'
@@ -44,6 +44,11 @@ _BINARIES = {
 def impl_available(impl):
     if impl == JPEG2000_IMPL_PILLOW:
         return True
+    if impl == JPEG2000_IMPL_TPU:
+        # in-tree encoder; the native T1 coder builds on demand with g++
+        import os
+        from . import jp2tpu
+        return bool(which('g++')) or os.path.exists(jp2tpu._SO_PATH)
     enc, dec = _BINARIES.get(impl, (None, None))
     return bool(enc and which(enc) and which(dec))
 
@@ -87,6 +92,20 @@ def encode_jpeg2000(image, outpath, impl, flags, tmp_dir=None, imgtype=None,
                     threads=None, debug=False):
     """Encode a PIL image to a JPEG2000 file (``jpeg2000.py:44-84``)."""
     _check_impl(impl)
+    if impl == JPEG2000_IMPL_TPU:
+        # in-tree encoder: device DWT + native T1 (codecs/jp2tpu.py).
+        # Flag mini-language like Pillow's: 'ratio:500;levels:5;delta:0.5'
+        from .jp2tpu import encode_jp2_tpu
+        import numpy as np
+        kwargs = _pillow_kwargs(flags[0]) if flags and flags[0] else {}
+        data = encode_jp2_tpu(np.asarray(image),
+                              ratio=kwargs.get('ratio'),
+                              base_delta=kwargs.get('delta', 1.0 / 64),
+                              levels=int(kwargs.get('levels', 5)),
+                              workers=threads)
+        with open(outpath, 'wb') as fd:
+            fd.write(data)
+        return
     if impl == JPEG2000_IMPL_PILLOW:
         kwargs = _pillow_kwargs(flags[0])
         image.save(outpath, format='JPEG2000', **kwargs)
@@ -116,7 +135,8 @@ def decode_jpeg2000(infile, reduce_=None, impl=JPEG2000_IMPL_PILLOW,
         if reduce_ == 1:
             reduce_ = None
 
-    if impl == JPEG2000_IMPL_PILLOW:
+    if impl in (JPEG2000_IMPL_PILLOW, JPEG2000_IMPL_TPU):
+        # tpu-encoded streams are standard Part-1; decode via Pillow
         img = Image.open(infile)
         if reduce_ is not None:
             img = img.reduce(reduce_)

@@ -102,7 +102,17 @@ def encode_mrc_img(np_img, img_compression_flags, imgtype=None,
     if mrc_image_format == COMPRESSOR_JPEG:
         data = jpeg_codec.encode_jpeg(img, img_compression_flags, debug=debug)
     else:
-        if jpeg2000_implementation == JPEG2000_IMPL_PILLOW:
+        if jpeg2000_implementation == 'tpu':
+            # in-tree encoder (device DWT + native T1), in-memory
+            from .jp2tpu import encode_jp2_tpu
+            from .jpeg2000 import _pillow_kwargs
+            kw = _pillow_kwargs(img_compression_flags[0]) \
+                if img_compression_flags and img_compression_flags[0] else {}
+            data = encode_jp2_tpu(arr, ratio=kw.get('ratio'),
+                                  base_delta=kw.get('delta', 1.0 / 64),
+                                  levels=int(kw.get('levels', 5)),
+                                  workers=threads)
+        elif jpeg2000_implementation == JPEG2000_IMPL_PILLOW:
             buf = io.BytesIO()
             from .jpeg2000 import _pillow_kwargs
             img.save(buf, format='JPEG2000',

@@ -33,8 +33,10 @@ JPEG2000_IMPL_KAKADU = 'kakadu'
 JPEG2000_IMPL_OPENJPEG = 'openjpeg'
 JPEG2000_IMPL_GROK = 'grok'
 JPEG2000_IMPL_PILLOW = 'pillow'
+JPEG2000_IMPL_TPU = 'tpu'       # in-tree encoder (device DWT + C++ T1)
 JPEG2000_IMPLS = (JPEG2000_IMPL_KAKADU, JPEG2000_IMPL_OPENJPEG,
-                  JPEG2000_IMPL_GROK, JPEG2000_IMPL_PILLOW)
+                  JPEG2000_IMPL_GROK, JPEG2000_IMPL_PILLOW,
+                  JPEG2000_IMPL_TPU)
 
 # fg/bg layer codecs and mask codecs.
 COMPRESSOR_JPEG2000, COMPRESSOR_JPEG = 'jpeg2000', 'jpeg'

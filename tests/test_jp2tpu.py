@@ -1,0 +1,111 @@
+"""In-tree JPEG2000 encoder: Pillow (OpenJPEG) decode is the oracle."""
+
+import io
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from archive_pdf_tools_tpu.codecs import jp2tpu as J
+
+
+def _psnr(a, b):
+    err = a.astype(float) - b.astype(float)
+    return 10 * np.log10(255.0 ** 2 / max(float((err ** 2).mean()), 1e-12))
+
+
+def synth_gray(h, w, seed=0):
+    rng = np.random.default_rng(seed)
+    img = np.full((h, w), 200, np.uint8)
+    img[h // 6:h // 3, w // 5:4 * w // 5] = 60
+    img[h // 2:3 * h // 4, w // 3:w // 2] = 120
+    return np.clip(img + rng.normal(0, 4, img.shape), 0, 255).astype(np.uint8)
+
+
+class TestDWT:
+    @pytest.mark.parametrize('shape', [(64, 64), (65, 67), (100, 30)])
+    def test_self_roundtrip(self, shape):
+        rng = np.random.default_rng(1)
+        x = (rng.random(shape).astype(np.float32) * 255) - 128
+        bands, ll = J.dwt97(x, 3)
+        rec = J.idwt97_np(bands, ll)
+        assert np.abs(rec - x).max() < 1e-3
+
+
+class TestEncode:
+    def test_near_lossless(self):
+        img = synth_gray(120, 160)
+        data = J.encode_jp2_tpu(img, base_delta=1.0 / 64)
+        dec = np.asarray(Image.open(io.BytesIO(data)).convert('L'))
+        assert _psnr(dec, img) > 60
+
+    def test_quality_monotone(self):
+        img = synth_gray(96, 128)
+        sizes, psnrs = [], []
+        for delta in (0.25, 1.0, 4.0):
+            data = J.encode_jp2_tpu(img, base_delta=delta)
+            dec = np.asarray(Image.open(io.BytesIO(data)).convert('L'))
+            sizes.append(len(data))
+            psnrs.append(_psnr(dec, img))
+        assert sizes[0] > sizes[1] > sizes[2]
+        assert psnrs[0] > psnrs[1] > psnrs[2]
+
+    def test_rate_target(self):
+        img = synth_gray(200, 150, seed=3)
+        data = J.encode_jp2_tpu(img, ratio=20)
+        dec = np.asarray(Image.open(io.BytesIO(data)).convert('L'))
+        # header overhead dominates at tiny targets; stay in the zone
+        assert len(data) < img.size // 20 + 600
+        assert _psnr(dec, img) > 28
+
+    @pytest.mark.parametrize('shape', [(65, 67), (33, 129), (16, 20)])
+    def test_odd_sizes(self, shape):
+        img = synth_gray(*shape, seed=5)
+        data = J.encode_jp2_tpu(img, base_delta=0.5)
+        dec = np.asarray(Image.open(io.BytesIO(data)).convert('L'))
+        assert dec.shape == shape
+        assert _psnr(dec, img) > 40
+
+    def test_rgb_ict(self):
+        g = synth_gray(80, 100, seed=7)
+        img = np.stack([g, np.clip(g * 0.9, 0, 255).astype(np.uint8),
+                        np.clip(g * 0.8, 0, 255).astype(np.uint8)], -1)
+        data = J.encode_jp2_tpu(img, base_delta=0.5)
+        dec = np.asarray(Image.open(io.BytesIO(data)).convert('RGB'))
+        assert _psnr(dec, img) > 38
+
+    def test_flat_image(self):
+        img = np.full((64, 80), 137, np.uint8)
+        data = J.encode_jp2_tpu(img, base_delta=0.5)
+        dec = np.asarray(Image.open(io.BytesIO(data)).convert('L'))
+        assert (dec == img).all()
+
+    def test_raw_codestream(self):
+        img = synth_gray(64, 64)
+        cs = J.encode_jp2_tpu(img, base_delta=1.0, wrap_jp2=False)
+        assert cs[:4] == b'\xff\x4f\xff\x51'
+        assert cs[-2:] == b'\xff\xd9'
+        dec = np.asarray(Image.open(io.BytesIO(cs)).convert('L'))
+        assert _psnr(dec, img) > 40
+
+
+class TestFacade:
+    def test_encode_jpeg2000_tpu_impl(self, tmp_path):
+        from archive_pdf_tools_tpu.codecs.jpeg2000 import (
+            encode_jpeg2000, decode_jpeg2000, get_jpeg2000_info)
+        img = synth_gray(70, 90)
+        out = tmp_path / 'x.jp2'
+        encode_jpeg2000(Image.fromarray(img), str(out), 'tpu',
+                        ['ratio:10;levels:4'])
+        size, mode = get_jpeg2000_info(str(out))
+        assert size == (90, 70) and mode == 'L'
+        dec = np.asarray(decode_jpeg2000(str(out), impl='tpu'))
+        assert _psnr(dec, img) > 28
+
+    def test_mrc_encode_layer(self):
+        from archive_pdf_tools_tpu.codecs.mrc_encode import encode_mrc_img
+        img = synth_gray(100, 80)
+        layer = encode_mrc_img(img, ['ratio:50'], imgtype='bg',
+                               jpeg2000_implementation='tpu')
+        dec = np.asarray(Image.open(io.BytesIO(layer.data)).convert('L'))
+        assert dec.shape == img.shape
