@@ -90,13 +90,15 @@ def build_parser():
                       help='Use the faster one-pass despeckle instead of '
                            'the bit-exact sequential-equivalent kernel')
     misc.add_argument('--jbig2-symbol-coding', default='off',
-                      choices=('off', 'on', 'auto', 'lossy'),
+                      choices=('off', 'on', 'auto', 'lossy', 'refine'),
                       help='JBIG2 symbol-dictionary mask coding (beyond '
                            'the reference, which always emits a plain '
                            'generic region). on = lossless exact-match '
                            'classes; auto picks the smaller encoding per '
                            'page; lossy = correlation-classified glyph '
-                           'classes (jbig2enc -s default behaviour)')
+                           'classes (jbig2enc -s default behaviour); '
+                           'refine = lossy classes made lossless again '
+                           'by an XOR-composited residue region')
     misc.add_argument('--jbig2-bands', type=int, default=1,
                       help='Code each JBIG2 mask as N independent '
                            'horizontal region segments encoded on a '
@@ -245,7 +247,8 @@ def main(argv=None):
         exact_denoise=not args.approx_denoise,
         resume=args.resume, profile_dir=args.profile,
         jbig2_symbol_mode={'off': False, 'on': True, 'auto': 'auto',
-                           'lossy': 'lossy'}[args.jbig2_symbol_coding],
+                           'lossy': 'lossy',
+                           'refine': 'refine'}[args.jbig2_symbol_coding],
         jbig2_bands=args.jbig2_bands)
 
     for error in res['errors']:

@@ -79,7 +79,10 @@ def encode_jbig2(mask, embedded=True, tpgdon=True, symbol_mode=False,
     of the two encodes smaller; 'lossy' -> correlation-classified symbol
     coding (jbig2enc's default classifier behaviour: near-identical
     glyphs share one exemplar at ``symbol_corr_pct``/100 correlation,
-    with a 2x2 all-mismatch veto against character substitution).
+    with a 2x2 all-mismatch veto against character substitution);
+    'refine' -> lossy classes plus an XOR-composited residue region, so
+    the decoded page is again bit-identical to the input (the in-spec
+    equivalent of jbig2enc's never-finished refinement mode).
 
     bands > 1 (generic mode only) splits the page into that many
     horizontal bands coded as independent region segments on a thread
@@ -95,11 +98,12 @@ def encode_jbig2(mask, embedded=True, tpgdon=True, symbol_mode=False,
     while True:
         out = np.empty(cap, np.uint8)
         if symbol_mode:
+            mode = {'auto': 2, 'refine': 3}.get(symbol_mode, 1)
+            corr = int(symbol_corr_pct) \
+                if symbol_mode in ('lossy', 'refine') else 0
             n = lib.jbig2tpu_encode_symbol(
                 m.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), w, h,
-                1 if tpgdon else 0, 1 if embedded else 0,
-                2 if symbol_mode == 'auto' else 1,
-                int(symbol_corr_pct) if symbol_mode == 'lossy' else 0,
+                1 if tpgdon else 0, 1 if embedded else 0, mode, corr,
                 out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap)
             if n == -1:     # degenerate (empty mask): generic fallback
                 return encode_jbig2(m, embedded, tpgdon)

@@ -643,8 +643,17 @@ def encode_jp2_tpu(img, ratio=None, base_delta=1.0 / 64, levels=5,
 
     qbands = _device_transform(jnp.asarray(arr), levels, rgb,
                                float(base_delta))
-    layout = band_layout(levels, float(base_delta))
-    comp_bands = [[_Band(*m, np.asarray(q)) for m, q in zip(layout, qb)]
+    qbands = [[np.asarray(q) for q in qb] for qb in qbands]
+    return _host_encode(qbands, w, h, ncomp, levels, float(base_delta),
+                        ratio, rgb, lib, workers, wrap_jp2)
+
+
+def _host_encode(qbands, w, h, ncomp, levels, base_delta, ratio, rgb,
+                 lib, workers, wrap_jp2):
+    """Tier-1 + rate allocation + Tier-2 for one image's quantized
+    subbands (numpy)."""
+    layout = band_layout(levels, base_delta)
+    comp_bands = [[_Band(*m, q) for m, q in zip(layout, qb)]
                   for qb in qbands]
 
     all_bands = [band for bands in comp_bands for band in bands]
@@ -669,3 +678,35 @@ def encode_jp2_tpu(img, ratio=None, base_delta=1.0 / 64, levels=5,
 
     stream = _assemble(w, h, ncomp, levels, guard, comp_bands, rgb)
     return _jp2_wrap(stream, w, h, ncomp) if wrap_jp2 else stream
+
+
+def encode_jp2_tpu_batch(imgs, ratio=None, base_delta=1.0 / 64, levels=5,
+                         workers=None, wrap_jp2=True):
+    """Batched encode: uint8 (B, H, W) or (B, H, W, 3) -> list of .jp2
+    byte strings.  The DWT/ICT/quantize of the whole batch runs as ONE
+    device dispatch (pages ride the leading axis through the lifting
+    steps); Tier-1 and packet assembly run per page on the host pool.
+    This is how the recode pipeline amortizes device work when encoding
+    a page batch's fg/bg layers."""
+    import jax.numpy as jnp
+
+    lib = _get_lib()
+    arr = np.asarray(imgs, np.uint8)
+    rgb = arr.ndim == 4
+    b, h, w = arr.shape[:3]
+    ncomp = 3 if rgb else 1
+    if workers is None:
+        workers = min(8, os.cpu_count() or 1)
+    levels = max(1, min(levels,
+                        max(1, int(math.floor(math.log2(min(h, w) / 4))))))
+
+    qbands = _device_transform(jnp.asarray(arr), levels, rgb,
+                               float(base_delta))
+    qbands = [[np.asarray(q) for q in qb] for qb in qbands]
+    out = []
+    for i in range(b):
+        per = [[q[i] for q in qb] for qb in qbands]
+        out.append(_host_encode(per, w, h, ncomp, levels,
+                                float(base_delta), ratio, rgb, lib,
+                                workers, wrap_jp2))
+    return out

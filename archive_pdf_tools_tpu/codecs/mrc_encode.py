@@ -59,8 +59,8 @@ def encode_mrc_mask(np_mask, fmt=COMPRESSOR_JBIG2, embedded=True,
         if jbig2_symbol_mode:
             data = jbig2_codec.encode_jbig2(
                 m, embedded=embedded,
-                symbol_mode='lossy' if jbig2_symbol_mode == 'lossy'
-                else True)
+                symbol_mode=jbig2_symbol_mode
+                if jbig2_symbol_mode in ('lossy', 'refine') else True)
             decode = (1, 0)
             if jbig2_symbol_mode == 'auto':
                 gen = jbig2_codec.encode_jbig2(~m, embedded=embedded)

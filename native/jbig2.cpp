@@ -895,10 +895,16 @@ void SegmentHeaderRef1(std::vector<uint8_t>* v, uint32_t number, int type,
 }
 
 // Assemble the symbol-coded page stream (page info + symbol dictionary +
-// immediate lossless text region [+ standalone trailer]).
+// immediate lossless text region [+ XOR residue region][+ standalone
+// trailer]).  A non-null residue (w*h bytes, the XOR of the original
+// page with the exemplar rendering) makes a lossy symbol classification
+// lossless again: the trailing generic region composites onto the page
+// with the XOR operator (T.88 8.2 core composition; the page-info flags
+// advertise operator override).
 void AssembleSymbolStream(const std::vector<SymBitmap>& syms,
                           const std::vector<Instance>& inst,
                           int w, int h, bool embedded,
+                          const uint8_t* residue, int tpgdon,
                           std::vector<uint8_t>* buf) {
   std::vector<uint8_t> dict_mq, text_mq;
   EncodeSymbolDict(syms, &dict_mq);
@@ -918,7 +924,9 @@ void AssembleSymbolStream(const std::vector<SymBitmap>& syms,
   PutU32(buf, static_cast<uint32_t>(h));
   PutU32(buf, 0);
   PutU32(buf, 0);
-  buf->push_back(0x01);
+  // page flags: eventually lossless; operator override allowed when a
+  // residue region follows
+  buf->push_back(residue ? 0x41 : 0x01);
   buf->push_back(0x00);
   buf->push_back(0x00);
 
@@ -948,6 +956,25 @@ void AssembleSymbolStream(const std::vector<SymBitmap>& syms,
   buf->push_back(0x10);  // flags: REFCORNER=TOPLEFT, everything else 0
   PutU32(buf, static_cast<uint32_t>(inst.size()));
   buf->insert(buf->end(), text_mq.begin(), text_mq.end());
+
+  if (residue != nullptr) {
+    // immediate lossless generic region, external combination XOR
+    std::vector<uint8_t> res_mq;
+    EncodeGenericRegion(residue, w, h, tpgdon != 0, &res_mq);
+    const uint32_t region_len = 17 + 1 + 8 +
+        static_cast<uint32_t>(res_mq.size());
+    SegmentHeader(buf, segnum++, 39, 1, region_len);
+    PutU32(buf, static_cast<uint32_t>(w));
+    PutU32(buf, static_cast<uint32_t>(h));
+    PutU32(buf, 0);
+    PutU32(buf, 0);
+    buf->push_back(0x02);  // external combination operator: XOR
+    buf->push_back(static_cast<uint8_t>(tpgdon ? 0x08 : 0x00));
+    const int8_t at[8] = {3, -1, -3, -1, 2, -2, -2, -2};
+    for (int i = 0; i < 8; ++i)
+      buf->push_back(static_cast<uint8_t>(at[i]));
+    buf->insert(buf->end(), res_mq.begin(), res_mq.end());
+  }
 
   if (!embedded) {
     SegmentHeader(buf, segnum++, 49, 1, 0);
@@ -1047,7 +1074,11 @@ long jbig2tpu_encode_band(const uint8_t* img, int w, int band_h, int y0,
 }
 
 // Symbol-coded encode (jbig2enc -s equivalent).  mode: 1 = force symbol
-// coding, 2 = auto (emit whichever of generic/symbol is smaller).
+// coding, 2 = auto (emit whichever of generic/symbol is smaller),
+// 3 = lossy classes + XOR residue region (overall LOSSLESS: the
+// residue region composites onto the exemplar rendering with the XOR
+// operator, reconstructing the input bit-for-bit — the in-spec
+// equivalent of jbig2enc's never-finished refinement mode).
 // corr_thresh_pct: 0 = lossless exact-match classes only; > 0 also
 // merges components whose centroid-aligned correlation reaches the
 // threshold (lossy, like jbig2enc's default classifier; a 2x2
@@ -1061,9 +1092,35 @@ long jbig2tpu_encode_symbol(const uint8_t* img, int w, int h, int tpgdon,
   std::vector<Instance> inst;
   ExtractSymbols(img, w, h, &syms, &inst, corr_thresh_pct);
 
+  std::vector<uint8_t> residue;
+  const uint8_t* res_ptr = nullptr;
+  if (mode == 3 && !syms.empty()) {
+    // exemplar rendering, then residue = render XOR original
+    residue.assign(static_cast<size_t>(w) * h, 0);
+    for (const Instance& in : inst) {
+      const SymBitmap& s = syms[in.id];
+      for (int yy = 0; yy < s.h; ++yy) {
+        const long py = static_cast<long>(in.y) + yy;
+        if (py < 0 || py >= h) continue;
+        for (int xx = 0; xx < s.w; ++xx) {
+          const long px = static_cast<long>(in.x) + xx;
+          if (px < 0 || px >= w) continue;
+          residue[py * w + px] |= s.px[static_cast<size_t>(yy) * s.w + xx];
+        }
+      }
+    }
+    bool any = false;
+    for (long i = 0; i < static_cast<long>(w) * h; ++i) {
+      residue[i] = (residue[i] ^ (img[i] & 1)) & 1;
+      any = any || residue[i];
+    }
+    if (any) res_ptr = residue.data();
+  }
+
   std::vector<uint8_t> sym_buf;
   if (!syms.empty())
-    AssembleSymbolStream(syms, inst, w, h, embedded != 0, &sym_buf);
+    AssembleSymbolStream(syms, inst, w, h, embedded != 0, res_ptr,
+                         tpgdon, &sym_buf);
 
   if (mode == 2 || syms.empty()) {
     std::vector<uint8_t> gen_mq;
@@ -1141,10 +1198,31 @@ long jbig2tpu_decode(const uint8_t* data, long len, uint8_t* out,
       // full-width bands at a row offset (rx always 0 in our streams)
       if (static_cast<int>(rw) != w || rx != 0 ||
           static_cast<long>(ry) + rh > static_cast<long>(h)) return -1;
+      const int comb = data[body + 16] & 0x07;
       const bool tpgdon = (data[body + 17] & 0x08) != 0;
+      std::vector<uint8_t> tmp(static_cast<size_t>(w) * rh, 0);
       if (DecodeGenericRegion(data + body + 26, dlen - 26, tpgdon,
-                              out + static_cast<long>(ry) * w, w,
+                              tmp.data(), w,
                               static_cast<int>(rh)) != 0) return -1;
+      uint8_t* dst = out + static_cast<long>(ry) * w;
+      const long n = static_cast<long>(w) * rh;
+      switch (comb) {
+        case 0:  // OR
+          for (long k = 0; k < n; ++k) dst[k] |= tmp[k];
+          break;
+        case 1:  // AND
+          for (long k = 0; k < n; ++k) dst[k] &= tmp[k];
+          break;
+        case 2:  // XOR (the refine-mode residue)
+          for (long k = 0; k < n; ++k) dst[k] ^= tmp[k];
+          break;
+        case 3:  // XNOR
+          for (long k = 0; k < n; ++k) dst[k] = (dst[k] ^ tmp[k]) ^ 1;
+          break;
+        default:  // REPLACE
+          std::memcpy(dst, tmp.data(), n);
+          break;
+      }
       decoded_any = true;
     }
     pos = body + dlen;

@@ -128,6 +128,35 @@ class TestJBIG2Symbol:
         # identical instances classify exactly; output stays lossless
         assert (decode_jbig2(lossy, m.shape[1], m.shape[0]) == m).all()
 
+    def test_refine_is_bit_exact(self):
+        m = noisy_glyph_mask()
+        lossy = encode_jbig2(m, symbol_mode='lossy')
+        refined = encode_jbig2(m, symbol_mode='refine')
+        # the lossy stream really diverges on this input...
+        assert not (decode_jbig2(lossy, m.shape[1], m.shape[0]) == m).all()
+        # ...and the XOR residue region restores exactness
+        assert (decode_jbig2(refined, m.shape[1], m.shape[0]) == m).all()
+        assert len(refined) > len(lossy)
+
+    def test_refine_beats_exact_symbols_on_noisy_glyphs(self):
+        m = noisy_glyph_mask(flips=2)
+        exact = encode_jbig2(m, symbol_mode=True)
+        refined = encode_jbig2(m, symbol_mode='refine')
+        # both lossless; shared exemplars + residue beat per-variant
+        # dictionary symbols once instances diverge enough (salt noise
+        # is the residue's worst case — clustered edge noise on real
+        # scans compresses far better)
+        assert (decode_jbig2(refined, m.shape[1], m.shape[0]) == m).all()
+        assert len(refined) < len(exact)
+
+    def test_refine_no_residue_on_exact_copies(self):
+        m = glyph_mask()
+        refined = encode_jbig2(m, symbol_mode='refine')
+        plain = encode_jbig2(m, symbol_mode='lossy')
+        # exemplar rendering already matches: no residue segment emitted
+        assert len(refined) == len(plain)
+        assert (decode_jbig2(refined, m.shape[1], m.shape[0]) == m).all()
+
     def test_beats_generic_on_repeated_glyphs(self):
         m = glyph_mask()
         gen = encode_jbig2(m)

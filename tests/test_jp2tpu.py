@@ -109,3 +109,10 @@ class TestFacade:
                                jpeg2000_implementation='tpu')
         dec = np.asarray(Image.open(io.BytesIO(layer.data)).convert('L'))
         assert dec.shape == img.shape
+
+    def test_batch_matches_single(self):
+        imgs = np.stack([synth_gray(72, 96, seed=s) for s in range(3)])
+        batch = J.encode_jp2_tpu_batch(imgs, ratio=30)
+        for i in range(3):
+            single = J.encode_jp2_tpu(imgs[i], ratio=30)
+            assert batch[i] == single
