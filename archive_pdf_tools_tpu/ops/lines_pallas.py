@@ -41,9 +41,10 @@ from .optimise_pallas import _window_sum_lanes, _shift_left_zero, \
 MAX_LINE_H = 128          # default bucket
 LINE_H_BUCKETS = (64, 128, 256, 512)
 GROUP = 8                 # lines per grid step (sublane packing).
-                          # GROUP=16 measured ~7% slower end-to-end: the
-                          # doubled per-step stream DMAs cost more than
-                          # the halved step count saves.
+                          # GROUP=16 with 8-row blocks measured 94 vs
+                          # 101 ms standalone, but the fused-step
+                          # compile blew past 10 minutes (16 streams x
+                          # 8 unrolled sub-rows); not worth it.
 RB = 8                    # walk rows per grid step (matches the 8-row
                           # crop alignment, so input blocks are aligned)
 
