@@ -82,6 +82,25 @@ def decompose_masks(np_images, word_datas, dpi=None, downsample=None,
     line_bucket = next((b for b in LINE_H_BUCKETS if tallest <= b), None)
     pallas_lines = use_pallas() and line_bucket is not None
 
+    if total == 0:
+        # no hOCR lines at all (e.g. threshold-image on a bare image):
+        # the mask is just the global threshold (+ denoise below)
+        td.add('hocr_mask_gen', t0)
+        t0 = _time.time()
+        if use_pallas():
+            gmask, sigma_est = D.global_threshold_fused(gray, window)
+        else:
+            blurred_u8, sigma_est = D.global_threshold_input(gray)
+            gmask = D.global_threshold(blurred_u8, window)
+        td.add('threshold', t0)
+        mask = gmask
+        if denoise_mask is not None and denoise_mask != DENOISE_NONE:
+            t0 = _time.time()
+            mask = D.denoise_mask(mask, denoise_mask, exact_denoise)
+            td.add('fast_denoise'
+                   if denoise_mask == DENOISE_FAST else 'denoise', t0)
+        return mask, dev_imgs
+
     if pallas_lines:
         # flat line arrays with a dummy slot 0 (select_lines convention)
         boxes = np.zeros((4, n_seg), np.int32)

@@ -1,0 +1,89 @@
+#!/usr/bin/env python3
+"""End-to-end recode() timing on the real chip: imagestack -> PDF/A-3b.
+
+Builds an 8-page 400-DPI (3300x2550) synthetic book, runs recode()
+twice (cold with compiles, then warm) and prints warm seconds/page and
+the compression ratio.  Not a test; a dev tool.
+
+Usage: python tools/e2e_bench.py [jpeg2000_impl] [jbig2_symbol_coding]
+  e.g.  python tools/e2e_bench.py tpu refine
+"""
+
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def make_book(tmp, n_pages=8, w=2550, h=3300, dpi=400):
+    from PIL import Image
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
+    from tests.fixtures import words_to_hocr_page, HOCR_TEMPLATE
+
+    rng = np.random.default_rng(0)
+    hocr_pages = []
+    for i in range(n_pages):
+        img = np.full((h, w), 235, np.uint8)
+        words = []          # (x1, y1, x2, y2, text)
+        n_lines = 40
+        for li in range(n_lines):
+            y0 = 60 + li * (h - 160) // n_lines
+            x = 120
+            while x < w - 400:
+                ww = int(rng.integers(120, 380))
+                img[y0:y0 + 44, x:x + ww] = 40
+                words.append((x, y0, x + ww, y0 + 52,
+                              'w%d_%d' % (li, x)))
+                x += ww + int(rng.integers(30, 80))
+        img = np.clip(img.astype(np.float32)
+                      + rng.normal(0, 8, img.shape), 0, 255).astype(np.uint8)
+        Image.fromarray(img).save(os.path.join(tmp, 'page_%04d.png' % i))
+        hocr_pages.append(words_to_hocr_page(words, w, h, page_no=i,
+                                             dpi=dpi))
+    hocr_path = os.path.join(tmp, 'book.hocr')
+    with open(hocr_path, 'w', encoding='utf-8') as fp:
+        fp.write(HOCR_TEMPLATE % '\n'.join(hocr_pages))
+    return os.path.join(tmp, 'page_*.png'), hocr_path
+
+
+def main():
+    impl = sys.argv[1] if len(sys.argv) > 1 else 'pillow'
+    sym = sys.argv[2] if len(sys.argv) > 2 else 'off'
+    from archive_pdf_tools_tpu.pipeline.recode import recode
+
+    tmp = tempfile.mkdtemp(prefix='e2e_bench_')
+    print('building book in %s ...' % tmp, flush=True)
+    glob_pat, hocr_path = make_book(tmp)
+
+    flags = {'pillow': ('quality_mode:"rates";quality_layers:[500]',
+                        'quality_mode:"rates";quality_layers:[750]'),
+             'tpu': ('ratio:500', 'ratio:750')}[impl]
+
+    def run(tag):
+        t0 = time.time()
+        res = recode(
+            from_imagestack=glob_pat, hocr_file=hocr_path,
+            out_pdf=os.path.join(tmp, 'out_%s.pdf' % tag), dpi=400,
+            jbig2=True, bg_downsample=3,
+            jpeg2000_implementation=impl,
+            bg_compression_flags=flags[0].split(' '),
+            fg_compression_flags=flags[1].split(' '),
+            jbig2_symbol_mode={'off': False, 'on': True, 'auto': 'auto',
+                               'lossy': 'lossy', 'refine': 'refine'}[sym],
+            verbose=False)
+        dt = time.time() - t0
+        print('%s: %.1fs total, %.2f s/page, ratio %.1f'
+              % (tag, dt, dt / 8.0, res.get('compression_ratio', -1)),
+              flush=True)
+
+    run('cold')
+    run('warm')
+
+
+if __name__ == '__main__':
+    main()
