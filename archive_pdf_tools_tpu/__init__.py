@@ -13,10 +13,15 @@ import os as _os
 # this, `JAX_PLATFORMS=cpu some-tool` still lands on the TPU and every
 # op goes through the remote compile service.  A no-op when the backend
 # already initialized or the value matches.
-if _os.environ.get('JAX_PLATFORMS'):
+# APT_PLATFORM=cpu forces the JAX platform for any tool/CLI importing
+# this package.  On hosts whose sitecustomize pre-registers a TPU
+# plugin AND rewrites JAX_PLATFORMS (this dev image), the standard env
+# var cannot express "run on CPU"; this package-level variable can,
+# because the config update runs before the first backend use.
+if _os.environ.get('APT_PLATFORM'):
     try:
         import jax as _jax
-        _jax.config.update('jax_platforms', _os.environ['JAX_PLATFORMS'])
+        _jax.config.update('jax_platforms', _os.environ['APT_PLATFORM'])
     except Exception:
         pass
 

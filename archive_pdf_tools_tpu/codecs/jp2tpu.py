@@ -226,10 +226,22 @@ def _device_transform(arr, levels, rgb, base_delta):
         arrs = [ll]
         for lvl in reversed(bands):
             arrs += [lvl['HL'], lvl['LH'], lvl['HH']]
-        out.append(tuple(
-            jnp.trunc(a / m[5]).astype(jnp.int32)
-            for m, a in zip(layout, arrs)))
+        # int32 throughout: coarse-band quantized magnitudes reach ~1e5
+        # at fine steps, so an int16 transfer would clip structure
+        out.append(tuple(jnp.trunc(a / m[5]).astype(jnp.int32)
+                         for m, a in zip(layout, arrs)))
     return tuple(out)
+
+
+def _run_device_transform(arr, levels, rgb, base_delta):
+    """Dispatch the transform, honoring APT_JP2_DEVICE (e.g. 'cpu' on
+    hosts whose device link is too slow to ship coefficients back)."""
+    import jax
+    dev = os.environ.get('APT_JP2_DEVICE')
+    if dev:
+        with jax.default_device(jax.local_devices(backend=dev)[0]):
+            return _device_transform(arr, levels, rgb, base_delta)
+    return _device_transform(arr, levels, rgb, base_delta)
 
 
 # --- Tier-1 driver ------------------------------------------------------
@@ -641,8 +653,8 @@ def encode_jp2_tpu(img, ratio=None, base_delta=1.0 / 64, levels=5,
     levels = max(1, min(levels,
                         max(1, int(math.floor(math.log2(min(h, w) / 4))))))
 
-    qbands = _device_transform(jnp.asarray(arr), levels, rgb,
-                               float(base_delta))
+    qbands = _run_device_transform(jnp.asarray(arr), levels, rgb,
+                                   float(base_delta))
     qbands = [[np.asarray(q) for q in qb] for qb in qbands]
     return _host_encode(qbands, w, h, ncomp, levels, float(base_delta),
                         ratio, rgb, lib, workers, wrap_jp2)
@@ -700,8 +712,8 @@ def encode_jp2_tpu_batch(imgs, ratio=None, base_delta=1.0 / 64, levels=5,
     levels = max(1, min(levels,
                         max(1, int(math.floor(math.log2(min(h, w) / 4))))))
 
-    qbands = _device_transform(jnp.asarray(arr), levels, rgb,
-                               float(base_delta))
+    qbands = _run_device_transform(jnp.asarray(arr), levels, rgb,
+                                   float(base_delta))
     qbands = [[np.asarray(q) for q in qb] for qb in qbands]
     out = []
     for i in range(b):

@@ -153,7 +153,7 @@ class TestTools:
         return subprocess.run(
             [sys.executable, os.path.join(REPO, 'tools', tool)]
             + list(args), capture_output=True, text=True,
-            env=dict(os.environ, JAX_PLATFORMS='cpu'))
+            env=dict(os.environ, APT_PLATFORM='cpu'))
 
     def test_pdfimagesmrc(self, book_pdf):
         path, _ = book_pdf
