@@ -29,8 +29,13 @@ def main():
 
     batch = int(os.environ.get('BENCH_BATCH', '64'))
     rgb = os.environ.get('BENCH_MODE', 'gray') == 'rgb'
-    h, w = 3300, 2550                      # 400 DPI letter-ish page
-    window = 101                           # sauvola_window(400)
+    dpi = int(os.environ.get('BENCH_DPI', '400'))
+    # 400 DPI letter-ish page; BENCH_DPI=600 is the noisy-newspaper
+    # config from BASELINE.json (bigger pages, window 151, heavier
+    # noise driving a larger blur-radius bucket)
+    h, w = (3300, 2550) if dpi == 400 else (dpi * 33 // 4, dpi * 51 // 8)
+    window = dpi // 4 + (1 - (dpi // 4) % 2)   # sauvola_window(dpi)
+    noise_sigma = 8 if dpi == 400 else 18
     lines_per_page = 40
     n_seg = -(-(batch * lines_per_page + 1) // 64) * 64
 
@@ -42,7 +47,7 @@ def main():
         xs = rng.integers(20, w - 400, size=400)
         for y, x in zip(ys, xs):
             images[b, y:y + 8, x:x + int(rng.integers(80, 380))] = 40
-    noise = rng.normal(0, 8, (batch, h, w))
+    noise = rng.normal(0, noise_sigma, (batch, h, w))
     images = np.clip(images.astype(np.float32) + noise, 0, 255) \
         .astype(np.uint8)
     if rgb:
@@ -102,9 +107,8 @@ def main():
 
     pages_per_sec = batch / best
     baseline_pages_per_sec = 1.0 / 1.16   # README.rst:178
-    metric = '400dpi_full_mrc_decompose_pages_per_sec_per_chip'
-    if rgb:
-        metric = '400dpi_rgb_full_mrc_decompose_pages_per_sec_per_chip'
+    metric = '%ddpi_%sfull_mrc_decompose_pages_per_sec_per_chip' \
+        % (dpi, 'rgb_' if rgb else '')
     print(json.dumps({
         'metric': metric,
         'value': round(pages_per_sec, 3),
