@@ -185,23 +185,6 @@ def band_layout(levels, base_delta):
     return out
 
 
-def quantize(bands, ll, base_delta):
-    """Deadzone quantizer: q = sign(c) * floor(|c| / delta_b) with
-    delta_b = base_delta / band_norm.  Returns a list of (orient, level,
-    gain, eps, mu, step, int32 array) in codestream order."""
-    import jax.numpy as jnp
-    levels = len(bands)
-    layout = band_layout(levels, base_delta)
-    arrs = [ll]
-    for lvl in reversed(bands):
-        arrs += [lvl['HL'], lvl['LH'], lvl['HH']]
-    out = []
-    for (orient, level, gain, eps, mu, step), a in zip(layout, arrs):
-        qv = jnp.trunc(jnp.asarray(a) / step).astype(jnp.int32)
-        out.append((orient, level, gain, eps, mu, step, np.asarray(qv)))
-    return out
-
-
 import jax
 
 
