@@ -322,6 +322,14 @@ struct BlockCoder {
     for (int y0 = 0; y0 < h; y0 += 4) {
       const int ymax = y0 + 4 < h ? y0 + 4 : h;
       for (int x = 0; x < w; ++x) {
+        // fast skip: no pixel in this stripe column has a significant
+        // neighbour -> nothing to code here
+        if (ymax == y0 + 4) {
+          const uint32_t* f0 = F(x, y0);
+          if (!((f0[0] | f0[stride] | f0[2 * stride] | f0[3 * stride])
+                & 0xFF))
+            continue;
+        }
         for (int y = y0; y < ymax; ++y) {
           uint32_t* fp = F(x, y);
           const uint32_t f = *fp;
@@ -346,6 +354,13 @@ struct BlockCoder {
     for (int y0 = 0; y0 < h; y0 += 4) {
       const int ymax = y0 + 4 < h ? y0 + 4 : h;
       for (int x = 0; x < w; ++x) {
+        // fast skip: nothing significant in this stripe column
+        if (ymax == y0 + 4) {
+          const uint32_t* f0 = F(x, y0);
+          if (!((f0[0] | f0[stride] | f0[2 * stride] | f0[3 * stride])
+                & F_SIG))
+            continue;
+        }
         for (int y = y0; y < ymax; ++y) {
           uint32_t* fp = F(x, y);
           const uint32_t f = *fp;
