@@ -63,8 +63,29 @@ def _get_lib():
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
         ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
         ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_double)]
+    lib.jp2dwt_quantize.restype = ctypes.c_long
+    lib.jp2dwt_quantize.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_int32)]
     _lib = lib
     return lib
+
+
+def _band_shapes(w, h, levels):
+    """Per-band (bh, bw) in codestream order, matching the lifting
+    sizes (low = ceil(n/2))."""
+    lws, lhs = [w], [h]
+    for _ in range(levels):
+        lws.append((lws[-1] + 1) // 2)
+        lhs.append((lhs[-1] + 1) // 2)
+    shapes = [(lhs[levels], lws[levels])]
+    for r in range(levels):
+        lvl = levels - r
+        pw, ph = lws[lvl - 1], lhs[lvl - 1]
+        lw, lh = lws[lvl], lhs[lvl]
+        shapes += [(lh, pw - lw), (ph - lh, lw), (ph - lh, pw - lw)]
+    return shapes
 
 
 # --- device transform ---------------------------------------------------
@@ -216,11 +237,52 @@ def _device_transform(arr, levels, rgb, base_delta):
     return tuple(out)
 
 
+def _native_transform(arr, levels, rgb, base_delta):
+    """Pure-host DWT + quantize (native/jp2t1.cpp): for machines where
+    shipping coefficients back from an accelerator costs more than
+    computing them on the host."""
+    arr = np.asarray(arr, np.uint8)
+    if arr.ndim == 3 + (1 if rgb else 0):          # batched: per page,
+        pages = [_native_transform(a, levels, rgb, base_delta)
+                 for a in arr]                     # stacked like the jit
+        return tuple(
+            tuple(np.stack([pg[c][k] for pg in pages])
+                  for k in range(len(pages[0][c])))
+            for c in range(len(pages[0])))
+    lib = _get_lib()
+    h, w = arr.shape[:2]
+    ncomp = 3 if rgb else 1
+    layout = band_layout(levels, float(base_delta))
+    steps = np.array([m[5] for m in layout], np.float64)
+    shapes = _band_shapes(w, h, levels)
+    total = sum(a * b for (a, b) in shapes)
+    out = np.empty(total * ncomp, np.int32)
+    img = np.ascontiguousarray(arr)
+    lib.jp2dwt_quantize(
+        img.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), w, h,
+        ncomp, levels,
+        steps.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    comps = []
+    pos = 0
+    for _c in range(ncomp):
+        bands = []
+        for (bh, bw) in shapes:
+            bands.append(out[pos:pos + bh * bw].reshape(bh, bw))
+            pos += bh * bw
+        comps.append(tuple(bands))
+    return tuple(comps)
+
+
 def _run_device_transform(arr, levels, rgb, base_delta):
-    """Dispatch the transform, honoring APT_JP2_DEVICE (e.g. 'cpu' on
-    hosts whose device link is too slow to ship coefficients back)."""
-    import jax
+    """Dispatch the transform, honoring APT_JP2_DEVICE: 'native' = the
+    C++ host path, any JAX backend name (e.g. 'cpu') = run there (for
+    hosts whose device link is too slow to ship coefficients back);
+    unset = the session's default device."""
     dev = os.environ.get('APT_JP2_DEVICE')
+    if dev == 'native':
+        return _native_transform(arr, levels, rgb, base_delta)
+    import jax
     if dev:
         with jax.default_device(jax.local_devices(backend=dev)[0]):
             return _device_transform(arr, levels, rgb, base_delta)

@@ -517,3 +517,125 @@ long jp2t1_encode_block(const int32_t* coeffs, int w, int h, int orient,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------
+// Host-side 9/7 DWT + deadzone quantizer (for machines where shipping
+// coefficients from an accelerator costs more than computing them on
+// the host; the device path in codecs/jp2tpu.py is the default).
+// Matches the jnp lifting formulation (whole-sample symmetric
+// extension, low *= 1/K, high *= K) in f32.
+
+namespace {
+
+constexpr float kAlpha = -1.586134342059924f;
+constexpr float kBeta = -0.052980118572961f;
+constexpr float kGamma = 0.882911075530934f;
+constexpr float kDelta = 0.443506852043971f;
+constexpr float kK = 1.230174104914001f;
+
+// One analysis lift of x[0..n) (stride between samples), packed back
+// as low[0..ne) then high[0..no) using scratch (n floats).
+void Lift1D(float* x, int n, long stride, float* tmp) {
+  const int ne = (n + 1) / 2, no = n / 2;
+  float* even = tmp;
+  float* odd = tmp + ne;
+  for (int i = 0; i < ne; ++i) even[i] = x[(2 * i) * stride];
+  for (int i = 0; i < no; ++i) odd[i] = x[(2 * i + 1) * stride];
+  auto er = [&](int i) { return even[i + 1 < ne ? i + 1 : ne - 1]; };
+  auto ol = [&](int i) { return odd[i > 0 ? i - 1 : 0]; };
+  auto orr = [&](int i) { return odd[i < no ? i : no - 1]; };
+  for (int i = 0; i < no; ++i) odd[i] += kAlpha * (even[i] + er(i));
+  for (int i = 0; i < ne; ++i) even[i] += kBeta * (ol(i) + orr(i));
+  for (int i = 0; i < no; ++i) odd[i] += kGamma * (even[i] + er(i));
+  for (int i = 0; i < ne; ++i) even[i] += kDelta * (ol(i) + orr(i));
+  for (int i = 0; i < ne; ++i) x[i * stride] = even[i] * (1.0f / kK);
+  for (int i = 0; i < no; ++i) x[(ne + i) * stride] = odd[i] * kK;
+}
+
+void QuantBand(const float* src, long stride, int bw, int bh, double step,
+               int32_t* out) {
+  const double inv = 1.0 / step;
+  for (int y = 0; y < bh; ++y) {
+    const float* row = src + y * stride;
+    for (int x = 0; x < bw; ++x) {
+      // trunc toward zero like jnp.trunc(a / step)
+      out[static_cast<long>(y) * bw + x] =
+          static_cast<int32_t>(static_cast<float>(row[x]) *
+                               static_cast<float>(inv));
+    }
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// img: uint8, ncomp=1 (h*w) or 3 (h*w*3 interleaved, ICT applied).
+// steps: per-band quantizer steps in codestream order (3*levels+1).
+// out: int32, per component the concatenated bands in codestream
+// order (LL, then coarsest->finest HL, LH, HH).  Returns 0.
+long jp2dwt_quantize(const uint8_t* img, int w, int h, int ncomp,
+                     int levels, const double* steps, int32_t* out) {
+  std::vector<float> plane(static_cast<size_t>(w) * h);
+  std::vector<float> tmp(static_cast<size_t>(w > h ? w : h) + 2);
+  long out_pos = 0;
+
+  for (int c = 0; c < ncomp; ++c) {
+    // DC shift (+ ICT for RGB)
+    if (ncomp == 1) {
+      for (long i = 0; i < static_cast<long>(w) * h; ++i)
+        plane[i] = static_cast<float>(img[i]) - 128.0f;
+    } else {
+      for (long i = 0; i < static_cast<long>(w) * h; ++i) {
+        const float r = static_cast<float>(img[3 * i]) - 128.0f;
+        const float g = static_cast<float>(img[3 * i + 1]) - 128.0f;
+        const float b = static_cast<float>(img[3 * i + 2]) - 128.0f;
+        plane[i] = c == 0 ? 0.299f * r + 0.587f * g + 0.114f * b
+                 : c == 1 ? -0.16875f * r - 0.33126f * g + 0.5f * b
+                          : 0.5f * r - 0.41869f * g - 0.08131f * b;
+      }
+    }
+
+    // in-place Mallat decomposition on the active top-left region
+    int ww = w, hh = h;
+    std::vector<int> lws(levels + 1), lhs(levels + 1);
+    lws[0] = w; lhs[0] = h;
+    for (int l = 0; l < levels; ++l) {
+      for (int y = 0; y < hh; ++y)                 // rows: horizontal
+        Lift1D(plane.data() + static_cast<long>(y) * w, ww, 1,
+               tmp.data());
+      for (int x = 0; x < ww; ++x)                 // cols: vertical
+        Lift1D(plane.data() + x, hh, w, tmp.data());
+      ww = (ww + 1) / 2;
+      hh = (hh + 1) / 2;
+      lws[l + 1] = ww; lhs[l + 1] = hh;
+    }
+
+    // emit bands in codestream order with the per-band steps
+    // LL at the deepest level
+    QuantBand(plane.data(), w, lws[levels], lhs[levels], steps[0],
+              out + out_pos);
+    out_pos += static_cast<long>(lws[levels]) * lhs[levels];
+    for (int r = 0; r < levels; ++r) {             // coarsest first
+      const int lvl = levels - r;                  // 1-based level
+      const int pw = lws[lvl - 1], ph = lhs[lvl - 1];
+      const int lw = lws[lvl], lh = lhs[lvl];
+      const int hw = pw - lw, hhg = ph - lh;
+      // HL: horizontal high, vertical low -> columns [lw, pw), rows [0, lh)
+      QuantBand(plane.data() + lw, w, hw, lh, steps[1 + 3 * r],
+                out + out_pos);
+      out_pos += static_cast<long>(hw) * lh;
+      // LH: rows [lh, ph), columns [0, lw)
+      QuantBand(plane.data() + static_cast<long>(lh) * w, w, lw, hhg,
+                steps[2 + 3 * r], out + out_pos);
+      out_pos += static_cast<long>(lw) * hhg;
+      // HH
+      QuantBand(plane.data() + static_cast<long>(lh) * w + lw, w, hw,
+                hhg, steps[3 + 3 * r], out + out_pos);
+      out_pos += static_cast<long>(hw) * hhg;
+    }
+  }
+  return 0;
+}
+
+}  // extern "C"

@@ -116,3 +116,22 @@ class TestFacade:
         for i in range(3):
             single = J.encode_jp2_tpu(imgs[i], ratio=30)
             assert batch[i] == single
+
+    def test_native_transform_matches_jax(self, monkeypatch):
+        img = synth_gray(130, 90, seed=11)
+        d_jax = J.encode_jp2_tpu(img, ratio=15)
+        monkeypatch.setenv('APT_JP2_DEVICE', 'native')
+        d_nat = J.encode_jp2_tpu(img, ratio=15)
+        assert d_nat == d_jax
+        g = synth_gray(60, 70, seed=12)
+        rgbi = np.stack([g, np.clip(g * 0.9, 0, 255).astype(np.uint8),
+                         np.clip(g * 0.8, 0, 255).astype(np.uint8)], -1)
+        monkeypatch.delenv('APT_JP2_DEVICE')
+        d_jax = J.encode_jp2_tpu(rgbi, base_delta=0.5)
+        monkeypatch.setenv('APT_JP2_DEVICE', 'native')
+        assert J.encode_jp2_tpu(rgbi, base_delta=0.5) == d_jax
+        # batched native matches batched jax
+        imgs = np.stack([synth_gray(72, 96, seed=s) for s in range(2)])
+        nat = J.encode_jp2_tpu_batch(imgs, ratio=30)
+        monkeypatch.delenv('APT_JP2_DEVICE')
+        assert nat == J.encode_jp2_tpu_batch(imgs, ratio=30)
