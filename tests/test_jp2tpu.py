@@ -135,3 +135,8 @@ class TestFacade:
         nat = J.encode_jp2_tpu_batch(imgs, ratio=30)
         monkeypatch.delenv('APT_JP2_DEVICE')
         assert nat == J.encode_jp2_tpu_batch(imgs, ratio=30)
+
+    def test_threaded_t1_matches_serial(self):
+        img = synth_gray(150, 130, seed=13)
+        assert J.encode_jp2_tpu(img, ratio=25, workers=4) == \
+            J.encode_jp2_tpu(img, ratio=25, workers=1)
