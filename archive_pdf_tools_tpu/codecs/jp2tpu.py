@@ -278,7 +278,9 @@ def _run_device_transform(arr, levels, rgb, base_delta):
     """Dispatch the transform, honoring APT_JP2_DEVICE: 'native' = the
     C++ host path, any JAX backend name (e.g. 'cpu') = run there (for
     hosts whose device link is too slow to ship coefficients back);
-    unset = the session's default device."""
+    unset = the session's default accelerator, or the native path when
+    the default backend is plain CPU (byte-identical and ~3x faster
+    than the jax-CPU lifting)."""
     dev = os.environ.get('APT_JP2_DEVICE')
     if dev == 'native':
         return _native_transform(arr, levels, rgb, base_delta)
@@ -286,6 +288,12 @@ def _run_device_transform(arr, levels, rgb, base_delta):
     if dev:
         with jax.default_device(jax.local_devices(backend=dev)[0]):
             return _device_transform(arr, levels, rgb, base_delta)
+    try:
+        on_cpu = jax.devices()[0].platform == 'cpu'
+    except Exception:
+        on_cpu = True
+    if on_cpu:
+        return _native_transform(arr, levels, rgb, base_delta)
     return _device_transform(arr, levels, rgb, base_delta)
 
 

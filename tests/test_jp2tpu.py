@@ -118,7 +118,10 @@ class TestFacade:
             assert batch[i] == single
 
     def test_native_transform_matches_jax(self, monkeypatch):
+        # APT_JP2_DEVICE=cpu forces the jax lifting; 'native' the C++
+        # path (the unset default auto-picks native on CPU backends)
         img = synth_gray(130, 90, seed=11)
+        monkeypatch.setenv('APT_JP2_DEVICE', 'cpu')
         d_jax = J.encode_jp2_tpu(img, ratio=15)
         monkeypatch.setenv('APT_JP2_DEVICE', 'native')
         d_nat = J.encode_jp2_tpu(img, ratio=15)
@@ -126,14 +129,14 @@ class TestFacade:
         g = synth_gray(60, 70, seed=12)
         rgbi = np.stack([g, np.clip(g * 0.9, 0, 255).astype(np.uint8),
                          np.clip(g * 0.8, 0, 255).astype(np.uint8)], -1)
-        monkeypatch.delenv('APT_JP2_DEVICE')
+        monkeypatch.setenv('APT_JP2_DEVICE', 'cpu')
         d_jax = J.encode_jp2_tpu(rgbi, base_delta=0.5)
         monkeypatch.setenv('APT_JP2_DEVICE', 'native')
         assert J.encode_jp2_tpu(rgbi, base_delta=0.5) == d_jax
         # batched native matches batched jax
         imgs = np.stack([synth_gray(72, 96, seed=s) for s in range(2)])
         nat = J.encode_jp2_tpu_batch(imgs, ratio=30)
-        monkeypatch.delenv('APT_JP2_DEVICE')
+        monkeypatch.setenv('APT_JP2_DEVICE', 'cpu')
         assert nat == J.encode_jp2_tpu_batch(imgs, ratio=30)
 
     def test_threaded_t1_matches_serial(self):
