@@ -40,6 +40,14 @@ DELTA = 0.443506852043971
 K = 1.230174104914001
 
 CB = 64            # code-block side
+
+# ICT (T.800 irreversible colour transform) coefficients in 2^-16 fixed
+# point — shared verbatim by the device transform and native/jp2t1.cpp
+# so both compute the identical exact-integer ICT (see _device_transform).
+ICT_FIX = [[round(c * 65536) for c in row] for row in
+           [[0.299, 0.587, 0.114],
+            [-0.16875, -0.33126, 0.5],
+            [0.5, -0.41869, -0.08131]]]
 _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
     os.path.dirname(os.path.abspath(__file__)))), 'native')
 _SO_PATH = os.path.join(_NATIVE_DIR, 'libjp2t1.so')
@@ -53,8 +61,18 @@ def _get_lib():
     src = os.path.join(_NATIVE_DIR, 'jp2t1.cpp')
     if not os.path.exists(_SO_PATH) or \
             os.path.getmtime(_SO_PATH) < os.path.getmtime(src):
-        subprocess.check_call(['g++', '-O3', '-fPIC', '-std=c++17',
-                               '-shared', '-o', _SO_PATH, src])
+        # -ffp-contract=off: only the explicit fmaf calls in Lift1D may
+        # fuse, so the DWT numerics exactly mirror the jitted XLA-CPU
+        # path; -mfma makes those fmaf calls single instructions
+        # (fallback build without it still computes the same values via
+        # libm fmaf, just slower).
+        flags = ['-O3', '-fPIC', '-std=c++17', '-ffp-contract=off']
+        try:
+            subprocess.check_call(['g++'] + flags + ['-mfma', '-shared',
+                                   '-o', _SO_PATH, src])
+        except subprocess.CalledProcessError:
+            subprocess.check_call(['g++'] + flags + ['-shared',
+                                   '-o', _SO_PATH, src])
     lib = ctypes.CDLL(_SO_PATH)
     lib.jp2t1_encode_block.restype = ctypes.c_long
     lib.jp2t1_encode_block.argtypes = [
@@ -215,14 +233,23 @@ def _device_transform(arr, levels, rgb, base_delta):
     """DC shift + (ICT) + DWT + quantize, one jit per (shape, levels,
     rgb, base_delta) — a single device dispatch per encode."""
     import jax.numpy as jnp
-    x = arr.astype(jnp.float32) - 128.0
     if rgb:
-        r, g, b = x[..., 0], x[..., 1], x[..., 2]
-        comps = [0.299 * r + 0.587 * g + 0.114 * b,
-                 -0.16875 * r - 0.33126 * g + 0.5 * b,
-                 0.5 * r - 0.41869 * g - 0.08131 * b]
+        # ICT in exact int32 fixed point (2^-16 coefficients): float
+        # mul+add trees get FMA-contracted by the backend compiler in
+        # expression-shape-dependent ways (not even optimization_barrier
+        # reaches that level), so a float ICT can never be bit-stable
+        # across backends/the native host path.  Integer arithmetic is
+        # exact everywhere; |sum| <= 2^23 so the f32 conversion and the
+        # power-of-two scale are exact too.  Coefficient rounding is
+        # ~1.5e-5 (<0.01 gray level through the transform) — far below
+        # the finest quantizer step.
+        xi = arr.astype(jnp.int32) - 128
+        r, g, b = xi[..., 0], xi[..., 1], xi[..., 2]
+        comps = [
+            (c[0] * r + c[1] * g + c[2] * b).astype(jnp.float32) *
+            np.float32(2.0 ** -16) for c in ICT_FIX]
     else:
-        comps = [x]
+        comps = [arr.astype(jnp.float32) - 128.0]
     layout = band_layout(levels, base_delta)
     out = []
     for comp in comps:
@@ -231,9 +258,23 @@ def _device_transform(arr, levels, rgb, base_delta):
         for lvl in reversed(bands):
             arrs += [lvl['HL'], lvl['LH'], lvl['HH']]
         # int32 throughout: coarse-band quantized magnitudes reach ~1e5
-        # at fine steps, so an int16 transfer would clip structure
-        out.append(tuple(jnp.trunc(a / m[5]).astype(jnp.int32)
-                         for m, a in zip(layout, arrs)))
+        # at fine steps, so an int16 transfer would clip structure.
+        # Quantize by multiplying with the f32-rounded reciprocal, NOT
+        # dividing: XLA's f32 divide is reciprocal+Newton and differs
+        # from IEEE divide in ~1% of cases (backend-dependent), while
+        # f32 multiply is correctly rounded everywhere — so the native
+        # host path (QuantBand in native/jp2t1.cpp) multiplies by the
+        # identical constant and the two paths agree bit-for-bit.
+        # The barrier pins each band's f32 bits before the quantize
+        # multiply: without it XLA's algebraic simplifier may fold the
+        # lift's final *K (or *1/K) scaling into the reciprocal (one
+        # multiply instead of two -> different rounding than the
+        # native path's two).
+        from jax import lax
+        out.append(tuple(
+            jnp.trunc(lax.optimization_barrier(a) *
+                      np.float32(1.0 / m[5])).astype(jnp.int32)
+            for m, a in zip(layout, arrs)))
     return tuple(out)
 
 
@@ -694,8 +735,6 @@ def encode_jp2_tpu(img, ratio=None, base_delta=1.0 / 64, levels=5,
     base_delta / 2^levels via the norm weighting).
     Returns .jp2 bytes (or a raw codestream with wrap_jp2=False).
     """
-    import jax.numpy as jnp
-
     lib = _get_lib()
     arr = np.asarray(img, np.uint8)
     rgb = arr.ndim == 3
@@ -706,8 +745,10 @@ def encode_jp2_tpu(img, ratio=None, base_delta=1.0 / 64, levels=5,
     levels = max(1, min(levels,
                         max(1, int(math.floor(math.log2(min(h, w) / 4))))))
 
-    qbands = _run_device_transform(jnp.asarray(arr), levels, rgb,
-                                   float(base_delta))
+    # numpy in: _run_device_transform only ships to a device on the
+    # branches that actually run the jitted transform, so the native
+    # host path never pays a host->device->host round trip.
+    qbands = _run_device_transform(arr, levels, rgb, float(base_delta))
     qbands = [[np.asarray(q) for q in qb] for qb in qbands]
     return _host_encode(qbands, w, h, ncomp, levels, float(base_delta),
                         ratio, rgb, lib, workers, wrap_jp2)
@@ -732,7 +773,16 @@ def _host_encode(qbands, w, h, ncomp, levels, base_delta, ratio, rgb,
     for band in all_bands:
         for cb in band.blocks:
             guard = max(guard, cb.nbps - band.eps + 1)
-    guard = min(7, guard)
+    if guard > 7:
+        # A silent clamp here would make Mb undercount the coded planes
+        # and desync the decoder into a corrupt block; unreachable for
+        # 8-bit input with the current band norms, so fail loudly if a
+        # future base_delta/norm change ever trips it.
+        raise ValueError(
+            'jp2tpu: required guard bits %d > 7 (eps too small for a '
+            'block with %d bitplanes); renormalize base_delta' % (
+                guard, max(cb.nbps for b in all_bands
+                           for cb in b.blocks)))
 
     if target is not None:
         _allocate_rate(blocks, target, lib, workers)
@@ -753,8 +803,6 @@ def encode_jp2_tpu_batch(imgs, ratio=None, base_delta=1.0 / 64, levels=5,
     steps); Tier-1 and packet assembly run per page on the host pool.
     This is how the recode pipeline amortizes device work when encoding
     a page batch's fg/bg layers."""
-    import jax.numpy as jnp
-
     lib = _get_lib()
     arr = np.asarray(imgs, np.uint8)
     rgb = arr.ndim == 4
@@ -765,8 +813,7 @@ def encode_jp2_tpu_batch(imgs, ratio=None, base_delta=1.0 / 64, levels=5,
     levels = max(1, min(levels,
                         max(1, int(math.floor(math.log2(min(h, w) / 4))))))
 
-    qbands = _run_device_transform(jnp.asarray(arr), levels, rgb,
-                                   float(base_delta))
+    qbands = _run_device_transform(arr, levels, rgb, float(base_delta))
     qbands = [[np.asarray(q) for q in qb] for qb in qbands]
     out = []
     for i in range(b):

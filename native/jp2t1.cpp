@@ -532,9 +532,16 @@ constexpr float kBeta = -0.052980118572961f;
 constexpr float kGamma = 0.882911075530934f;
 constexpr float kDelta = 0.443506852043971f;
 constexpr float kK = 1.230174104914001f;
+// f32 round of the f64 quotient, like jnp's weak-typed (1.0 / K):
+// f32(1.0f) / kK differs in the last ulp.
+const float kInvK = static_cast<float>(1.0 / 1.230174104914001);
 
 // One analysis lift of x[0..n) (stride between samples), packed back
 // as low[0..ne) then high[0..no) using scratch (n floats).
+// Each update is a single-rounding fmaf(coef, sum, dst): XLA-CPU
+// contracts `dst + coef * sum` to an FMA, so the host path must too
+// for byte-identical coefficients (the TU is built -ffp-contract=off;
+// only these explicit fmaf calls fuse).
 void Lift1D(float* x, int n, long stride, float* tmp) {
   const int ne = (n + 1) / 2, no = n / 2;
   float* even = tmp;
@@ -544,24 +551,30 @@ void Lift1D(float* x, int n, long stride, float* tmp) {
   auto er = [&](int i) { return even[i + 1 < ne ? i + 1 : ne - 1]; };
   auto ol = [&](int i) { return odd[i > 0 ? i - 1 : 0]; };
   auto orr = [&](int i) { return odd[i < no ? i : no - 1]; };
-  for (int i = 0; i < no; ++i) odd[i] += kAlpha * (even[i] + er(i));
-  for (int i = 0; i < ne; ++i) even[i] += kBeta * (ol(i) + orr(i));
-  for (int i = 0; i < no; ++i) odd[i] += kGamma * (even[i] + er(i));
-  for (int i = 0; i < ne; ++i) even[i] += kDelta * (ol(i) + orr(i));
-  for (int i = 0; i < ne; ++i) x[i * stride] = even[i] * (1.0f / kK);
+  for (int i = 0; i < no; ++i)
+    odd[i] = std::fmaf(kAlpha, even[i] + er(i), odd[i]);
+  for (int i = 0; i < ne; ++i)
+    even[i] = std::fmaf(kBeta, ol(i) + orr(i), even[i]);
+  for (int i = 0; i < no; ++i)
+    odd[i] = std::fmaf(kGamma, even[i] + er(i), odd[i]);
+  for (int i = 0; i < ne; ++i)
+    even[i] = std::fmaf(kDelta, ol(i) + orr(i), even[i]);
+  for (int i = 0; i < ne; ++i) x[i * stride] = even[i] * kInvK;
   for (int i = 0; i < no; ++i) x[(ne + i) * stride] = odd[i] * kK;
 }
 
 void QuantBand(const float* src, long stride, int bw, int bh, double step,
                int32_t* out) {
-  const double inv = 1.0 / step;
+  // Multiply by the f32 round of the f64 reciprocal — the same constant
+  // and correctly-rounded f32 multiply the jitted path uses (XLA's f32
+  // *divide* is reciprocal+Newton and not IEEE, so a divide here would
+  // NOT match it; see _device_transform in codecs/jp2tpu.py).
+  const float inv = static_cast<float>(1.0 / step);
   for (int y = 0; y < bh; ++y) {
     const float* row = src + y * stride;
     for (int x = 0; x < bw; ++x) {
-      // trunc toward zero like jnp.trunc(a / step)
       out[static_cast<long>(y) * bw + x] =
-          static_cast<int32_t>(static_cast<float>(row[x]) *
-                               static_cast<float>(inv));
+          static_cast<int32_t>(row[x] * inv);
     }
   }
 }
@@ -569,6 +582,32 @@ void QuantBand(const float* src, long stride, int bw, int bh, double step,
 }  // namespace
 
 extern "C" {
+
+// Debug: gray DC shift + `levels` full levels (+ one extra vertical
+// lift if half_extra), dumping the raw f32 plane — used by tests to
+// localize any numeric divergence vs the jitted transform.
+long jp2dwt_debug(const uint8_t* img, int w, int h, int levels,
+                  int half_extra, float* out) {
+  std::vector<float> plane(static_cast<size_t>(w) * h);
+  std::vector<float> tmp(static_cast<size_t>(w > h ? w : h) + 2);
+  for (long i = 0; i < static_cast<long>(w) * h; ++i)
+    plane[i] = static_cast<float>(img[i]) - 128.0f;
+  int ww = w, hh = h;
+  for (int l = 0; l < levels; ++l) {
+    for (int x = 0; x < ww; ++x)
+      Lift1D(plane.data() + x, hh, w, tmp.data());
+    for (int y = 0; y < hh; ++y)
+      Lift1D(plane.data() + static_cast<long>(y) * w, ww, 1, tmp.data());
+    ww = (ww + 1) / 2;
+    hh = (hh + 1) / 2;
+  }
+  if (half_extra) {
+    for (int x = 0; x < ww; ++x)
+      Lift1D(plane.data() + x, hh, w, tmp.data());
+  }
+  std::memcpy(out, plane.data(), sizeof(float) * w * h);
+  return 0;
+}
 
 // img: uint8, ncomp=1 (h*w) or 3 (h*w*3 interleaved, ICT applied).
 // steps: per-band quantizer steps in codestream order (3*levels+1).
@@ -586,13 +625,20 @@ long jp2dwt_quantize(const uint8_t* img, int w, int h, int ncomp,
       for (long i = 0; i < static_cast<long>(w) * h; ++i)
         plane[i] = static_cast<float>(img[i]) - 128.0f;
     } else {
+      // exact int32 fixed-point ICT (2^-16), identical to ICT_FIX in
+      // codecs/jp2tpu.py — integer math is bit-stable on every
+      // backend, unlike a float mul+add tree whose FMA contraction is
+      // compiler-dependent.
+      static const int32_t kIct[3][3] = {
+          {19595, 38470, 7471},      // round(c * 65536)
+          {-11059, -21709, 32768},
+          {32768, -27439, -5329}};
       for (long i = 0; i < static_cast<long>(w) * h; ++i) {
-        const float r = static_cast<float>(img[3 * i]) - 128.0f;
-        const float g = static_cast<float>(img[3 * i + 1]) - 128.0f;
-        const float b = static_cast<float>(img[3 * i + 2]) - 128.0f;
-        plane[i] = c == 0 ? 0.299f * r + 0.587f * g + 0.114f * b
-                 : c == 1 ? -0.16875f * r - 0.33126f * g + 0.5f * b
-                          : 0.5f * r - 0.41869f * g - 0.08131f * b;
+        const int32_t r = static_cast<int32_t>(img[3 * i]) - 128;
+        const int32_t g = static_cast<int32_t>(img[3 * i + 1]) - 128;
+        const int32_t b = static_cast<int32_t>(img[3 * i + 2]) - 128;
+        const int32_t s = kIct[c][0] * r + kIct[c][1] * g + kIct[c][2] * b;
+        plane[i] = static_cast<float>(s) * 0x1p-16f;
       }
     }
 
@@ -601,11 +647,15 @@ long jp2dwt_quantize(const uint8_t* img, int w, int h, int ncomp,
     std::vector<int> lws(levels + 1), lhs(levels + 1);
     lws[0] = w; lhs[0] = h;
     for (int l = 0; l < levels; ++l) {
+      // vertical first, then horizontal — the same composition order as
+      // dwt97() in codecs/jp2tpu.py (_lift_axis(-2) then _lift_axis(-1));
+      // the order changes f32 rounding, so it must match for the native
+      // path to be byte-identical with the jitted transform.
+      for (int x = 0; x < ww; ++x)                 // cols: vertical
+        Lift1D(plane.data() + x, hh, w, tmp.data());
       for (int y = 0; y < hh; ++y)                 // rows: horizontal
         Lift1D(plane.data() + static_cast<long>(y) * w, ww, 1,
                tmp.data());
-      for (int x = 0; x < ww; ++x)                 // cols: vertical
-        Lift1D(plane.data() + x, hh, w, tmp.data());
       ww = (ww + 1) / 2;
       hh = (hh + 1) / 2;
       lws[l + 1] = ww; lhs[l + 1] = hh;

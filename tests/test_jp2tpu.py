@@ -139,6 +139,29 @@ class TestFacade:
         monkeypatch.setenv('APT_JP2_DEVICE', 'cpu')
         assert nat == J.encode_jp2_tpu_batch(imgs, ratio=30)
 
+    def test_native_transform_bitexact_large_noisy(self):
+        # The round-1 byte-identical claim was input-dependent: pure
+        # uniform noise at full-page scale exposed +-1 quantizer flips
+        # from (a) lift order (C++ was horizontal-first), (b) XLA's
+        # non-IEEE reciprocal f32 divide, (c) backend-dependent FMA
+        # contraction of the float ICT, and (d) XLA folding the lift's
+        # *K scaling into the quantize reciprocal.  All four are fixed
+        # (fmaf lifts, shared-reciprocal multiply, exact-integer ICT,
+        # optimization_barrier before quantize); this asserts exact
+        # coefficient equality on adversarial inputs, odd sizes
+        # included.
+        rng = np.random.default_rng(0)
+        for shape, rgb in [((800, 700), False), ((801, 699), False),
+                           ((512, 640, 3), True)]:
+            img = rng.integers(0, 256, shape, dtype=np.uint8)
+            nat = J._native_transform(img, 5, rgb, 1.0 / 64)
+            dev = J._device_transform(img, 5, rgb, 1.0 / 64)
+            for c in range(len(nat)):
+                for k in range(len(nat[c])):
+                    assert np.array_equal(np.asarray(nat[c][k]),
+                                          np.asarray(dev[c][k])), \
+                        (shape, rgb, c, k)
+
     def test_threaded_t1_matches_serial(self):
         img = synth_gray(150, 130, seed=13)
         assert J.encode_jp2_tpu(img, ratio=25, workers=4) == \
