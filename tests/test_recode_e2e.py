@@ -18,7 +18,7 @@ J2K_BG = 'quality_mode:"rates";quality_layers:[500]'
 J2K_FG = 'quality_mode:"rates";quality_layers:[750]'
 
 
-def run_recode(tmp_path, n_pages=2, rgb=False, **kw):
+def run_recode(tmp_path, n_pages=2, rgb=False, validate=True, **kw):
     stack, hocr, pages = make_book(tmp_path, n_pages=n_pages, rgb=rgb)
     out = str(tmp_path / 'out.pdf')
     defaults = dict(from_imagestack=stack, hocr_file=hocr, out_pdf=out,
@@ -29,6 +29,12 @@ def run_recode(tmp_path, n_pages=2, rgb=False, **kw):
                     hq_fg_compression_flags=[J2K_FG])
     defaults.update(kw)
     res = recode(**defaults)
+    if validate:
+        # conformance gauntlet: every e2e output must satisfy the
+        # strict from-spec PDF/A-3b checker (incl. full JBIG2 decode
+        # of embedded masks — pages here are small)
+        from archive_pdf_tools_tpu.validators import validate_pdfa
+        validate_pdfa(out, strict_jbig2_decode=True)
     return out, res, pages
 
 
