@@ -903,9 +903,17 @@ def _check_image(pdf, xref, strict_jbig2_decode):
         except Jbig2ValidationError as e:
             _fail('embedded JBIG2 stream invalid: %s' % e)
     elif filt == 'JPXDecode':
-        if raw[:12] != b'\x00\x00\x00\x0cjP  \r\n\x87\n' and \
-                raw[:4] != b'\xffO\xffQ':
-            _fail('JPX stream without JP2/codestream signature')
+        from .jp2_check import validate_jp2, Jp2ValidationError
+        try:
+            # strict packet walk when the stream carries the in-tree
+            # encoder's profile; box/marker checks for foreign
+            # (Pillow/Kakadu/...) profiles
+            jf = validate_jp2(raw, strict_profile=False)
+        except Jp2ValidationError as e:
+            _fail('embedded JPX stream invalid: %s' % e)
+        if jf['w'] != w or jf['h'] != h:
+            _fail('JPX geometry %dx%d != image dict %dx%d'
+                  % (jf['w'], jf['h'], w, h))
     elif filt == 'DCTDecode':
         if raw[:2] != b'\xff\xd8':
             _fail('DCT stream without SOI')

@@ -137,3 +137,80 @@ class TestJbig2SpecValidator:
         page_flags = data[11 + 16]
         assert page_flags & 0x40
         validate_jbig2(data, embedded=True, expect=mask)
+
+
+# ---------------------------------------------------------------- JP2
+
+from archive_pdf_tools_tpu.validators.jp2_check import (  # noqa: E402
+    validate_jp2, Jp2ValidationError)
+
+
+class TestJp2SpecValidator:
+    def _encode(self, shape, ratio=None, **kw):
+        import os
+        from archive_pdf_tools_tpu.codecs.jp2tpu import encode_jp2_tpu
+        os.environ.setdefault('APT_JP2_DEVICE', 'native')
+        rng = np.random.default_rng(1)
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        return encode_jp2_tpu(img, ratio=ratio, **kw)
+
+    def test_profiles_walk_to_eoc(self):
+        for shape, ratio in [((300, 400), None), ((301, 399), 50),
+                             ((256, 256, 3), 100), ((64, 64), 20)]:
+            facts = validate_jp2(self._encode(shape, ratio))
+            assert facts['packet_walk']
+            assert facts['w'] == shape[1] and facts['h'] == shape[0]
+            if ratio:
+                assert facts['included'] < facts['blocks']
+
+    def test_pillow_stream_box_checks(self):
+        import io
+        from PIL import Image
+        rng = np.random.default_rng(2)
+        img = Image.fromarray(
+            rng.integers(0, 256, (120, 140), np.uint8))
+        buf = io.BytesIO()
+        img.save(buf, format='JPEG2000',
+                 quality_mode='rates', quality_layers=[50])
+        facts = validate_jp2(buf.getvalue(), strict_profile=False)
+        assert facts['w'] == 140 and facts['h'] == 120
+
+    def test_rejects_packet_header_bitflip(self):
+        # flips in the first packet's HEADER bytes must derail the walk
+        # (body/MQ flips are legitimately invisible to Tier-2 syntax —
+        # the Pillow decode covers those); a header flip changes
+        # inclusion/length coding so the walk misses EOC or Psot
+        data = bytearray(self._encode((300, 400), ratio=30))
+        sod = data.find(b'\xff\x93')
+        caught = tried = 0
+        for off in range(sod + 2, sod + 8):
+            for bit in (0x80, 0x10, 0x01):
+                mut = bytearray(data)
+                mut[off] ^= bit
+                tried += 1
+                try:
+                    validate_jp2(bytes(mut))
+                except Jp2ValidationError:
+                    caught += 1
+        assert caught >= tried // 2, (caught, tried)
+
+    def test_rejects_truncation(self):
+        data = self._encode((300, 400))
+        with pytest.raises(Jp2ValidationError):
+            validate_jp2(data[:-30])
+
+    def test_rejects_bad_psot(self):
+        data = bytearray(self._encode((128, 128)))
+        sot = data.find(b'\xff\x90')
+        # Psot at sot+6 (marker 2 + Lsot 2 + Isot 2)
+        import struct as _s
+        psot = _s.unpack('>I', data[sot + 6:sot + 10])[0]
+        data[sot + 6:sot + 10] = _s.pack('>I', psot + 4)
+        with pytest.raises(Jp2ValidationError, match='Psot|EOC'):
+            validate_jp2(bytes(data))
+
+    def test_rejects_bad_signature(self):
+        data = bytearray(self._encode((64, 64)))
+        data[8:12] = b'nope'
+        with pytest.raises(Jp2ValidationError):
+            validate_jp2(bytes(data))
