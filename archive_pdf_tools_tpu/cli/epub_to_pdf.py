@@ -1,12 +1,14 @@
-"""epub-to-pdf: convert an EPUB to PDF, keeping TOC and metadata.
+"""epub-to-pdf: convert an EPUB to PDF, keeping TOC, images, metadata.
 
 The reference delegates to PyMuPDF's ``convert_to_pdf``
-(``bin/epub-to-pdf:35-76``).  Without a layout engine we implement a
-text-centric conversion: spine XHTML chapters are extracted with lxml,
-laid out as wrapped monospace text (Courier, a PDF standard-14 font, so
-line metrics are exact), chapter starts become PDF outline entries, and
-OPF metadata maps to the docinfo.  Faithful for reflowable text EPUBs;
-fixed-layout/image EPUBs only keep their text.
+(``bin/epub-to-pdf:35-76``).  Without a full layout engine we implement
+a flow-based conversion: spine XHTML chapters are extracted with lxml
+as an ordered flow of paragraphs and images; text lays out as wrapped
+monospace text (Courier, a PDF standard-14 font, so line metrics are
+exact), images are embedded (JPEG passthrough where possible, Flate
+otherwise) and placed in-flow scaled to the column, chapter starts
+become PDF outline entries, and OPF metadata maps to the docinfo.
+Covers and figures survive; fixed-layout positioning does not.
 """
 
 import argparse
@@ -54,12 +56,15 @@ def _spine_docs(zf, opf_path):
     return docs, meta
 
 
-def _extract_text(zf, doc_path):
+def _extract_flow(zf, doc_path):
+    """(title, flow) where flow is an ordered list of ('text', str) and
+    ('img', zip_path) blocks — images keep their document position."""
     try:
         data = zf.read(doc_path)
     except KeyError:
-        return '', ''
+        return '', []
     root = etree.fromstring(data, etree.HTMLParser())
+    base = posixpath.dirname(doc_path)
     title = ''
     for h in root.iter():
         if isinstance(h.tag, str) and re.match(r'h[1-3]$',
@@ -67,16 +72,32 @@ def _extract_text(zf, doc_path):
                                                re.I):
             title = ' '.join(h.itertext()).strip()
             break
-    paras = []
+    flow = []
+    names = set(zf.namelist())
+
+    def resolve_src(el):
+        src = el.get('src') or \
+            el.get('{http://www.w3.org/1999/xlink}href') or el.get('href')
+        if not src or src.startswith(('http:', 'https:', 'data:')):
+            return None
+        path = posixpath.normpath(posixpath.join(base, src.split('#')[0]))
+        return path if path in names else None
+
     for p in root.iter():
-        if isinstance(p.tag, str) and \
-                (etree.QName(p).localname or '') in ('p', 'h1', 'h2', 'h3',
-                                                     'h4', 'li',
-                                                     'blockquote'):
+        if not isinstance(p.tag, str):
+            continue
+        local = etree.QName(p).localname or ''
+        if local in ('img', 'image'):
+            path = resolve_src(p)
+            if path:
+                flow.append(('img', path))
+        elif local in ('p', 'h1', 'h2', 'h3', 'h4', 'li', 'blockquote'):
+            # text only (nested imgs were already collected above in
+            # document order by this same iteration)
             text = re.sub(r'\s+', ' ', ' '.join(p.itertext())).strip()
             if text:
-                paras.append(text)
-    return title, '\n\n'.join(paras)
+                flow.append(('text', text))
+    return title, flow
 
 
 def _wrap(text, cols):
@@ -120,40 +141,126 @@ def main(argv=None):
 
     page_refs = []
     chapter_pages = []    # (title, first page index)
-    cur_lines = []
+    cur_items = []        # ('line', str) | ('img', ref, w_pt, h_pt)
+    cur_rows = 0
+    img_cache = {}        # zip path -> (xobj ref, w_px, h_px) | None
+
+    def embed_image(path):
+        """Image XObject from a zip member: JPEG passthrough when the
+        file already is a baseline JPEG, Flate-raw otherwise."""
+        if path in img_cache:
+            return img_cache[path]
+        import io as _io
+        from PIL import Image
+        try:
+            data = zf.read(path)
+            img = Image.open(_io.BytesIO(data))
+            img.load()
+        except Exception:
+            img_cache[path] = None
+            return None
+        gray = img.mode in ('L', '1', 'LA')
+        d = {Name('Type'): Name('XObject'),
+             Name('Subtype'): Name('Image'),
+             Name('Width'): img.width, Name('Height'): img.height,
+             Name('BitsPerComponent'): 8,
+             Name('ColorSpace'): Name('DeviceGray' if gray
+                                      else 'DeviceRGB')}
+        if img.format == 'JPEG' and img.mode in ('L', 'RGB'):
+            d[Name('Filter')] = Name('DCTDecode')
+            ref = w.add(Stream(d, data))
+        else:
+            conv = img.convert('L' if gray else 'RGB')
+            import numpy as _np
+            ref = w.add(Stream(d, _np.asarray(conv).tobytes(),
+                               deflate=True))
+        img_cache[path] = (ref, img.width, img.height)
+        return img_cache[path]
 
     def flush_page():
-        nonlocal cur_lines
-        if not cur_lines:
+        nonlocal cur_items, cur_rows
+        if not cur_items:
             return
-        ops = [b'BT /F1 %g Tf %g %g Td %g TL' %
-               (FONT_SIZE, MARGIN, PAGE_H - MARGIN, LEADING)]
-        for line in cur_lines:
-            ops.append(b"(%s) '" % _esc(line))
-        ops.append(b'ET')
+        ops = []
+        y = PAGE_H - MARGIN
+        xobjs = {}
+        text_run = []
+
+        def flush_text():
+            nonlocal text_run, y
+            if not text_run:
+                return
+            ops.append(b'BT /F1 %g Tf %g %g Td %g TL' %
+                       (FONT_SIZE, MARGIN, y, LEADING))
+            for line in text_run:
+                ops.append(b"(%s) '" % _esc(line))
+            ops.append(b'ET')
+            y -= LEADING * len(text_run)
+            text_run = []
+
+        for item in cur_items:
+            if item[0] == 'line':
+                text_run.append(item[1])
+            else:
+                flush_text()
+                _tag, ref, w_pt, h_pt = item
+                name = 'Im%d' % len(xobjs)
+                xobjs[Name(name)] = ref
+                y -= h_pt
+                ops.append(b'q %g 0 0 %g %g %g cm /%s Do Q' %
+                           (w_pt, h_pt, MARGIN, y, name.encode()))
+        flush_text()
         content = w.add(Stream({}, b'\n'.join(ops), deflate=True))
+        res = {Name('Font'): {Name('F1'): font_ref}}
+        if xobjs:
+            res[Name('XObject')] = xobjs
         ref = w.add({Name('Type'): Name('Page'), Name('Parent'): pages_ref,
                      Name('MediaBox'): [0, 0, PAGE_W, PAGE_H],
                      Name('Contents'): content,
-                     Name('Resources'): {
-                         Name('Font'): {Name('F1'): font_ref}}})
+                     Name('Resources'): res})
         page_refs.append(ref)
-        cur_lines = []
+        cur_items = []
+        cur_rows = 0
+
+    def add_image_block(path):
+        nonlocal cur_rows
+        emb = embed_image(path)
+        if emb is None:
+            return
+        ref, wpx, hpx = emb
+        max_w = PAGE_W - 2 * MARGIN
+        max_h = PAGE_H - 2 * MARGIN - LEADING
+        scale = min(max_w / max(wpx, 1), max_h / max(hpx, 1), 1.0)
+        # never smaller than ~1/3 column unless the image is tiny
+        w_pt, h_pt = wpx * scale, hpx * scale
+        rows = int(-(-h_pt // LEADING))
+        if cur_rows + rows > ROWS:
+            flush_page()
+        cur_items.append(('img', ref, w_pt, h_pt))
+        cur_rows += rows
 
     for doc in docs:
-        title, text = _extract_text(zf, doc)
-        if not text:
+        title, flow = _extract_flow(zf, doc)
+        if not flow:
             continue
         flush_page()
         chapter_pages.append((title or doc, len(page_refs)))
-        for line in _wrap(text, COLS):
-            cur_lines.append(line)
-            if len(cur_lines) >= ROWS:
-                flush_page()
+        for kind, payload in flow:
+            if kind == 'img':
+                add_image_block(payload)
+                continue
+            for line in _wrap(payload, COLS):
+                cur_items.append(('line', line))
+                cur_rows += 1
+                if cur_rows >= ROWS:
+                    flush_page()
+            if cur_items:
+                cur_items.append(('line', ''))
+                cur_rows += 1
     flush_page()
 
     if not page_refs:    # empty spine: still emit one blank page
-        cur_lines = ['']
+        cur_items = [('line', '')]
         flush_page()
 
     w.set(pages_ref, {Name('Type'): Name('Pages'),

@@ -79,26 +79,20 @@ def analyse_page(reader, idx, sample_pixels=True):
     contents = reader.page_contents(idx)
     has_text = bool(re.search(rb'\bTj\b|\bTJ\b', contents))
 
-    # vector-content colour: the reference renders the page with images
-    # stripped (bin/pdf-metadata-json:61-113); without a rasteriser we
-    # classify from the content stream's colour-setting operators.  A
-    # non-neutral rg/RG (distinct components) or any k/K/sc/scn with 3-4
-    # operands marks colour; g/G marks grayscale vector content.
-    from ..pdf.rewrite import strip_image_ops
-    ops = strip_image_ops(contents, [i['name'] for i in images]) \
-        if images else contents
-    for m in re.finditer(
-            rb'([\d.]+)\s+([\d.]+)\s+([\d.]+)\s+(?:rg|RG|sc|scn)\b', ops):
-        r, gq, b = (float(m.group(i)) for i in (1, 2, 3))
-        if not (r == gq == b):
-            modes.add('RGB')
-            break
-    else:
-        if re.search(rb'[\d.]+\s+[\d.]+\s+[\d.]+\s+[\d.]+\s+(?:k|K)\b',
-                     ops):
-            modes.add('RGB')
-        elif re.search(rb'[\d.]+\s+(?:g|G)\b', ops):
-            modes.add('Grayscale')
+    # vector/text colour: render the page with image XObjects skipped
+    # (reference parity, bin/pdf-metadata-json:61-114) and classify the
+    # remaining marks.  All-white pages classify Bitonal, exactly like
+    # the reference's min/max test on a blank pixmap.
+    from ..pdf.raster import page_colour_mode
+    try:
+        vec_mode = page_colour_mode(reader, idx)
+    except Exception:
+        vec_mode = None
+    if vec_mode is not None:
+        # union with the image modes; the widest wins below (a blank
+        # render classifies Bitonal, matching the reference's min/max
+        # test on an empty pixmap)
+        modes.add(vec_mode)
     # estimated PPI if the page is one full-bleed image
     ppi = None
     if images:

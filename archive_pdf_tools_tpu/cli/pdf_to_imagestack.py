@@ -1,11 +1,12 @@
-"""pdf-to-imagestack: a PDF's page images -> a zip of TIFFs or JP2s.
+"""pdf-to-imagestack: rasterize a PDF into a zip of TIFFs or JP2s.
 
 Capability parity with ``bin/pdf-to-imagestack``: produce an imagestack
-zip (CCITT G4 TIFFs for bitonal content, JPEG2000 otherwise) sized per
-the pdf-metadata-json scale info.  The reference rasterizes pages with
-PyMuPDF; without a raster engine we extract and convert each page's
-image directly, which is lossless for the image-per-page scanned corpus
-the tool targets (and refuses pages with vector-only content).
+zip (CCITT G4 TIFFs for bitonal content, JPEG2000 otherwise).  Pages
+that are exactly one full-page image extract losslessly (better than
+the reference's re-render); anything else — vector-only pages, text
+pages, multi-image composites — renders through the in-tree
+content-stream rasterizer (pdf/raster.py), matching the reference's
+rasterize-anything behaviour (``bin/pdf-to-imagestack:18-72``).
 """
 
 import argparse
@@ -18,20 +19,36 @@ from PIL import Image
 from ..pdf.reader import PdfReader
 
 
-def page_image(reader, idx):
+def page_image(reader, idx, ppi=None):
+    """Lossless single-image fast path, else rasterize the page."""
     imgs = reader.page_images(idx)
-    if not imgs:
-        return None
-    name, num, stream = max(
-        imgs, key=lambda t: (int(reader.resolve(t[2].dict['Width']))
-                             * int(reader.resolve(t[2].dict['Height']))))
-    raw, filt, w, h, cs = reader.extract_image(stream)
-    try:
-        img = Image.open(io.BytesIO(raw))
-        img.load()
-        return img
-    except Exception:
-        return None
+    if len(imgs) == 1:
+        _name, _num, stream = imgs[0]
+        raw, filt, w, h, cs = reader.extract_image(stream)
+        try:
+            img = Image.open(io.BytesIO(raw))
+            img.load()
+            return img
+        except Exception:
+            pass    # JBIG2/CCITT/Flate or broken: rasterize below
+    from ..pdf.raster import Rasterizer
+    pw, ph = reader.page_size(idx)
+    if ppi is None:
+        # match the largest embedded image's resolution, default 300
+        best = 0
+        for _n, _x, stream in imgs:
+            best = max(best, int(reader.resolve(stream.dict['Width'])))
+        ppi = (best / (pw / 72.0)) if (best and pw) else 300.0
+        ppi = min(max(ppi, 72.0), 600.0)
+    arr = Rasterizer(reader).render_page(idx, scale=ppi / 72.0)
+    if (arr[..., 0] == arr[..., 1]).all() and \
+            (arr[..., 1] == arr[..., 2]).all():
+        gray = Image.fromarray(arr[..., 0])
+        vals = set(arr[..., 0].reshape(-1)[:65536].tolist())
+        if vals <= {0, 255}:
+            return gray.convert('1')
+        return gray
+    return Image.fromarray(arr)
 
 
 def main(argv=None):
@@ -43,14 +60,17 @@ def main(argv=None):
                         default='auto')
     parser.add_argument('--jp2-rate', type=int, default=100,
                         help='Pillow JPEG2000 rate (quality_layers)')
+    parser.add_argument('--ppi', type=float, default=None,
+                        help='render resolution for rasterized pages '
+                             '(default: match the page images, or 300)')
     args = parser.parse_args(argv)
 
     reader = PdfReader(args.infile)
     with zipfile.ZipFile(args.outzip, 'w', zipfile.ZIP_STORED) as zf:
         for idx in range(reader.page_count()):
-            img = page_image(reader, idx)
+            img = page_image(reader, idx, ppi=args.ppi)
             if img is None:
-                print('page %d: no extractable image, skipped' % idx,
+                print('page %d: could not render, skipped' % idx,
                       file=sys.stderr)
                 continue
             fmt = args.format

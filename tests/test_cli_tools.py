@@ -72,11 +72,15 @@ class TestPdfMetadataJson:
 
     def test_vector_colour_detected(self, tmp_path):
         """Colour set only by vector operators (no images) must flip the
-        page's colour-mode (reference renders the page,
-        bin/pdf-metadata-json:61-113; we inspect the content stream)."""
+        page's colour-mode — classified by rendering the page with
+        images removed (reference parity, bin/pdf-metadata-json:61-113).
+        Per the reference's min/max test, a two-value render is Bitonal;
+        Grayscale needs three distinct levels."""
         from archive_pdf_tools_tpu.pdf.builder import DocumentBuilder
         for ops, want in ((b'1 0 0 rg 0 0 50 50 re f', 'RGB'),
-                          (b'0.5 g 0 0 50 50 re f', 'Grayscale')):
+                          (b'0.5 g 0 0 50 50 re f 0.2 g 60 0 40 40 re f',
+                           'Grayscale'),
+                          (b'0 g 0 0 50 50 re f', 'Bitonal')):
             b = DocumentBuilder()
             idx = b.add_text_page([], 200, 300, ppi=72)
             b.pages[idx].extra_ops = ops
