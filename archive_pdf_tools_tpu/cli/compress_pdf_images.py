@@ -21,7 +21,7 @@ from ..const import (COMPRESSOR_JBIG2, COMPRESSOR_JPEG2000,
                      DENOISE_FAST)
 from ..inputs.hocr import hocr_page_iterator, hocr_page_to_word_data
 from ..pdf.reader import PdfReader
-from ..pdf.rewrite import PdfRewriter, strip_image_ops
+from ..pdf.rewrite import PdfRewriter, replace_image_ops
 from ..pdf.writer import Name, Ref, Stream
 from ..mrc.api import decompose_masks, decompose_layers
 from ..codecs.mrc_encode import encode_mrc_images
@@ -31,71 +31,86 @@ from ..codecs.jpeg2000 import impl_available
 def compress_page_images(rw, reader, page_idx, word_data,
                          bg_flags, fg_flags, impl, bg_downsample=3,
                          dpi=None, errors=None, verbose=False):
-    """MRC-recompress one page's first image (reference
-    ``bin/compress-pdf-images:37-127``)."""
+    """MRC-recompress every image on a page, in place: each `/ImN Do`
+    is substituted with bg + fg(SMask=mask) draws inside the original
+    transform context — the reference likewise iterates all page
+    images (``bin/compress-pdf-images:44-127``), re-deriving bboxes via
+    get_image_bbox where we keep the original CTM."""
     imgs = reader.page_images(page_idx)
     if not imgs:
         return False
-    name, xobj_num, stream = imgs[0]
-    try:
-        from ..pipeline.recode import _decode_pdf_image
-        image = _decode_pdf_image(reader, stream)
-    except Exception as exc:
-        if verbose:
-            print('page %d: cannot decode image (%s), skipping'
-                  % (page_idx, exc), file=sys.stderr)
+    from ..pipeline.recode import _decode_pdf_image
+
+    mapping = {}
+    res_updates = {}
+    for img_i, (name, _xobj_num, stream) in enumerate(imgs):
+        try:
+            image = _decode_pdf_image(reader, stream)
+        except Exception as exc:
+            if verbose:
+                print('page %d image %s: cannot decode (%s), keeping'
+                      % (page_idx, name, exc), file=sys.stderr)
+            continue
+        if image.mode in ('RGBA', 'LA', 'P'):
+            image = image.convert('RGB' if image.mode != 'LA' else 'L')
+        if image.mode not in ('L', 'RGB'):
+            image = image.convert('RGB')
+        if image.size[0] < 32 or image.size[1] < 32:
+            continue        # icons/rules: not worth an MRC stack
+
+        arr = np.asarray(image)
+        mask_dev, dev_imgs = decompose_masks(
+            [arr], [word_data or []], dpi=dpi,
+            denoise_mask=DENOISE_FAST, errors=errors)
+        fg, bg = decompose_layers(mask_dev, dev_imgs,
+                                  bg_downsample=bg_downsample,
+                                  errors=errors)
+        em, eb, ef = encode_mrc_images(
+            np.asarray(mask_dev)[0], fg[0], bg[0],
+            bg_compression_flags=bg_flags,
+            fg_compression_flags=fg_flags,
+            mask_fmt=COMPRESSOR_JBIG2, embedded_jbig2=True,
+            jpeg2000_implementation=impl,
+            mrc_image_format=COMPRESSOR_JPEG2000)
+
+        gray = image.mode == 'L'
+
+        def xdict(enc, is_mask=False, smask=None):
+            d = {Name('Type'): Name('XObject'),
+                 Name('Subtype'): Name('Image'),
+                 Name('Width'): enc.width, Name('Height'): enc.height}
+            if is_mask:
+                d[Name('BitsPerComponent')] = 1
+                d[Name('ColorSpace')] = Name('DeviceGray')
+                d[Name('Filter')] = Name('JBIG2Decode')
+            else:
+                d[Name('BitsPerComponent')] = 8
+                d[Name('ColorSpace')] = Name('DeviceGray' if gray
+                                             else 'DeviceRGB')
+                d[Name('Filter')] = Name('JPXDecode')
+            if smask is not None:
+                d[Name('SMask')] = smask
+            return d
+
+        bg_ref = rw.add_object(Stream(xdict(eb), eb.data))
+        mask_ref = rw.add_object(Stream(xdict(em, is_mask=True),
+                                        em.data))
+        fg_ref = rw.add_object(Stream(xdict(ef, smask=mask_ref),
+                                      ef.data))
+        bg_name = 'MRCbg' if img_i == 0 else 'MRCbg%d' % img_i
+        fg_name = 'MRCfg' if img_i == 0 else 'MRCfg%d' % img_i
+        mapping[name] = [bg_name, fg_name]
+        res_updates[bg_name] = bg_ref
+        res_updates[fg_name] = fg_ref
+
+    if not mapping:
         return False
-    if image.mode in ('RGBA', 'LA', 'P'):
-        image = image.convert('RGB' if image.mode != 'LA' else 'L')
-    if image.mode not in ('L', 'RGB'):
-        image = image.convert('RGB')
 
-    arr = np.asarray(image)
-    mask_dev, dev_imgs = decompose_masks(
-        [arr], [word_data or []], dpi=dpi, denoise_mask=DENOISE_FAST,
-        errors=errors)
-    fg, bg = decompose_layers(mask_dev, dev_imgs,
-                              bg_downsample=bg_downsample, errors=errors)
-    em, eb, ef = encode_mrc_images(
-        np.asarray(mask_dev)[0], fg[0], bg[0],
-        bg_compression_flags=bg_flags, fg_compression_flags=fg_flags,
-        mask_fmt=COMPRESSOR_JBIG2, embedded_jbig2=True,
-        jpeg2000_implementation=impl,
-        mrc_image_format=COMPRESSOR_JPEG2000)
-
-    # build new image XObjects
-    gray = image.mode == 'L'
-
-    def xdict(enc, is_mask=False, smask=None):
-        d = {Name('Type'): Name('XObject'), Name('Subtype'): Name('Image'),
-             Name('Width'): enc.width, Name('Height'): enc.height}
-        if is_mask:
-            d[Name('BitsPerComponent')] = 1
-            d[Name('ColorSpace')] = Name('DeviceGray')
-            d[Name('Filter')] = Name('JBIG2Decode')
-        else:
-            d[Name('BitsPerComponent')] = 8
-            d[Name('ColorSpace')] = Name('DeviceGray' if gray
-                                         else 'DeviceRGB')
-            d[Name('Filter')] = Name('JPXDecode')
-        if smask is not None:
-            d[Name('SMask')] = smask
-        return d
-
-    bg_ref = rw.add_object(Stream(xdict(eb), eb.data))
-    mask_ref = rw.add_object(Stream(xdict(em, is_mask=True), em.data))
-    fg_ref = rw.add_object(Stream(xdict(ef, smask=mask_ref), ef.data))
-
-    # rewrite the page: strip old image ops, draw bg underlay + fg overlay
+    # rewrite the page: substitute the image ops in place
     page_ref = rw.page_ref(page_idx)
     page = dict(rw.get_object(page_ref))
     content = reader.page_contents(page_idx)
-    stripped = strip_image_ops(content, [name])
-
-    box = reader.page_size(page_idx)
-    draw = (b'q %g 0 0 %g 0 0 cm /MRCbg Do Q\n' % box,
-            b'\nq %g 0 0 %g 0 0 cm /MRCfg Do Q' % box)
-    new_content = draw[0] + stripped + draw[1]
+    new_content = replace_image_ops(content, mapping)
     content_ref = rw.add_object(Stream({}, new_content, deflate=True))
     page[Name('Contents')] = content_ref
 
@@ -103,9 +118,10 @@ def compress_page_images(rw, reader, page_idx, word_data,
     from ..pdf.rewrite import _convert
     res_w = _convert(res)
     xobjs = dict(res_w.get(Name('XObject'), {}))
-    xobjs.pop(Name(name), None)
-    xobjs[Name('MRCbg')] = bg_ref
-    xobjs[Name('MRCfg')] = fg_ref
+    for old_name in mapping:
+        xobjs.pop(Name(old_name), None)
+    for new_name, ref in res_updates.items():
+        xobjs[Name(new_name)] = ref
     res_w[Name('XObject')] = xobjs
     page[Name('Resources')] = res_w
     rw.set_object(page_ref, page)

@@ -795,30 +795,47 @@ def _host_encode(qbands, w, h, ncomp, levels, base_delta, ratio, rgb,
     return _jp2_wrap(stream, w, h, ncomp) if wrap_jp2 else stream
 
 
-def encode_jp2_tpu_batch(imgs, ratio=None, base_delta=1.0 / 64, levels=5,
-                         workers=None, wrap_jp2=True):
-    """Batched encode: uint8 (B, H, W) or (B, H, W, 3) -> list of .jp2
-    byte strings.  The DWT/ICT/quantize of the whole batch runs as ONE
-    device dispatch (pages ride the leading axis through the lifting
-    steps); Tier-1 and packet assembly run per page on the host pool.
-    This is how the recode pipeline amortizes device work when encoding
-    a page batch's fg/bg layers."""
-    lib = _get_lib()
+def transform_jp2_batch(imgs, base_delta=1.0 / 64, levels=5):
+    """Stage 1 of a batched encode: DWT/ICT/quantize of a whole uint8
+    (B, H, W) or (B, H, W, 3) stack as ONE device dispatch (pages ride
+    the leading axis through the lifting steps).  Returns
+    (per_page_qbands, meta) where per_page_qbands[i] feeds
+    encode_jp2_from_qbands — so the recode pipeline can run the host
+    Tier-1 of each page on its encode pool while the device transforms
+    the next batch."""
     arr = np.asarray(imgs, np.uint8)
     rgb = arr.ndim == 4
     b, h, w = arr.shape[:3]
     ncomp = 3 if rgb else 1
-    if workers is None:
-        workers = min(8, os.cpu_count() or 1)
     levels = max(1, min(levels,
                         max(1, int(math.floor(math.log2(min(h, w) / 4))))))
-
     qbands = _run_device_transform(arr, levels, rgb, float(base_delta))
     qbands = [[np.asarray(q) for q in qb] for qb in qbands]
-    out = []
-    for i in range(b):
-        per = [[q[i] for q in qb] for qb in qbands]
-        out.append(_host_encode(per, w, h, ncomp, levels,
-                                float(base_delta), ratio, rgb, lib,
-                                workers, wrap_jp2))
-    return out
+    pages = [[[q[i] for q in qb] for qb in qbands] for i in range(b)]
+    return pages, {'w': w, 'h': h, 'ncomp': ncomp, 'levels': levels,
+                   'rgb': rgb, 'base_delta': float(base_delta)}
+
+
+def encode_jp2_from_qbands(page_qbands, meta, ratio=None, workers=None,
+                           wrap_jp2=True):
+    """Stage 2: Tier-1 + rate allocation + Tier-2 for one page's
+    quantized subbands (from transform_jp2_batch)."""
+    lib = _get_lib()
+    if workers is None:
+        workers = min(8, os.cpu_count() or 1)
+    return _host_encode(page_qbands, meta['w'], meta['h'],
+                        meta['ncomp'], meta['levels'],
+                        meta['base_delta'], ratio, meta['rgb'], lib,
+                        workers, wrap_jp2)
+
+
+def encode_jp2_tpu_batch(imgs, ratio=None, base_delta=1.0 / 64, levels=5,
+                         workers=None, wrap_jp2=True):
+    """Batched encode: uint8 (B, H, W) or (B, H, W, 3) -> list of .jp2
+    byte strings.  One device dispatch for the whole batch's transform,
+    then per-page host Tier-1 (see transform_jp2_batch)."""
+    pages, meta = transform_jp2_batch(imgs, base_delta=base_delta,
+                                      levels=levels)
+    return [encode_jp2_from_qbands(p, meta, ratio=ratio,
+                                   workers=workers, wrap_jp2=wrap_jp2)
+            for p in pages]

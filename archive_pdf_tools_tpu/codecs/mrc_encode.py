@@ -89,8 +89,13 @@ def encode_mrc_img(np_img, img_compression_flags, imgtype=None,
                    jpeg2000_implementation=JPEG2000_IMPL_PILLOW,
                    mrc_image_format=COMPRESSOR_JPEG2000,
                    tmp_dir=None, threads=None, timing_data=None,
-                   debug=False):
-    """fg/bg layer -> EncodedLayer (``mrc.py:523-580``)."""
+                   debug=False, jp2_qbands=None):
+    """fg/bg layer -> EncodedLayer (``mrc.py:523-580``).
+
+    jp2_qbands: optional (page_qbands, meta) from
+    jp2tpu.transform_jp2_batch — the '-J tpu' batched path, where the
+    whole page batch's DWT ran as one device dispatch and only the host
+    Tier-1 remains to be done here."""
     t = _time.time()
     if imgtype not in ('bg', 'fg'):
         raise ValueError("imgtype should be 'bg' or 'fg'")
@@ -104,14 +109,20 @@ def encode_mrc_img(np_img, img_compression_flags, imgtype=None,
     else:
         if jpeg2000_implementation == 'tpu':
             # in-tree encoder (device DWT + native T1), in-memory
-            from .jp2tpu import encode_jp2_tpu
+            from .jp2tpu import encode_jp2_tpu, encode_jp2_from_qbands
             from .jpeg2000 import _pillow_kwargs
             kw = _pillow_kwargs(img_compression_flags[0]) \
                 if img_compression_flags and img_compression_flags[0] else {}
-            data = encode_jp2_tpu(arr, ratio=kw.get('ratio'),
-                                  base_delta=kw.get('delta', 1.0 / 64),
-                                  levels=int(kw.get('levels', 5)),
-                                  workers=threads)
+            if jp2_qbands is not None:
+                page_q, meta = jp2_qbands
+                data = encode_jp2_from_qbands(page_q, meta,
+                                              ratio=kw.get('ratio'),
+                                              workers=threads)
+            else:
+                data = encode_jp2_tpu(arr, ratio=kw.get('ratio'),
+                                      base_delta=kw.get('delta', 1.0 / 64),
+                                      levels=int(kw.get('levels', 5)),
+                                      workers=threads)
         elif jpeg2000_implementation == JPEG2000_IMPL_PILLOW:
             buf = io.BytesIO()
             from .jpeg2000 import _pillow_kwargs
@@ -154,9 +165,12 @@ def encode_mrc_images(mask, fg, bg, bg_compression_flags=None,
                       jpeg2000_implementation=JPEG2000_IMPL_PILLOW,
                       mrc_image_format=COMPRESSOR_JPEG2000,
                       tmp_dir=None, threads=None, timing_data=None,
-                      debug=False, jbig2_symbol_mode=False, jbig2_bands=1):
+                      debug=False, jbig2_symbol_mode=False, jbig2_bands=1,
+                      fg_qbands=None, bg_qbands=None):
     """All three MRC components -> (EncodedMask, EncodedLayer, EncodedLayer).
-    In-memory analog of ``mrc.py:633-673``."""
+    In-memory analog of ``mrc.py:633-673``.  fg_qbands/bg_qbands carry
+    pre-transformed '-J tpu' coefficients (one batched device dispatch
+    upstream, see pipeline/recode.py process_batch)."""
     em = encode_mrc_mask(mask, fmt=mask_fmt, embedded=embedded_jbig2,
                          timing_data=timing_data, debug=debug,
                          jbig2_symbol_mode=jbig2_symbol_mode,
@@ -165,10 +179,12 @@ def encode_mrc_images(mask, fg, bg, bg_compression_flags=None,
         fg, fg_compression_flags,
         jpeg2000_implementation=jpeg2000_implementation,
         mrc_image_format=mrc_image_format, tmp_dir=tmp_dir,
-        threads=threads, timing_data=timing_data, debug=debug)
+        threads=threads, timing_data=timing_data, debug=debug,
+        jp2_qbands=fg_qbands)
     eb = encode_mrc_background(
         bg, bg_compression_flags,
         jpeg2000_implementation=jpeg2000_implementation,
         mrc_image_format=mrc_image_format, tmp_dir=tmp_dir,
-        threads=threads, timing_data=timing_data, debug=debug)
+        threads=threads, timing_data=timing_data, debug=debug,
+        jp2_qbands=bg_qbands)
     return em, eb, ef

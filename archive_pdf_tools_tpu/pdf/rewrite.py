@@ -92,3 +92,23 @@ def strip_image_ops(content, image_names):
         return m.group(0)
 
     return _IMAGE_DO_RE.sub(repl, content)
+
+
+def replace_image_ops(content, mapping):
+    """Substitute each `/Name Do` with a sequence of Do's for the names
+    in ``mapping[name]``, preserving the surrounding q..cm..Q transform
+    context — so replacements land exactly where the original image was
+    drawn (the reference re-derives bboxes via get_image_bbox,
+    ``bin/compress-pdf-images:50,118-125``; in-place substitution keeps
+    arbitrary rotations/skews intact too)."""
+    bmap = {n.encode('latin-1'): [m.encode('latin-1') for m in v]
+            for n, v in mapping.items()}
+
+    def repl(m):
+        name = m.group(1) or m.group(2)
+        if name in bmap:
+            seq = b' '.join(b'/' + nn + b' Do' for nn in bmap[name])
+            return m.group(0).replace(b'/' + name + b' Do', seq)
+        return m.group(0)
+
+    return _IMAGE_DO_RE.sub(repl, content)

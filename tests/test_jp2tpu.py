@@ -166,3 +166,48 @@ class TestFacade:
         img = synth_gray(150, 130, seed=13)
         assert J.encode_jp2_tpu(img, ratio=25, workers=4) == \
             J.encode_jp2_tpu(img, ratio=25, workers=1)
+
+
+class TestBatchedPipelineWiring:
+    def test_batch_equals_single_page(self, monkeypatch):
+        rng = np.random.default_rng(4)
+        imgs = rng.integers(0, 256, (3, 120, 160), np.uint8)
+        monkeypatch.setenv('APT_JP2_DEVICE', 'native')
+        batch = J.encode_jp2_tpu_batch(imgs, ratio=40)
+        single = [J.encode_jp2_tpu(im, ratio=40) for im in imgs]
+        assert batch == single
+        # the jitted transform with a batch dimension must not change
+        # emitted bytes either (XLA fusion across the batch axis)
+        monkeypatch.setenv('APT_JP2_DEVICE', 'cpu')
+        assert J.encode_jp2_tpu_batch(imgs, ratio=40) == batch
+
+    def test_two_stage_api_matches(self, monkeypatch):
+        monkeypatch.setenv('APT_JP2_DEVICE', 'native')
+        rng = np.random.default_rng(5)
+        imgs = rng.integers(0, 256, (2, 80, 96, 3), np.uint8)
+        pages, meta = J.transform_jp2_batch(imgs)
+        out = [J.encode_jp2_from_qbands(p, meta, ratio=20)
+               for p in pages]
+        assert out == J.encode_jp2_tpu_batch(imgs, ratio=20)
+
+    def test_recode_uses_batched_transform(self, tmp_path, monkeypatch):
+        # e2e: -J tpu over a 3-page batch goes through the one-dispatch
+        # transform (timing key present) and the output still passes the
+        # conformance gauntlet with strict packet walks
+        monkeypatch.setenv('APT_JP2_DEVICE', 'native')
+        from tests.test_recode_e2e import run_recode
+        from archive_pdf_tools_tpu.pdf.reader import PdfReader
+        from archive_pdf_tools_tpu.validators.jp2_check import validate_jp2
+        out, res, _pages = run_recode(
+            tmp_path, n_pages=3, jpeg2000_implementation='tpu',
+            bg_compression_flags=['ratio:400'],
+            fg_compression_flags=['ratio:600'],
+            hq_bg_compression_flags=['ratio:200'],
+            hq_fg_compression_flags=['ratio:300'])
+        assert res['compression_ratio'] > 1.0
+        r = PdfReader(out)
+        for idx in range(r.page_count()):
+            for _n, _x, s in r.page_images(idx):
+                if str(r.resolve(s.dict['Filter'])) == 'JPXDecode':
+                    facts = validate_jp2(s.raw)
+                    assert facts['packet_walk']

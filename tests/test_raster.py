@@ -196,3 +196,72 @@ class TestCliIntegration:
         # gradient renders as many gray levels
         a = Rasterizer(r).render_page(0)
         assert len(np.unique(a[..., 0])) > 30
+
+
+class TestMultiImagePages:
+    def _two_image_pdf(self, tmp_path):
+        """A page carrying two separate images (left gray photo, right
+        dark figure) plus visible vector marks."""
+        from archive_pdf_tools_tpu.pdf.writer import (PdfWriter, Name,
+                                                      Stream)
+        w = PdfWriter()
+        cat = w.reserve()
+        pages = w.reserve()
+        rng = np.random.default_rng(0)
+        a1 = (rng.random((100, 80)) * 60 + 180).astype(np.uint8)
+        a2 = np.full((100, 80), 40, np.uint8)
+        refs = []
+        for arr in (a1, a2):
+            refs.append(w.add(Stream(
+                {Name('Type'): Name('XObject'),
+                 Name('Subtype'): Name('Image'),
+                 Name('Width'): arr.shape[1],
+                 Name('Height'): arr.shape[0],
+                 Name('BitsPerComponent'): 8,
+                 Name('ColorSpace'): Name('DeviceGray')},
+                arr.tobytes(), deflate=True)))
+        content = w.add(Stream({}, (
+            b'q 80 0 0 100 10 40 cm /ImA Do Q\n'
+            b'q 80 0 0 100 110 40 cm /ImB Do Q\n'
+            b'0 g 10 10 180 20 re f'), deflate=False))
+        page = w.add({Name('Type'): Name('Page'), Name('Parent'): pages,
+                      Name('MediaBox'): [0, 0, 200, 150],
+                      Name('Contents'): content,
+                      Name('Resources'): {Name('XObject'): {
+                          Name('ImA'): refs[0], Name('ImB'): refs[1]}}})
+        w.set(pages, {Name('Type'): Name('Pages'), Name('Kids'): [page],
+                      Name('Count'): 1})
+        w.set(cat, {Name('Type'): Name('Catalog'), Name('Pages'): pages})
+        path = str(tmp_path / 'two.pdf')
+        with open(path, 'wb') as fp:
+            w.save(fp, cat, None, b'0123456789abcdef')
+        return path
+
+    def test_load_page_image_composites_both(self, tmp_path):
+        from archive_pdf_tools_tpu.pipeline.recode import \
+            _load_page_image
+        from archive_pdf_tools_tpu.pdf.reader import PdfReader
+        path = self._two_image_pdf(tmp_path)
+        r = PdfReader(path)
+        img = _load_page_image(r, None, 0, None, None, None, False, None)
+        arr = np.asarray(img.convert('L'))
+        h, w = arr.shape
+        # both image regions must be present: light left, dark right
+        left = arr[h // 2, w // 4]
+        right = arr[h // 2, 3 * w // 4]
+        assert left > 150 and right < 90, (left, right)
+
+    def test_compress_pdf_images_handles_both(self, tmp_path):
+        from archive_pdf_tools_tpu.cli.compress_pdf_images import \
+            main as comp_main
+        from archive_pdf_tools_tpu.pdf.reader import PdfReader
+        path = self._two_image_pdf(tmp_path)
+        out = str(tmp_path / 'comp2.pdf')
+        assert comp_main([path, out, '--dpi', '100']) == 0
+        r = PdfReader(out)
+        names = {n for n, _, _ in r.page_images(0)}
+        assert {'MRCbg', 'MRCfg', 'MRCbg1', 'MRCfg1'} <= names
+        # and the composite still renders with both halves intact
+        a = Rasterizer(r).render_page(0)
+        g = a[..., 0]
+        assert g[90, 50] > 140 and g[90, 150] < 110
