@@ -400,21 +400,28 @@ def _allocate_rate(blocks, target_bytes, lib, workers):
             hull.append(i)
         hulls.append((pts, hull))
 
+    # vectorized threshold search: per block, hull-segment slopes are
+    # strictly decreasing, so the pick at threshold L is simply the
+    # count of leading slopes >= L — a padded 2D reduction instead of
+    # 48 Python walks over every hull
+    nb = len(hulls)
+    maxseg = max((len(hl) - 1 for (_p, hl) in hulls), default=0)
+    seg_slopes = np.full((nb, max(maxseg, 1)), -np.inf)
+    pt_rates = np.zeros((nb, max(maxseg, 1) + 1), np.int64)
+    pt_picks = np.zeros((nb, max(maxseg, 1) + 1), np.int32)
+    for bi, (pts, hull) in enumerate(hulls):
+        for j in range(1, len(hull)):
+            a, b = hull[j - 1], hull[j]
+            seg_slopes[bi, j - 1] = (pts[b][1] - pts[a][1]) / \
+                max(1, pts[b][0] - pts[a][0])
+            pt_rates[bi, j] = pts[b][0]
+            pt_picks[bi, j] = hull[j]
+    rows = np.arange(nb)
+
     def passes_at(slope):
-        total = 0
-        chosen = []
-        for (pts, hull) in hulls:
-            pick = 0
-            for j in range(1, len(hull)):
-                a, b = hull[j - 1], hull[j]
-                s = (pts[b][1] - pts[a][1]) / max(1, pts[b][0] - pts[a][0])
-                if s >= slope:
-                    pick = hull[j]
-                else:
-                    break
-            chosen.append(pick)
-            total += pts[pick][0]
-        return total, chosen
+        counts = (seg_slopes >= slope).sum(axis=1)
+        return (int(pt_rates[rows, counts].sum()),
+                pt_picks[rows, counts])
 
     lo, hi = 1e-9, 1e12
     best = None
@@ -429,31 +436,38 @@ def _allocate_rate(blocks, target_bytes, lib, workers):
     if best is None:
         best = [0] * len(blocks)
     for cb, pick in zip(blocks, best):
-        cb.chosen = pick
+        cb.chosen = int(pick)
     _final_encode(blocks, lib, workers)
 
 
+# Safety margin added to a pass-end rate when truncating the MQ stream
+# there: the decoder's register holds up to two bytes of lookahead
+# beyond the encoder's emitted count, and it feeds 0xFF past the end of
+# a truncated stream (T.800 J.10.2 behaviour all conformant decoders
+# implement).  rates[] already includes the pending byte + 1; +2 covers
+# the lookahead.  Validated empirically against full decodes in
+# tests/test_jp2tpu.py::test_truncation_matches_reencode.
+_TRUNC_MARGIN = 2
+
+
 def _final_encode(blocks, lib, workers):
-    def run(cb):
+    """Realize each block's chosen pass count by TRUNCATING its fully
+    coded stream at the recorded pass-end rate (+margin) — no
+    re-encode.  Round 1 re-encoded every truncated block (25% of the
+    clean-page encode time); truncation is what OpenJPEG/Kakadu ship
+    and is decodable by construction: the included passes' decisions
+    use only bytes before the cut."""
+    for cb in blocks:
         if cb.chosen <= 0:
             cb.chosen_bytes = b''
             cb.chosen = 0
-            return
-        if cb.chosen >= cb.npasses:
+        elif cb.chosen >= cb.npasses:
             cb.chosen = cb.npasses
             cb.chosen_bytes = cb.data
-            return
-        data, _nb, np_, _r, _d = _encode_block(
-            lib, cb.arr, cb.orient_code, max_passes=cb.chosen)
-        cb.chosen = np_
-        cb.chosen_bytes = data
-
-    if workers > 1:
-        with ThreadPoolExecutor(max_workers=workers) as pool:
-            list(pool.map(run, blocks))
-    else:
-        for cb in blocks:
-            run(cb)
+        else:
+            cut = min(len(cb.data),
+                      int(cb.rates[cb.chosen - 1]) + _TRUNC_MARGIN)
+            cb.chosen_bytes = cb.data[:cut]
 
 
 # --- Tier-2: tag trees and packet headers ------------------------------

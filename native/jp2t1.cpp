@@ -17,6 +17,7 @@
 
 #include <cmath>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <vector>
 
@@ -438,6 +439,219 @@ struct BlockCoder {
   }
 };
 
+// --- stripe-column coder ----------------------------------------------
+//
+// One 32-bit word per (stripe, column) instead of one per coefficient:
+// the standard's passes walk 4-row stripe columns, so packing the whole
+// column's neighbourhood state into a single word turns the per-pixel
+// flag loads/stores into one load per column and the stripe skip tests
+// into one AND.  Layout (own design; the idea is the well-known
+// OpenJPEG T1 structure):
+//
+//   bits 0..17   significance of the 3x6 grid around the column:
+//                bit 3*r + c, r = 0..5 (rows y0-1 .. y0+4),
+//                c = 0..2 (columns x-1, x, x+1)
+//   bits 18..23  sign (negative) of the CENTRE column rows y0-1..y0+4
+//   bits 24..27  visited (pass membership) for rows 0..3
+//   bits 28..31  refined (had a magnitude pass) for rows 0..3
+//
+// Row j's 9-bit zero-coding neighbourhood is (word >> 3j) & 0x1FF; the
+// centre's own significance is bit 3j+4.  E/W signs are read from the
+// neighbour words' centre-column sign bits on demand (sign coding only
+// happens when a coefficient first becomes significant).
+
+constexpr uint32_t kSigmaMask = 0x3FFFF;
+constexpr uint32_t kCenterMask = (1u << 4) | (1u << 7) | (1u << 10) |
+                                 (1u << 13);
+constexpr uint32_t kVisitMask = 0x0F000000;
+
+struct T1Luts9 {
+  uint8_t zc[3][512];
+  T1Luts9() {
+    for (int o = 0; o < 3; ++o) {
+      for (int s = 0; s < 512; ++s) {
+        const int hh = ((s >> 3) & 1) + ((s >> 5) & 1);
+        const int vv = ((s >> 1) & 1) + ((s >> 7) & 1);
+        const int dd = (s & 1) + ((s >> 2) & 1) + ((s >> 6) & 1) +
+                       ((s >> 8) & 1);
+        zc[o][s] = static_cast<uint8_t>(ZcContext(o, hh, vv, dd));
+      }
+    }
+  }
+};
+
+static const T1Luts9 kLuts9;
+
+struct StripeCoder {
+  int w, h, orient, nstripes, stride;
+  const int32_t* mag;
+  const uint8_t* sgn;
+  std::vector<uint32_t> words;   // (nstripes + 2) x (w + 2)
+  Ctx cx[kNumCtx];
+  MQEncoder* enc;
+
+  StripeCoder(const int32_t* m, const uint8_t* s, int w_, int h_, int o)
+      : w(w_), h(h_), orient(o), nstripes((h_ + 3) / 4), stride(w_ + 2),
+        mag(m), sgn(s),
+        words(static_cast<size_t>((h_ + 3) / 4 + 2) * (w_ + 2), 0) {
+    cx[0].i = 4;
+    cx[kCtxRL].i = 3;
+    cx[kCtxUni].i = 46;
+  }
+
+  inline uint32_t* W(int s, int x) {
+    return words.data() + static_cast<size_t>(s + 1) * stride + (x + 1);
+  }
+
+  inline void SetSig(int s, int x, int j, int neg) {
+    uint32_t* p = W(s, x);
+    p[0] |= (1u << (3 * j + 4)) | (neg ? (1u << (19 + j)) : 0u);
+    p[-1] |= 1u << (3 * j + 5);          // we are the E neighbour
+    p[1] |= 1u << (3 * j + 3);           // we are the W neighbour
+    if (j == 0) {
+      uint32_t* q = p - stride;          // stripe above, its row r=5
+      q[0] |= (1u << 16) | (neg ? (1u << 23) : 0u);
+      q[-1] |= 1u << 17;
+      q[1] |= 1u << 15;
+    } else if (j == 3) {
+      uint32_t* q = p + stride;          // stripe below, its row r=0
+      q[0] |= (1u << 1) | (neg ? (1u << 18) : 0u);
+      q[-1] |= 1u << 2;
+      q[1] |= 1u << 0;
+    }
+  }
+
+  inline void CodeSign(int s, int x, int j) {
+    const uint32_t wd = *W(s, x);
+    const uint32_t wdW = *W(s, x - 1);
+    const uint32_t wdE = *W(s, x + 1);
+    const int idx = ((wd >> (3 * j + 1)) & 1)            // sig N
+                  | (((wd >> (3 * j + 5)) & 1) << 1)     // sig E
+                  | (((wd >> (3 * j + 7)) & 1) << 2)     // sig S
+                  | (((wd >> (3 * j + 3)) & 1) << 3)     // sig W
+                  | (((wd >> (18 + j)) & 1) << 4)        // neg N
+                  | (((wdE >> (19 + j)) & 1) << 5)       // neg E
+                  | (((wd >> (20 + j)) & 1) << 6)        // neg S
+                  | (((wdW >> (19 + j)) & 1) << 7);      // neg W
+    const uint8_t e = kLuts.sc[idx];
+    enc->Encode(&cx[e >> 1], sgn[(4 * s + j) * w + x] ^ (e & 1));
+  }
+
+  inline double DistDelta(int x, int y, int p) const {
+    const uint32_t v = static_cast<uint32_t>(mag[y * w + x]);
+    const uint32_t step = 1u << p;
+    const uint32_t kb = v & ~((step << 1) - 1);
+    const uint32_t ka = v & ~(step - 1);
+    const double rec_b = kb ? kb + static_cast<double>(step) : 0.0;
+    const double rec_a = ka ? ka + step * 0.5 : 0.0;
+    const double eb = v - rec_b, ea = v - rec_a;
+    return eb * eb - ea * ea;
+  }
+
+  double SigPass(int p) {
+    double dist = 0;
+    for (int s = 0; s < nstripes; ++s) {
+      const int jmax = (4 * s + 4 <= h) ? 4 : h - 4 * s;
+      uint32_t* row = W(s, 0);
+      for (int x = 0; x < w; ++x) {
+        if (!(row[x] & kSigmaMask)) continue;   // nothing significant near
+        for (int j = 0; j < jmax; ++j) {
+          const uint32_t wd = row[x];
+          const uint32_t slice = (wd >> (3 * j)) & 0x1FF;
+          if (slice & (1u << 4)) continue;      // already significant
+          if (!(slice & 0x1EF)) continue;       // no significant neighbour
+          const int y = 4 * s + j;
+          const int bit = (mag[y * w + x] >> p) & 1;
+          enc->Encode(&cx[kLuts9.zc[orient][slice & ~(1u << 4)]], bit);
+          if (bit) {
+            CodeSign(s, x, j);
+            SetSig(s, x, j, sgn[y * w + x]);
+            dist += DistDelta(x, y, p);
+          }
+          row[x] |= 1u << (24 + j);
+        }
+      }
+    }
+    return dist;
+  }
+
+  double MagPass(int p) {
+    double dist = 0;
+    for (int s = 0; s < nstripes; ++s) {
+      const int jmax = (4 * s + 4 <= h) ? 4 : h - 4 * s;
+      uint32_t* row = W(s, 0);
+      for (int x = 0; x < w; ++x) {
+        uint32_t wd = row[x];
+        if (!(wd & kCenterMask)) continue;      // no significant centre
+        for (int j = 0; j < jmax; ++j) {
+          if (!((wd >> (3 * j + 4)) & 1)) continue;
+          if ((wd >> (24 + j)) & 1) continue;   // visited this plane
+          const int y = 4 * s + j;
+          int c;
+          if ((wd >> (28 + j)) & 1) {
+            c = 16;
+          } else {
+            c = (((wd >> (3 * j)) & 0x1EF) != 0) ? 15 : 14;
+          }
+          enc->Encode(&cx[c], (mag[y * w + x] >> p) & 1);
+          wd |= 1u << (28 + j);
+          row[x] = wd;
+          dist += DistDelta(x, y, p);
+        }
+      }
+    }
+    return dist;
+  }
+
+  double CleanupPass(int p) {
+    double dist = 0;
+    for (int s = 0; s < nstripes; ++s) {
+      const int jmax = (4 * s + 4 <= h) ? 4 : h - 4 * s;
+      uint32_t* row = W(s, 0);
+      for (int x = 0; x < w; ++x) {
+        int j = 0;
+        if (jmax == 4 &&
+            !(row[x] & (kSigmaMask | kVisitMask))) {
+          // run-length mode: whole column insignificant, no significant
+          // neighbours, nothing visited
+          int first = -1;
+          for (int k = 0; k < 4; ++k) {
+            if ((mag[(4 * s + k) * w + x] >> p) & 1) { first = k; break; }
+          }
+          if (first < 0) {
+            enc->Encode(&cx[kCtxRL], 0);
+            continue;
+          }
+          enc->Encode(&cx[kCtxRL], 1);
+          enc->Encode(&cx[kCtxUni], (first >> 1) & 1);
+          enc->Encode(&cx[kCtxUni], first & 1);
+          const int yy = 4 * s + first;
+          CodeSign(s, x, first);
+          SetSig(s, x, first, sgn[yy * w + x]);
+          dist += DistDelta(x, yy, p);
+          j = first + 1;
+        }
+        for (; j < jmax; ++j) {
+          const uint32_t wd = row[x];
+          if ((wd >> (24 + j)) & 1) continue;   // visited: clear below
+          const uint32_t slice = (wd >> (3 * j)) & 0x1FF;
+          if (slice & (1u << 4)) continue;      // significant already
+          const int y = 4 * s + j;
+          const int bit = (mag[y * w + x] >> p) & 1;
+          enc->Encode(&cx[kLuts9.zc[orient][slice & ~(1u << 4)]], bit);
+          if (bit) {
+            CodeSign(s, x, j);
+            SetSig(s, x, j, sgn[y * w + x]);
+            dist += DistDelta(x, y, p);
+          }
+        }
+        row[x] &= ~kVisitMask;
+      }
+    }
+    return dist;
+  }
+};
+
 }  // namespace
 
 extern "C" {
@@ -474,26 +688,43 @@ long jp2t1_encode_block(const int32_t* coeffs, int w, int h, int orient,
 
   std::vector<uint8_t> buf;
   MQEncoder enc(&buf);
+  // default: the stripe-column coder (one flags word per 4-row column);
+  // APT_T1_IMPL=ref selects the per-pixel-flags coder — outputs are
+  // byte-identical (tested), the ref coder exists for that test and as
+  // readable documentation of the pass semantics
+  static const bool use_ref = [] {
+    const char* e = getenv("APT_T1_IMPL");
+    return e && strcmp(e, "ref") == 0;
+  }();
   BlockCoder bc(mag.data(), sgn.data(), w, h, orient);
+  StripeCoder sc(mag.data(), sgn.data(), w, h, orient);
   bc.enc = &enc;
+  sc.enc = &enc;
 
   double dist = 0;
   int pass = 0;
   int total = 3 * planes - 2;
   if (max_passes >= 0 && max_passes < total) total = max_passes;
 
+  auto sig_pass = [&](int p) {
+    return use_ref ? bc.SigPass(p) : sc.SigPass(p); };
+  auto mag_pass = [&](int p) {
+    return use_ref ? bc.MagPass(p) : sc.MagPass(p); };
+  auto cleanup_pass = [&](int p) {
+    return use_ref ? bc.CleanupPass(p) : sc.CleanupPass(p); };
+
   bool over = false;
   for (int p = planes - 1; p >= 0 && pass < total && !over; --p) {
     if (p < planes - 1) {
       if (pass < total && !over) {
-        dist += bc.SigPass(p);
+        dist += sig_pass(p);
         pass_rate[pass] = enc.ApproxBytes();
         pass_dist[pass] = dist;
         over = max_bytes > 0 && pass_rate[pass] > max_bytes;
         ++pass;
       }
       if (pass < total && !over) {
-        dist += bc.MagPass(p);
+        dist += mag_pass(p);
         pass_rate[pass] = enc.ApproxBytes();
         pass_dist[pass] = dist;
         over = max_bytes > 0 && pass_rate[pass] > max_bytes;
@@ -501,7 +732,7 @@ long jp2t1_encode_block(const int32_t* coeffs, int w, int h, int orient,
       }
     }
     if (pass < total && !over) {
-      dist += bc.CleanupPass(p);
+      dist += cleanup_pass(p);
       pass_rate[pass] = enc.ApproxBytes();
       pass_dist[pass] = dist;
       over = max_bytes > 0 && pass_rate[pass] > max_bytes;
@@ -563,6 +794,69 @@ void Lift1D(float* x, int n, long stride, float* tmp) {
   for (int i = 0; i < no; ++i) x[(ne + i) * stride] = odd[i] * kK;
 }
 
+// Row-wise vertical lift: identical per-element arithmetic to Lift1D
+// down each column (same fmaf single-roundings), but organised as whole
+// row operations — contiguous, auto-vectorized — instead of a strided
+// walk per column (which thrashes cache at page widths).  Deinterleaves
+// even/odd rows into buf, lifts, scales, packs back low-then-high.
+void LiftVerticalBlock(float* plane, long stride, int ww, int hh,
+                       float* buf) {
+  const int ne = (hh + 1) / 2, no = hh / 2;
+  for (int i = 0; i < ne; ++i)
+    std::memcpy(buf + static_cast<size_t>(i) * ww,
+                plane + static_cast<size_t>(2 * i) * stride,
+                sizeof(float) * ww);
+  for (int i = 0; i < no; ++i)
+    std::memcpy(buf + static_cast<size_t>(ne + i) * ww,
+                plane + static_cast<size_t>(2 * i + 1) * stride,
+                sizeof(float) * ww);
+  float* even = buf;
+  float* odd = buf + static_cast<size_t>(ne) * ww;
+  auto R = [ww](float* base, int i) {
+    return base + static_cast<size_t>(i) * ww;
+  };
+  if (no > 0) {
+    for (int i = 0; i < no; ++i) {
+      const float* e0 = R(even, i);
+      const float* e1 = R(even, i + 1 < ne ? i + 1 : ne - 1);
+      float* o = R(odd, i);
+      for (int x = 0; x < ww; ++x)
+        o[x] = std::fmaf(kAlpha, e0[x] + e1[x], o[x]);
+    }
+    for (int i = 0; i < ne; ++i) {
+      const float* ol = R(odd, i > 0 ? i - 1 : 0);
+      const float* orr = R(odd, i < no ? i : no - 1);
+      float* e = R(even, i);
+      for (int x = 0; x < ww; ++x)
+        e[x] = std::fmaf(kBeta, ol[x] + orr[x], e[x]);
+    }
+    for (int i = 0; i < no; ++i) {
+      const float* e0 = R(even, i);
+      const float* e1 = R(even, i + 1 < ne ? i + 1 : ne - 1);
+      float* o = R(odd, i);
+      for (int x = 0; x < ww; ++x)
+        o[x] = std::fmaf(kGamma, e0[x] + e1[x], o[x]);
+    }
+    for (int i = 0; i < ne; ++i) {
+      const float* ol = R(odd, i > 0 ? i - 1 : 0);
+      const float* orr = R(odd, i < no ? i : no - 1);
+      float* e = R(even, i);
+      for (int x = 0; x < ww; ++x)
+        e[x] = std::fmaf(kDelta, ol[x] + orr[x], e[x]);
+    }
+  }
+  for (int i = 0; i < ne; ++i) {
+    const float* e = R(even, i);
+    float* dst = plane + static_cast<size_t>(i) * stride;
+    for (int x = 0; x < ww; ++x) dst[x] = e[x] * kInvK;
+  }
+  for (int i = 0; i < no; ++i) {
+    const float* o = R(odd, i);
+    float* dst = plane + static_cast<size_t>(ne + i) * stride;
+    for (int x = 0; x < ww; ++x) dst[x] = o[x] * kK;
+  }
+}
+
 void QuantBand(const float* src, long stride, int bw, int bh, double step,
                int32_t* out) {
   // Multiply by the f32 round of the f64 reciprocal — the same constant
@@ -617,6 +911,7 @@ long jp2dwt_quantize(const uint8_t* img, int w, int h, int ncomp,
                      int levels, const double* steps, int32_t* out) {
   std::vector<float> plane(static_cast<size_t>(w) * h);
   std::vector<float> tmp(static_cast<size_t>(w > h ? w : h) + 2);
+  std::vector<float> vbuf(static_cast<size_t>(w) * h);
   long out_pos = 0;
 
   for (int c = 0; c < ncomp; ++c) {
@@ -651,8 +946,7 @@ long jp2dwt_quantize(const uint8_t* img, int w, int h, int ncomp,
       // dwt97() in codecs/jp2tpu.py (_lift_axis(-2) then _lift_axis(-1));
       // the order changes f32 rounding, so it must match for the native
       // path to be byte-identical with the jitted transform.
-      for (int x = 0; x < ww; ++x)                 // cols: vertical
-        Lift1D(plane.data() + x, hh, w, tmp.data());
+      LiftVerticalBlock(plane.data(), w, ww, hh, vbuf.data());
       for (int y = 0; y < hh; ++y)                 // rows: horizontal
         Lift1D(plane.data() + static_cast<long>(y) * w, ww, 1,
                tmp.data());

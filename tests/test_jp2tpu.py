@@ -211,3 +211,45 @@ class TestBatchedPipelineWiring:
                 if str(r.resolve(s.dict['Filter'])) == 'JPXDecode':
                     facts = validate_jp2(s.raw)
                     assert facts['packet_walk']
+
+
+class TestTruncationSafety:
+    def test_truncation_matches_reencode(self, monkeypatch):
+        # truncating the MQ stream at the recorded pass-end rate
+        # (+margin) must decode EXACTLY like re-encoding the block with
+        # that many passes — the included passes' decisions only depend
+        # on bytes before the cut
+        monkeypatch.setenv('APT_JP2_DEVICE', 'native')
+        import io
+        from PIL import Image
+        from archive_pdf_tools_tpu.codecs import jp2tpu as JJ
+
+        def reencode_final(blocks, lib, workers):
+            for cb in blocks:
+                if cb.chosen <= 0:
+                    cb.chosen_bytes = b''
+                    cb.chosen = 0
+                elif cb.chosen >= cb.npasses:
+                    cb.chosen = cb.npasses
+                    cb.chosen_bytes = cb.data
+                else:
+                    data, _nb, np_, _r, _d = JJ._encode_block(
+                        lib, cb.arr, cb.orient_code,
+                        max_passes=cb.chosen)
+                    cb.chosen = np_
+                    cb.chosen_bytes = data
+
+        for seed, shape, ratio in [(1, (300, 400), 30),
+                                   (2, (256, 200), 80),
+                                   (3, (150, 350), 15)]:
+            img = synth_gray(*shape, seed=seed)
+            d_tr = J.encode_jp2_tpu(img, ratio=ratio, workers=1)
+            orig = JJ._final_encode
+            JJ._final_encode = reencode_final
+            try:
+                d_re = J.encode_jp2_tpu(img, ratio=ratio, workers=1)
+            finally:
+                JJ._final_encode = orig
+            a = np.asarray(Image.open(io.BytesIO(d_tr)).convert('L'))
+            b = np.asarray(Image.open(io.BytesIO(d_re)).convert('L'))
+            assert (a == b).all(), (seed, shape, ratio)
