@@ -320,8 +320,15 @@ def _run_device_transform(arr, levels, rgb, base_delta):
     C++ host path, any JAX backend name (e.g. 'cpu') = run there (for
     hosts whose device link is too slow to ship coefficients back);
     unset = the session's default accelerator, or the native path when
-    the default backend is plain CPU (byte-identical and ~3x faster
-    than the jax-CPU lifting)."""
+    the default backend is plain CPU.
+
+    Determinism: the native path is bit-identical with the XLA-CPU
+    jitted transform (fmaf lifts + exact-integer ICT + pinned quantize;
+    tested on noisy full pages), so the CPU auto-switch never changes
+    emitted bytes.  A real TPU's f32 multiply-add rounds differently in
+    ~0.1% of coefficients (+-1 quantizer step, measured on v5e) — the
+    TPU path produces equally valid but not byte-identical streams; do
+    not diff outputs across accelerator generations."""
     dev = os.environ.get('APT_JP2_DEVICE')
     if dev == 'native':
         return _native_transform(arr, levels, rgb, base_delta)

@@ -41,7 +41,7 @@ def _shift_left_zero(x, k, width):
     return jnp.where(lanes < width - k, jnp.roll(x, -k, axis=x.ndim - 1), 0)
 
 
-def _window_sum_lanes(x, win):
+def _window_sum_lanes(x, win, zero_beyond=None):
     """W[i] = sum of x[i-win+1 .. i] (entries left of 0 count as zero).
 
     Built by shift-doubling to the powers of two in ``win`` then binary
@@ -49,19 +49,40 @@ def _window_sum_lanes(x, win):
     ceil(log2 W) for a full prefix sum.  Unlike the prefix-difference
     trick this never wraps modulo 2^32, so it is safe even when the
     full-row prefix total would overflow int32.
+
+    zero_beyond: optional lane index past which ``x`` is known to be
+    all zero.  TPU rolls wrap, so each shift normally needs a
+    zero-fill select; when the zero tail is long enough the wrapped-in
+    lanes are provably zero already and the select is skipped (the
+    proof tracks each intermediate's own zero-tail).  Roughly halves
+    the vector ops of the hot Sauvola window sums.
     """
-    pow2 = {1: x}
+    width = x.shape[-1]
+
+    def sr(y, k, zy):
+        """roll right by k; returns (result, its zero_beyond or None)."""
+        r = jnp.roll(y, k, axis=y.ndim - 1)
+        if zy is not None and width - k >= zy:
+            return r, min(zy + k, width)
+        lanes = jax.lax.broadcasted_iota(jnp.int32, y.shape, y.ndim - 1)
+        return jnp.where(lanes >= k, r, 0), \
+            (None if zy is None else min(zy + k, width))
+
+    pow2 = {1: (x, zero_beyond)}
     k = 1
     while k * 2 <= win:
-        pow2[k * 2] = pow2[k] + _shift_right_zero(pow2[k], k)
+        y, zy = pow2[k]
+        s, zs = sr(y, k, zy)
+        pow2[k * 2] = (y + s, zs)
         k *= 2
     total = None
     acc = 0
     for p in sorted((b for b in pow2 if win & b), reverse=True):
         if total is None:
-            total, acc = pow2[p], p
+            total, acc = pow2[p][0], p
         else:
-            total = total + _shift_right_zero(pow2[p], acc)
+            s, _zs = sr(pow2[p][0], acc, pow2[p][1])
+            total = total + s
             acc += p
     return total
 
