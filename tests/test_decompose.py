@@ -200,3 +200,43 @@ class TestTallLines:
         mask, _ = decompose_masks([img], [wd], dpi=600)
         agree = (ref == np.asarray(mask)[0]).mean()
         assert agree >= 0.999
+
+
+class TestRealisticScans:
+    """Mask parity on the high-fidelity scan corpus (paper texture,
+    skewed baselines, bleed-through, halftone figures, inverted bands
+    — VERDICT r1 #10): the device pipeline must track the reference-
+    semantics oracle on pages shaped like real book scans, not just on
+    flat-gray rectangles."""
+
+    def test_mask_parity_on_scan_corpus(self):
+        from tests.scanfix import synth_scan
+        worst = 1.0
+        for seed in range(4):
+            img, wd = synth_scan(seed=seed, h=480, w=360, dpi=150)
+            ref = mask_pipeline_ref(img, wd, dpi=150)
+            mask, _ = decompose_masks([img], [wd], dpi=150)
+            agree = (ref == np.asarray(mask)[0]).mean()
+            worst = min(worst, agree)
+            assert agree >= 0.999, f'seed {seed}: {agree}'
+
+    def test_halftone_not_swallowed(self):
+        # the despeckled mask should leave most of the halftone region
+        # to the background layer (dots are below the despeckle support)
+        from tests.scanfix import synth_scan
+        img, wd = synth_scan(seed=1, h=480, w=360, dpi=150,
+                             bleed=False)
+        mask, _ = decompose_masks([img], [wd], dpi=150)
+        m = np.asarray(mask)[0]
+        fh, fw = 480 // 5, 360 // 3
+        fy, fx = 480 - fh - 50, 360 - fw - 30
+        assert m[fy:fy + fh, fx:fx + fw].mean() < 0.65
+
+    def test_inverted_band_polarity(self):
+        # the dark header band's light glyphs must be selected by the
+        # inverted-threshold branch: the band should carry ink coverage
+        from tests.scanfix import synth_scan
+        img, wd = synth_scan(seed=2, h=480, w=360, dpi=150)
+        ref = mask_pipeline_ref(img, wd, dpi=150)
+        mask, _ = decompose_masks([img], [wd], dpi=150)
+        assert (ref == np.asarray(mask)[0]).mean() >= 0.999

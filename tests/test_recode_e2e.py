@@ -328,3 +328,54 @@ class TestMixedBook:
         css = {str(r.resolve(s.dict['ColorSpace']))
                for _, _, s in r.page_images(1)}
         assert 'DeviceRGB' in css
+
+
+class TestRealisticCorpusE2E:
+    def test_compression_on_scan_corpus(self, tmp_path):
+        """README.rst:177-190-style config on realistic scan pages:
+        ratio vs raw must land in the MRC ballpark (the reference
+        reports 3-15x vs source formats, far more vs raw)."""
+        from tests.scanfix import synth_scan
+        from tests.fixtures import words_to_hocr_page, HOCR_TEMPLATE
+
+        pages = []
+        wds = []
+        for seed in range(2):
+            img, wd = synth_scan(seed=seed, h=560, w=400, dpi=100)
+            pages.append(img)
+            wds.append(wd)
+        stack_dir = tmp_path / 'imgs'
+        stack_dir.mkdir()
+        for i, img in enumerate(pages):
+            Image.fromarray(img).save(str(stack_dir / ('p%04d.png' % i)))
+        hocr_pages = []
+        for i, wd in enumerate(wds):
+            words = []
+            for para in wd:
+                for line in para['lines']:
+                    x0, y0, x1, y1 = line['bbox']
+                    words.append((x0, y0, x1, y1, 'synthword'))
+            hocr_pages.append(words_to_hocr_page(words, 400, 560,
+                                                 page_no=i))
+        hocr = str(tmp_path / 'book.hocr')
+        with open(hocr, 'w') as fp:
+            fp.write(HOCR_TEMPLATE % '\n'.join(hocr_pages))
+
+        from archive_pdf_tools_tpu.pipeline.recode import recode
+        out = str(tmp_path / 'out.pdf')
+        res = recode(from_imagestack=str(stack_dir / 'p*.png'),
+                     hocr_file=hocr, out_pdf=out, dpi=100, jbig2=True,
+                     bg_downsample=3,
+                     bg_compression_flags=[J2K_BG],
+                     fg_compression_flags=[J2K_FG],
+                     hq_bg_compression_flags=[J2K_BG],
+                     hq_fg_compression_flags=[J2K_FG])
+        raw = sum(p.size for p in pages)
+        import os
+        pdf_size = os.path.getsize(out)
+        ratio_vs_raw = raw / pdf_size
+        # realistic noisy pages: far less compressible than flat-gray
+        # fixtures, but MRC must still beat raw handily
+        assert ratio_vs_raw > 4, ratio_vs_raw
+        from archive_pdf_tools_tpu.validators import validate_pdfa
+        validate_pdfa(out, strict_jbig2_decode=True)
