@@ -72,6 +72,25 @@ def decompose_masks(np_images, word_datas, dpi=None, downsample=None,
     t0 = _time.time()
     page_boxes = [prepare_lines(wd, w, h, downsample=downsample)
                   for wd in word_datas]
+
+    # Lines taller than the largest Pallas bucket (rare display type)
+    # take a host-oracle patch path instead of dropping the whole batch
+    # to the XLA fallback; the XLA path (use_pallas() off) still
+    # handles every height itself.
+    tall_lines = []
+    if use_pallas():
+        cap = LINE_H_BUCKETS[-1]
+        short_boxes = []
+        for p, bx in enumerate(page_boxes):
+            keep = []
+            for (tt, bo, ll, rr) in bx:
+                if bo - tt + tt % 8 > cap:
+                    tall_lines.append((p, tt, bo, ll, rr))
+                else:
+                    keep.append((tt, bo, ll, rr))
+            short_boxes.append(keep)
+        page_boxes = short_boxes
+
     total = sum(len(bx) for bx in page_boxes)
     n_seg = _round_lines(total)
 
@@ -83,8 +102,8 @@ def decompose_masks(np_images, word_datas, dpi=None, downsample=None,
     pallas_lines = use_pallas() and line_bucket is not None
 
     if total == 0:
-        # no hOCR lines at all (e.g. threshold-image on a bare image):
-        # the mask is just the global threshold (+ denoise below)
+        # no (short) hOCR lines at all: the mask is the global
+        # threshold, plus any tall-line patches (+ denoise below)
         td.add('hocr_mask_gen', t0)
         t0 = _time.time()
         if use_pallas():
@@ -94,6 +113,9 @@ def decompose_masks(np_images, word_datas, dpi=None, downsample=None,
             gmask = D.global_threshold(blurred_u8, window)
         td.add('threshold', t0)
         mask = gmask
+        if tall_lines:
+            mask = _tall_line_patches(mask, gmask, gray, tall_lines,
+                                      window)
         if denoise_mask is not None and denoise_mask != DENOISE_NONE:
             t0 = _time.time()
             mask = D.denoise_mask(mask, denoise_mask, exact_denoise)
@@ -220,6 +242,9 @@ def decompose_masks(np_images, word_datas, dpi=None, downsample=None,
                               jnp.asarray(use_inv), jnp.asarray(id_map),
                               gmask)
 
+    if tall_lines:
+        mask = _tall_line_patches(mask, gmask, gray, tall_lines, window)
+
     if denoise_mask is not None and denoise_mask != DENOISE_NONE:
         t0 = _time.time()
         mask = D.denoise_mask(mask, denoise_mask, exact_denoise)
@@ -227,6 +252,77 @@ def decompose_masks(np_images, word_datas, dpi=None, downsample=None,
                t0)
 
     return mask, dev_imgs
+
+
+@jax.jit
+def _apply_patch_jit(mask, gmask, page, patch_bits, region_bits):
+    """where(region, patch | gmask, mask) on one page; patch/region ride
+    as packed bits (8x less host->device traffic)."""
+    w = mask.shape[2]
+    patch = jnp.unpackbits(patch_bits, axis=-1)[:, :w].astype(bool)
+    region = jnp.unpackbits(region_bits, axis=-1)[:, :w].astype(bool)
+    row = jnp.where(region, patch | gmask[page], mask[page])
+    return mask.at[page].set(row)
+
+
+def _tall_line_patches(mask, gmask, gray, tall_lines, window):
+    """hOCR lines taller than the largest Pallas bucket (rare display
+    type): threshold each crop with the reference-semantics numpy
+    oracle (exact ``mrc.py:188-270`` behaviour, no per-shape compiles),
+    run the same dual-polarity selection, and paste the selected masks
+    into the device mask.  The paste ORs the global-threshold mask
+    inside the patched region, preserving the reference's
+    assign-lines-then-OR-global ordering (``mrc.py:374-382``)."""
+    from ..ops import golden
+
+    ones = [0]
+    ones_inv = [0]
+    size = [0]
+    crops = [None]
+    metas = [None]
+    for (p, t, b, l, r) in tall_lines:
+        crop = np.asarray(gray[p, t:b, l:r])
+        th = golden.sauvola_mask_ref(crop, window, window, 0.1)
+        inv = golden.sauvola_mask_ref(255 - crop, window, window, 0.1)
+        ones.append(int(th.sum()))
+        ones_inv.append(int(inv.sum()))
+        size.append(int(crop.size))
+        crops.append((th, inv))
+        metas.append((p, t, b, l, r))
+
+    def sigma_fn(i):
+        th, inv = crops[i]
+        return (estimate_sigma_np(th.astype(np.float64)),
+                estimate_sigma_np(inv.astype(np.float64)))
+
+    use_plain, use_inv = D.select_lines(
+        np.array(ones, np.int64), np.array(ones_inv, np.int64),
+        np.array(size, np.int64), sigma_fn, len(tall_lines))
+
+    h, w = int(mask.shape[1]), int(mask.shape[2])
+    by_page = {}
+    for i in range(1, len(metas)):
+        pick = None
+        if use_plain[i]:
+            pick = crops[i][0]
+        elif use_inv[i]:
+            pick = crops[i][1]
+        if pick is None:
+            continue
+        (p, t, b, l, r) = metas[i]
+        by_page.setdefault(p, []).append((t, b, l, r, pick))
+
+    for p, items in sorted(by_page.items()):
+        patch = np.zeros((h, w), np.uint8)
+        region = np.zeros((h, w), np.uint8)
+        for (t, b, l, r, pick) in items:
+            region[t:b, l:r] = 1
+            patch[t:b, l:r] = pick
+        mask = _apply_patch_jit(
+            mask, gmask, p,
+            jnp.asarray(np.packbits(patch, axis=-1)),
+            jnp.asarray(np.packbits(region, axis=-1)))
+    return mask
 
 
 def decompose_layers(mask, dev_imgs, bg_downsample=None, fg_downsample=None,

@@ -192,14 +192,45 @@ class TestTallLines:
         agree = (ref == got).mean()
         assert agree >= 0.999, f'tall-line mask agreement {agree}'
 
-    def test_over_512_falls_back_with_same_result(self):
-        # >512 px lines take the XLA path — identical semantics
+    def test_over_512_mixed_path(self):
+        # >512 px lines take the host-oracle patch path while the rest
+        # of the batch stays on Pallas — identical semantics (the r1
+        # whole-batch XLA fallback cliff is gone)
         img, wd = self._tall_page(h=900)
         wd[0]['lines'][0]['bbox'] = [30, 40, 450, 600]   # 560 px tall
         ref = mask_pipeline_ref(img, wd, dpi=600)
         mask, _ = decompose_masks([img], [wd], dpi=600)
         agree = (ref == np.asarray(mask)[0]).mean()
         assert agree >= 0.999
+
+    def test_over_512_in_batch_with_normal_pages(self):
+        # a batch mixing a tall-line page with ordinary pages: every
+        # page must keep reference parity (the tall page patches, the
+        # others ride the Pallas path untouched)
+        img_t, wd_t = self._tall_page(h=900)
+        wd_t[0]['lines'][0]['bbox'] = [30, 40, 450, 600]
+        from tests.test_kernels import synth_page
+        imgs = [img_t] + [np.pad(synth_page(640, 480, seed=s, noise=12),
+                                 ((0, 260), (0, 0)), constant_values=230)
+                          for s in range(2)]
+        wds = [wd_t] + [synth_word_data(640, 480, seed=s)
+                        for s in range(2)]
+        mask, _ = decompose_masks(imgs, wds, dpi=600)
+        got = np.asarray(mask)
+        for i in range(3):
+            ref = mask_pipeline_ref(imgs[i], wds[i], dpi=600)
+            agree = (ref == got[i]).mean()
+            assert agree >= 0.999, f'page {i}: {agree}'
+
+    def test_tall_only_page_no_short_lines(self):
+        # a page whose ONLY line is tall exercises the total==0 early
+        # path with patches
+        img, wd = self._tall_page(h=900)
+        wd[0]['lines'] = [dict(wd[0]['lines'][0],
+                               bbox=[30, 40, 450, 600])]
+        ref = mask_pipeline_ref(img, wd, dpi=600)
+        mask, _ = decompose_masks([img], [wd], dpi=600)
+        assert (ref == np.asarray(mask)[0]).mean() >= 0.999
 
 
 class TestRealisticScans:
