@@ -31,24 +31,8 @@ def page_image(reader, idx, ppi=None):
             return img
         except Exception:
             pass    # JBIG2/CCITT/Flate or broken: rasterize below
-    from ..pdf.raster import Rasterizer
-    pw, ph = reader.page_size(idx)
-    if ppi is None:
-        # match the largest embedded image's resolution, default 300
-        best = 0
-        for _n, _x, stream in imgs:
-            best = max(best, int(reader.resolve(stream.dict['Width'])))
-        ppi = (best / (pw / 72.0)) if (best and pw) else 300.0
-        ppi = min(max(ppi, 72.0), 600.0)
-    arr = Rasterizer(reader).render_page(idx, scale=ppi / 72.0)
-    if (arr[..., 0] == arr[..., 1]).all() and \
-            (arr[..., 1] == arr[..., 2]).all():
-        gray = Image.fromarray(arr[..., 0])
-        vals = set(arr[..., 0].reshape(-1)[:65536].tolist())
-        if vals <= {0, 255}:
-            return gray.convert('1')
-        return gray
-    return Image.fromarray(arr)
+    from ..pdf.raster import render_page_image
+    return render_page_image(reader, idx, ppi=ppi)
 
 
 def main(argv=None):

@@ -417,11 +417,15 @@ def _allocate_rate(blocks, target_bytes, lib, workers):
     pt_rates = np.zeros((nb, max(maxseg, 1) + 1), np.int64)
     pt_picks = np.zeros((nb, max(maxseg, 1) + 1), np.int32)
     for bi, (pts, hull) in enumerate(hulls):
+        npasses = blocks[bi].npasses
         for j in range(1, len(hull)):
             a, b = hull[j - 1], hull[j]
             seg_slopes[bi, j - 1] = (pts[b][1] - pts[a][1]) / \
                 max(1, pts[b][0] - pts[a][0])
-            pt_rates[bi, j] = pts[b][0]
+            # truncated picks cost the truncation margin too, so the
+            # threshold search optimizes the REALIZED stream size
+            pt_rates[bi, j] = pts[b][0] + \
+                (_TRUNC_MARGIN if hull[j] < npasses else 0)
             pt_picks[bi, j] = hull[j]
     rows = np.arange(nb)
 

@@ -189,11 +189,32 @@ class _ContentLexer:
         self.pos += 1
         depth = 1
         out = bytearray()
+        esc = {0x6E: 0x0A, 0x72: 0x0D, 0x74: 0x09, 0x62: 0x08,
+               0x66: 0x0C, 0x28: 0x28, 0x29: 0x29, 0x5C: 0x5C}
         while self.pos < len(d):
             c = d[self.pos]
             if c == 0x5C and self.pos + 1 < len(d):
-                out.append(d[self.pos + 1])
-                self.pos += 2
+                nxt = d[self.pos + 1]
+                if nxt in esc:
+                    out.append(esc[nxt])
+                    self.pos += 2
+                elif 0x30 <= nxt <= 0x37:      # octal: 1-3 digits
+                    j = self.pos + 1
+                    val = 0
+                    while j < len(d) and j < self.pos + 4 and \
+                            0x30 <= d[j] <= 0x37:
+                        val = val * 8 + (d[j] - 0x30)
+                        j += 1
+                    out.append(val & 0xFF)
+                    self.pos = j
+                elif nxt in (0x0D, 0x0A):      # line continuation
+                    self.pos += 2
+                    if nxt == 0x0D and \
+                            d[self.pos:self.pos + 1] == b'\n':
+                        self.pos += 1
+                else:
+                    out.append(nxt)
+                    self.pos += 2
                 continue
             if c == 0x28:
                 depth += 1
@@ -664,8 +685,10 @@ class Rasterizer:
         paint = gs.render_mode not in (3, 7)
         for code in codes:
             w0 = wmap.get(code, dw)
-            adv = (w0 * fs + gs.char_spc +
-                   (gs.word_spc if code == 32 else 0.0)) * gs.hscale
+            # Tw applies only to SINGLE-byte code 32 (ISO 32000-1
+            # 9.3.3); 2-byte 0x0020 in a Type0 string gets none
+            wsp = gs.word_spc if (code == 32 and nbytes == 1) else 0.0
+            adv = (w0 * fs + gs.char_spc + wsp) * gs.hscale
             if paint and code != 32:
                 # glyph box in text space: (0, -0.2 em)..(adv, 0.75 em)
                 trm = _mat_mul(tm, gs.ctm)
@@ -792,6 +815,32 @@ class Rasterizer:
             region[inside] = blended[inside]
         else:
             region[inside] = src[inside]
+
+
+def render_page_image(reader, idx, ppi=None):
+    """Render page ``idx`` to a PIL image at ``ppi`` (default: the
+    resolution of the page's largest embedded image, clamped to
+    [72, 600], or 300 without images).  Collapses equal RGB channels to
+    'L' and exact-binary pages to '1' (threshold, NOT dithered — a
+    Floyd-Steinberg convert would destroy any grayscale a sampled check
+    missed, so binarity is tested over the full channel)."""
+    from PIL import Image
+    imgs = reader.page_images(idx)
+    pw, _ph = reader.page_size(idx)
+    if ppi is None:
+        best = 0
+        for _n, _x, stream in imgs:
+            best = max(best, int(reader.resolve(stream.dict['Width'])))
+        ppi = (best / (pw / 72.0)) if (best and pw) else 300.0
+        ppi = min(max(ppi, 72.0), 600.0)
+    arr = Rasterizer(reader).render_page(idx, scale=ppi / 72.0)
+    if (arr[..., 0] == arr[..., 1]).all() and \
+            (arr[..., 1] == arr[..., 2]).all():
+        ch = arr[..., 0]
+        if (((ch == 0) | (ch == 255))).all():
+            return Image.fromarray(ch >= 128)
+        return Image.fromarray(ch)
+    return Image.fromarray(arr)
 
 
 def page_colour_mode(reader, idx, scale=None):

@@ -108,7 +108,10 @@ def replace_image_ops(content, mapping):
         name = m.group(1) or m.group(2)
         if name in bmap:
             seq = b' '.join(b'/' + nn + b' Do' for nn in bmap[name])
-            return m.group(0).replace(b'/' + name + b' Do', seq)
+            # substitute within the match via regex: the name and Do can
+            # be separated by any whitespace (wrapped content streams)
+            return re.sub(rb'/' + re.escape(name) + rb'\s+Do', seq,
+                          m.group(0))
         return m.group(0)
 
     return _IMAGE_DO_RE.sub(repl, content)

@@ -196,20 +196,10 @@ def _render_page_composite(reader, idx, imgs=None):
     """Rasterize a whole page (all images + vector/text marks) at the
     resolution of its largest image — used for multi-image pages and
     the legacy mode-1 path."""
-    from ..pdf.raster import Rasterizer
-    if imgs is None:
-        imgs = reader.page_images(idx)
-    pw, _ph = reader.page_size(idx)
-    best = 0
-    for _n, _x, stream in imgs:
-        best = max(best, int(reader.resolve(stream.dict['Width'])))
-    ppi = (best / (pw / 72.0)) if (best and pw) else 300.0
-    ppi = min(max(ppi, 72.0), 600.0)
-    arr = Rasterizer(reader).render_page(idx, scale=ppi / 72.0)
-    if (arr[..., 0] == arr[..., 1]).all() and \
-            (arr[..., 1] == arr[..., 2]).all():
-        return Image.fromarray(arr[..., 0])
-    return Image.fromarray(arr)
+    from ..pdf.raster import render_page_image
+    img = render_page_image(reader, idx)
+    # the MRC pipeline expects 'L' or 'RGB' input
+    return img.convert('L') if img.mode == '1' else img
 
 
 class PageJob:

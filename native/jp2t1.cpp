@@ -19,6 +19,7 @@
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
+#include <memory>
 #include <vector>
 
 namespace {
@@ -696,10 +697,17 @@ long jp2t1_encode_block(const int32_t* coeffs, int w, int h, int orient,
     const char* e = getenv("APT_T1_IMPL");
     return e && strcmp(e, "ref") == 0;
   }();
-  BlockCoder bc(mag.data(), sgn.data(), w, h, orient);
-  StripeCoder sc(mag.data(), sgn.data(), w, h, orient);
-  bc.enc = &enc;
-  sc.enc = &enc;
+  // construct only the selected coder (each allocates its full
+  // per-block state)
+  std::unique_ptr<BlockCoder> bc;
+  std::unique_ptr<StripeCoder> sc;
+  if (use_ref) {
+    bc.reset(new BlockCoder(mag.data(), sgn.data(), w, h, orient));
+    bc->enc = &enc;
+  } else {
+    sc.reset(new StripeCoder(mag.data(), sgn.data(), w, h, orient));
+    sc->enc = &enc;
+  }
 
   double dist = 0;
   int pass = 0;
@@ -707,11 +715,11 @@ long jp2t1_encode_block(const int32_t* coeffs, int w, int h, int orient,
   if (max_passes >= 0 && max_passes < total) total = max_passes;
 
   auto sig_pass = [&](int p) {
-    return use_ref ? bc.SigPass(p) : sc.SigPass(p); };
+    return use_ref ? bc->SigPass(p) : sc->SigPass(p); };
   auto mag_pass = [&](int p) {
-    return use_ref ? bc.MagPass(p) : sc.MagPass(p); };
+    return use_ref ? bc->MagPass(p) : sc->MagPass(p); };
   auto cleanup_pass = [&](int p) {
-    return use_ref ? bc.CleanupPass(p) : sc.CleanupPass(p); };
+    return use_ref ? bc->CleanupPass(p) : sc->CleanupPass(p); };
 
   bool over = false;
   for (int p = planes - 1; p >= 0 && pass < total && !over; --p) {
