@@ -165,8 +165,16 @@ def decompose_masks(np_images, word_datas, dpi=None, downsample=None,
         _needy_cache = {}
         if len(needy):
             idx = jnp.asarray(needy.astype(np.int32))
-            nt = np.asarray(jnp.take(crops_t, idx, axis=0))
-            ni = np.asarray(jnp.take(crops_i, idx, axis=0))
+            # crops are 0/1: pack to bits on device so the transfer is
+            # 8x smaller (the host link is the bottleneck of the
+            # pipeline-level path on thin hosts)
+            wcrop = crops_t.shape[-1]
+            nt_b = np.asarray(jnp.packbits(
+                jnp.take(crops_t, idx, axis=0), axis=-1))
+            ni_b = np.asarray(jnp.packbits(
+                jnp.take(crops_i, idx, axis=0), axis=-1))
+            nt = np.unpackbits(nt_b, axis=-1)[..., :wcrop]
+            ni = np.unpackbits(ni_b, axis=-1)[..., :wcrop]
             for j, i in enumerate(needy):
                 _needy_cache[int(i)] = (nt[j], ni[j])
 

@@ -199,3 +199,51 @@ class TestTools:
         assert res.returncode == 0, res.stderr
         # render_book_page(w=120, h=160) -> PIL size (120, 160)
         assert Image.open(merged).size == (120, 160)
+
+
+class TestStrictWellFormedness:
+    """Every PDF-producing surface must satisfy the strict parser
+    (exact xref offsets, stream lengths, tail rules) — not just the
+    lenient in-tree reader."""
+
+    def _strict_parse(self, path):
+        from archive_pdf_tools_tpu.validators.pdfa_check import StrictPdf
+        with open(path, 'rb') as fp:
+            return StrictPdf(fp.read())
+
+    def test_epub_output_strict(self, tmp_path):
+        import zipfile
+        epub = tmp_path / 'min.epub'
+        with zipfile.ZipFile(epub, 'w') as zf:
+            zf.writestr('mimetype', 'application/epub+zip')
+            zf.writestr('META-INF/container.xml', '''<?xml version="1.0"?>
+<container xmlns="urn:oasis:names:tc:opendocument:xmlns:container"
+ version="1.0"><rootfiles><rootfile full-path="c.opf"
+ media-type="application/oebps-package+xml"/></rootfiles></container>''')
+            zf.writestr('c.opf', '''<?xml version="1.0"?>
+<package xmlns="http://www.idpf.org/2007/opf" version="2.0">
+ <metadata xmlns:dc="http://purl.org/dc/elements/1.1/">
+  <dc:title>T</dc:title></metadata>
+ <manifest><item id="c1" href="ch1.xhtml"
+  media-type="application/xhtml+xml"/></manifest>
+ <spine><itemref idref="c1"/></spine></package>''')
+            zf.writestr('ch1.xhtml',
+                        '<html><body><h1>One</h1><p>hello</p>'
+                        '</body></html>')
+        out = str(tmp_path / 'e.pdf')
+        assert epub_main([str(epub), out]) == 0
+        pdf = self._strict_parse(out)
+        assert pdf.trailer is not None
+
+    def test_pdfrenderer_output_strict(self, tmp_path, book_pdf=None):
+        from tests.fixtures import make_book
+        _stack, hocr, _pages = make_book(tmp_path, n_pages=1)
+        out = str(tmp_path / 'r.pdf')
+        assert rend_main(['-T', hocr, '-o', out]) == 0
+        self._strict_parse(out)
+
+    def test_compress_pdf_images_output_strict(self, jpeg_pdf, tmp_path):
+        src, hocr = jpeg_pdf
+        out = str(tmp_path / 'c.pdf')
+        assert comp_main([src, hocr, out, '--dpi', '100']) == 0
+        self._strict_parse(out)
