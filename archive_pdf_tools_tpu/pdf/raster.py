@@ -170,8 +170,7 @@ class _ContentLexer:
             self.pos += 1
         kw = d[start:self.pos].decode('latin-1', 'replace')
         if kw == 'BI':
-            self._skip_inline_image()
-            return ('op', 'BI-skipped')
+            return self._inline_image()
         return ('op', kw)
 
     def _name(self):
@@ -257,24 +256,37 @@ class _ContentLexer:
             if isinstance(key, PName):
                 d[str(key)] = val
 
-    def _skip_inline_image(self):
-        """BI ... ID <binary> EI — skip to EI at a token boundary."""
-        m = re.compile(rb'\sID[\s]').search(self.data, self.pos)
-        if not m:
-            self.pos = len(self.data)
-            return
-        pos = m.end()
+    def _inline_image(self):
+        """BI <params> ID <binary> EI -> ('inline', params, data)."""
+        params = {}
+        while True:
+            self._skip_ws()
+            if self.pos >= len(self.data):
+                return ('op', 'BI-bad')
+            tok = self._next()
+            if tok == ('op', 'ID'):
+                break
+            val = self._next()
+            if isinstance(tok, PName):
+                params[str(tok)] = val
+        # exactly one whitespace byte after ID, then binary data to EI
+        if self.pos < len(self.data) and \
+                self.data[self.pos] in self._WS:
+            self.pos += 1
+        pos = self.pos
         while True:
             e = self.data.find(b'EI', pos)
             if e < 0:
+                data = self.data[self.pos:]
                 self.pos = len(self.data)
-                return
+                return ('inline', params, data)
             after = self.data[e + 2:e + 3]
             before = self.data[e - 1:e]
             if (not after or after[0] in self._WS) and \
                     (before and before[0] in self._WS):
+                data = self.data[self.pos:e - 1]
                 self.pos = e + 2
-                return
+                return ('inline', params, data)
             pos = e + 2
 
 
@@ -347,6 +359,16 @@ class Rasterizer:
             return _mat_apply(gs.ctm, x, y)
 
         for tok in _ContentLexer(content).tokens():
+            if isinstance(tok, tuple) and len(tok) == 3 and \
+                    tok[0] == 'inline':
+                if not self.skip_images:
+                    try:
+                        self._draw_inline_image(canvas, gs, tok[1],
+                                                tok[2], resources)
+                    except Exception:
+                        pass
+                stack = []
+                continue
             if not (isinstance(tok, tuple) and len(tok) == 2 and
                     tok[0] == 'op'):
                 stack.append(tok)
@@ -464,7 +486,8 @@ class Rasterizer:
                     else:
                         gs.stroke = col
                 elif op == 'sh':
-                    self._fill_clip(canvas, gs, (0.5, 0.5, 0.5))
+                    self._draw_shading(canvas, gs, resources,
+                                       stack[-1] if stack else None)
                 # ---- text ----
                 elif op == 'BT':
                     tm = tlm = _ID
@@ -542,7 +565,7 @@ class Rasterizer:
                             self._execute(xo.decoded(), sub_res,
                                           canvas, sub_gs, depth + 1)
                 elif op in ('BDC', 'BMC', 'EMC', 'MP', 'DP', 'BX',
-                            'EX', 'd0', 'd1', 'BI-skipped'):
+                            'EX', 'd0', 'd1', 'BI-bad'):
                     pass
             except (ValueError, TypeError, IndexError, KeyError):
                 pass   # tolerate malformed operands like real viewers
@@ -765,6 +788,232 @@ class Rasterizer:
             alpha = sarr
         return arr, alpha
 
+    def _draw_inline_image(self, canvas, gs, params, data, resources):
+        """BI/ID/EI images (ISO 32000-1 8.9.7, abbreviated keys)."""
+        import zlib
+        p = {_INLINE_ABBREV.get(k, k): v for k, v in params.items()}
+        w = int(p.get('Width', 0))
+        h = int(p.get('Height', 0))
+        if w <= 0 or h <= 0:
+            return
+        bpc = int(p.get('BitsPerComponent', 8))
+        filts = p.get('Filter')
+        filts = [filts] if isinstance(filts, PName) else (filts or [])
+        for f in filts:
+            f = _INLINE_FILT.get(str(f), str(f))
+            if f == 'ASCIIHexDecode':
+                data = bytes.fromhex(
+                    data.replace(b'\n', b'').replace(b'\r', b'')
+                        .replace(b' ', b'').rstrip(b'>').decode(
+                            'ascii', 'ignore'))
+            elif f == 'ASCII85Decode':
+                import base64
+                data = base64.a85decode(data.rstrip(b'~>'),
+                                        adobe=False)
+            elif f == 'FlateDecode':
+                data = zlib.decompress(data)
+            elif f == 'DCTDecode':
+                from PIL import Image as _I
+                arr = np.asarray(
+                    _I.open(io.BytesIO(data)).convert('RGB'),
+                    np.float32) / 255.0
+                self._paint_sampled(canvas, gs, arr, None)
+                return
+            elif f == 'CCITTFaxDecode':
+                from ..codecs.ccitt import decode_ccitt_g4
+                bits = np.asarray(decode_ccitt_g4(bytes(data), w, h))
+                data = np.packbits(~bits, axis=-1).tobytes()
+            else:
+                return      # LZW/unknown: not emitted by our targets
+        cs = p.get('ColorSpace')
+        cs = _INLINE_CS.get(str(cs), str(cs) if cs else None)
+        is_mask = bool(p.get('ImageMask'))
+        if is_mask or bpc == 1:
+            stride = (w + 7) // 8
+            bits = np.unpackbits(
+                np.frombuffer(data[:stride * h],
+                              np.uint8).reshape(h, stride),
+                axis=1)[:, :w].astype(bool)
+            if is_mask:
+                dec = p.get('Decode')
+                samples = bits
+                if dec and float(dec[0]) == 1.0:
+                    samples = ~samples
+                self._paint_sampled(canvas, gs, None, ~samples)
+            else:
+                arr = np.where(bits[..., None], 1.0, 0.0) \
+                    .astype(np.float32).repeat(3, axis=-1)
+                self._paint_sampled(canvas, gs, arr, None)
+            return
+        ncomp = {'DeviceGray': 1, 'DeviceRGB': 3,
+                 'DeviceCMYK': 4}.get(cs, 1)
+        if bpc != 8 or len(data) < w * h * ncomp:
+            return
+        arr = np.frombuffer(data[:w * h * ncomp], np.uint8) \
+            .reshape(h, w, ncomp).astype(np.float32) / 255.0
+        if ncomp == 1:
+            arr = arr.repeat(3, axis=-1)
+        elif ncomp == 4:
+            c, m, y, k = (arr[..., i] for i in range(4))
+            arr = np.stack([np.clip(1 - np.minimum(1, c + k), 0, 1),
+                            np.clip(1 - np.minimum(1, m + k), 0, 1),
+                            np.clip(1 - np.minimum(1, y + k), 0, 1)],
+                           axis=-1)
+        self._paint_sampled(canvas, gs, arr, None)
+
+    # ---- shadings ------------------------------------------------------
+
+    def _eval_function(self, fn, t):
+        """Evaluate a PDF function at scalar array t -> (N, ncomp).
+        Types 2 (exponential) and 3 (stitching); otherwise None."""
+        r = self.reader
+        fn = r.resolve(fn)
+        if isinstance(fn, list):
+            cols = [self._eval_function(f, t) for f in fn]
+            if any(c is None for c in cols):
+                return None
+            return np.concatenate(cols, axis=-1)
+        d = fn.dict if isinstance(fn, PStream) else fn
+        if not isinstance(d, dict):
+            return None
+        ftype = r.resolve(d.get('FunctionType'))
+        dom = [float(r.resolve(v))
+               for v in (r.resolve(d.get('Domain')) or [0, 1])]
+        t = np.clip(t, dom[0], dom[1])
+        if ftype == 2:
+            c0 = np.array([float(r.resolve(v)) for v in
+                           (r.resolve(d.get('C0')) or [0.0])])
+            c1 = np.array([float(r.resolve(v)) for v in
+                           (r.resolve(d.get('C1')) or [1.0])])
+            n = float(r.resolve(d.get('N', 1)))
+            u = (t - dom[0]) / max(dom[1] - dom[0], 1e-9)
+            return c0[None, :] + (u ** n)[:, None] * (c1 - c0)[None, :]
+        if ftype == 3:
+            fns = r.resolve(d.get('Functions')) or []
+            bounds = [float(r.resolve(v))
+                      for v in (r.resolve(d.get('Bounds')) or [])]
+            enc = [float(r.resolve(v))
+                   for v in (r.resolve(d.get('Encode'))
+                             or [0, 1] * len(fns))]
+            edges = [dom[0]] + bounds + [dom[1]]
+            out = None
+            for i, sub in enumerate(fns):
+                lo, hi = edges[i], edges[i + 1]
+                sel = (t >= lo) & (t <= hi) if i == len(fns) - 1 \
+                    else (t >= lo) & (t < hi)
+                if not sel.any():
+                    continue
+                u = (t[sel] - lo) / max(hi - lo, 1e-9)
+                u = enc[2 * i] + u * (enc[2 * i + 1] - enc[2 * i])
+                vals = self._eval_function(sub, u)
+                if vals is None:
+                    return None
+                if out is None:
+                    out = np.zeros((len(t), vals.shape[-1]))
+                out[sel] = vals
+            return out
+        return None
+
+    def _draw_shading(self, canvas, gs, resources, name):
+        """sh operator: evaluate axial (2) / radial (3) shadings with
+        exponential/stitching functions; anything else paints 50% gray
+        (colour-mode conservative)."""
+        r = self.reader
+        sh = None
+        if name is not None:
+            shades = r.resolve(resources.get('Shading')) or {}
+            sh = r.resolve(shades.get(str(name)))
+        if not isinstance(sh, (dict, PStream)):
+            self._fill_clip(canvas, gs, (0.5, 0.5, 0.5))
+            return
+        d = sh.dict if isinstance(sh, PStream) else sh
+        stype = r.resolve(d.get('ShadingType'))
+        coords = [float(r.resolve(v))
+                  for v in (r.resolve(d.get('Coords')) or [])]
+        fn = d.get('Function')
+        if stype not in (2, 3) or fn is None:
+            self._fill_clip(canvas, gs, (0.5, 0.5, 0.5))
+            return
+        H, W = canvas.shape[:2]
+        inv = _mat_inv(gs.ctm)
+        if inv is None:
+            return
+        ys, xs = np.mgrid[0:H, 0:W]
+        a, b, c, dd, e, f = inv
+        ux = a * (xs + 0.5) + c * (ys + 0.5) + e
+        uy = b * (xs + 0.5) + dd * (ys + 0.5) + f
+        if stype == 2 and len(coords) >= 4:
+            x0, y0, x1, y1 = coords[:4]
+            dx, dy = x1 - x0, y1 - y0
+            denom = max(dx * dx + dy * dy, 1e-9)
+            t = ((ux - x0) * dx + (uy - y0) * dy) / denom
+        elif stype == 3 and len(coords) >= 6:
+            x0, y0, _r0, x1, y1, r1 = coords[:6]
+            # approximate: parameter from distance to the outer circle
+            dist = np.sqrt((ux - x1) ** 2 + (uy - y1) ** 2)
+            t = np.clip(dist / max(r1, 1e-9), 0.0, 1.0)
+        else:
+            self._fill_clip(canvas, gs, (0.5, 0.5, 0.5))
+            return
+        t = np.clip(t, 0.0, 1.0)
+        vals = self._eval_function(fn, t.ravel())
+        if vals is None:
+            self._fill_clip(canvas, gs, (0.5, 0.5, 0.5))
+            return
+        ncomp = vals.shape[-1]
+        if ncomp == 1:
+            rgbv = np.repeat(vals, 3, axis=-1)
+        elif ncomp == 4:
+            cc, mm, yy2, kk = (vals[:, i] for i in range(4))
+            rgbv = np.stack([1 - np.minimum(1, cc + kk),
+                             1 - np.minimum(1, mm + kk),
+                             1 - np.minimum(1, yy2 + kk)], axis=-1)
+        else:
+            rgbv = vals[:, :3]
+        img = np.clip(rgbv.reshape(H, W, 3), 0, 1) * 255.0
+        if gs.clip is not None:
+            canvas[gs.clip] = img[gs.clip]
+        else:
+            canvas[:, :] = img
+
+    def _paint_sampled(self, canvas, gs, arr, stencil_alpha):
+        """Shared inverse-mapped painter for decoded sample arrays
+        (arr: (h, w, 3) float in [0,1], or None with a boolean stencil
+        painting the fill colour)."""
+        H, W = canvas.shape[:2]
+        inv = _mat_inv(gs.ctm)
+        if inv is None:
+            return
+        corners = [_mat_apply(gs.ctm, x, y)
+                   for (x, y) in ((0, 0), (1, 0), (0, 1), (1, 1))]
+        x0 = max(0, int(np.floor(min(p[0] for p in corners))))
+        x1 = min(W, int(np.ceil(max(p[0] for p in corners))))
+        y0 = max(0, int(np.floor(min(p[1] for p in corners))))
+        y1 = min(H, int(np.ceil(max(p[1] for p in corners))))
+        if x0 >= x1 or y0 >= y1:
+            return
+        ys, xs = np.mgrid[y0:y1, x0:x1]
+        a, b, c, d, e, f = inv
+        u = a * (xs + 0.5) + c * (ys + 0.5) + e
+        v = b * (xs + 0.5) + d * (ys + 0.5) + f
+        inside = (u >= 0) & (u < 1) & (v >= 0) & (v < 1)
+        if gs.clip is not None:
+            inside &= gs.clip[y0:y1, x0:x1]
+        if not inside.any():
+            return
+        region = canvas[y0:y1, x0:x1]
+        if arr is None:
+            ih, iw = stencil_alpha.shape
+            sx = np.clip((u * iw).astype(np.int64), 0, iw - 1)
+            sy = np.clip(((1 - v) * ih).astype(np.int64), 0, ih - 1)
+            paint = inside & stencil_alpha[sy, sx]
+            region[paint] = np.array(gs.fill, np.float32) * 255.0
+            return
+        ih, iw = arr.shape[:2]
+        sx = np.clip((u * iw).astype(np.int64), 0, iw - 1)
+        sy = np.clip(((1 - v) * ih).astype(np.int64), 0, ih - 1)
+        region[inside] = (arr[sy, sx] * 255.0)[inside]
+
     def _draw_image(self, canvas, gs, stream):
         H, W = canvas.shape[:2]
         inv = _mat_inv(gs.ctm)
@@ -815,6 +1064,16 @@ class Rasterizer:
             region[inside] = blended[inside]
         else:
             region[inside] = src[inside]
+
+
+_INLINE_ABBREV = {'W': 'Width', 'H': 'Height', 'BPC': 'BitsPerComponent',
+                  'CS': 'ColorSpace', 'F': 'Filter', 'D': 'Decode',
+                  'IM': 'ImageMask', 'DP': 'DecodeParms', 'I': 'Interpolate'}
+_INLINE_CS = {'G': 'DeviceGray', 'RGB': 'DeviceRGB', 'CMYK': 'DeviceCMYK',
+              'I': 'Indexed'}
+_INLINE_FILT = {'AHx': 'ASCIIHexDecode', 'A85': 'ASCII85Decode',
+                'Fl': 'FlateDecode', 'RL': 'RunLengthDecode',
+                'CCF': 'CCITTFaxDecode', 'DCT': 'DCTDecode'}
 
 
 def render_page_image(reader, idx, ppi=None):

@@ -265,3 +265,73 @@ class TestMultiImagePages:
         a = Rasterizer(r).render_page(0)
         g = a[..., 0]
         assert g[90, 50] > 140 and g[90, 150] < 110
+
+
+class TestInlineImagesAndShadings:
+    def _doc(self, content, shading=None, w=200, h=150):
+        from archive_pdf_tools_tpu.pdf.writer import (PdfWriter, Name,
+                                                      Stream)
+        wr = PdfWriter()
+        cat = wr.reserve()
+        pages = wr.reserve()
+        cref = wr.add(Stream({}, content))
+        res = {}
+        if shading is not None:
+            res[Name('Shading')] = {Name('Sh0'): wr.add(shading)}
+        page = wr.add({Name('Type'): Name('Page'),
+                       Name('Parent'): pages,
+                       Name('MediaBox'): [0, 0, w, h],
+                       Name('Contents'): cref,
+                       Name('Resources'): res})
+        wr.set(pages, {Name('Type'): Name('Pages'), Name('Kids'): [page],
+                       Name('Count'): 1})
+        wr.set(cat, {Name('Type'): Name('Catalog'), Name('Pages'): pages})
+        buf = io.BytesIO()
+        wr.save(buf, cat, None, b'0123456789abcdef')
+        return PdfReader(buf.getvalue())
+
+    def test_inline_image_gray(self):
+        # 2x2 gray inline image scaled over a 60x40 region
+        data = bytes([0, 255, 255, 0])
+        content = (b'q 60 0 0 40 20 20 cm BI /W 2 /H 2 /BPC 8 /CS /G ID '
+                   + data + b' EI Q')
+        r = self._doc(content)
+        a = Rasterizer(r).render_page(0)
+        # dark quadrant top-left of the image region
+        assert a[150 - 58, 25, 0] < 60       # top-left sample = 0
+        assert a[150 - 58, 70, 0] > 200      # top-right = 255
+
+    def test_inline_image_mask(self):
+        stride = bytes([0b10000000])        # 1x? mask: 1 bit
+        content = (b'0 0 1 rg q 50 0 0 50 10 10 cm '
+                   b'BI /W 1 /H 1 /BPC 1 /IM true ID '
+                   + bytes([0x00]) + b' EI Q')
+        r = self._doc(content)
+        a = Rasterizer(r).render_page(0)
+        # sample 0 paints fill colour (blue) across the square
+        assert a[150 - 30, 30, 2] > 200 and a[150 - 30, 30, 0] < 100
+
+    def test_axial_shading(self):
+        from archive_pdf_tools_tpu.pdf.writer import Name
+        shading = {
+            Name('ShadingType'): 2,
+            Name('ColorSpace'): Name('DeviceRGB'),
+            Name('Coords'): [0, 0, 200, 0],
+            Name('Function'): {
+                Name('FunctionType'): 2,
+                Name('Domain'): [0, 1],
+                Name('C0'): [1, 0, 0],
+                Name('C1'): [0, 0, 1],
+                Name('N'): 1,
+            },
+        }
+        content = b'/Sh0 sh'
+        r = self._doc(content, shading=shading)
+        a = Rasterizer(r).render_page(0)
+        # left edge red, right edge blue, middle purple-ish
+        assert a[75, 3, 0] > 200 and a[75, 3, 2] < 60
+        assert a[75, 196, 2] > 200 and a[75, 196, 0] < 60
+        mid = a[75, 100]
+        assert 90 < mid[0] < 170 and 90 < mid[2] < 170
+        from archive_pdf_tools_tpu.pdf.raster import page_colour_mode
+        assert page_colour_mode(r, 0) == 'RGB'
