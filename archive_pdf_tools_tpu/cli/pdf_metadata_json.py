@@ -1,15 +1,21 @@
 """pdf-metadata-json: analyse a PDF into a JSON report.
 
-Capability parity with the reference's ``bin/pdf-metadata-json``:
-per-page image inventory (object number, size, mode, mask, filter),
-page colour-mode classification, scale/PPI estimation from image-vs-page
-dimensions, text-layer presence, hyperlink detection, and a recommended
-imagestack format (``bin/pdf-metadata-json:61-258``).
+Schema parity with the reference's ``bin/pdf-metadata-json`` — the
+output is consumed by external tooling (archive-hocr-tools'
+``pdf-to-hocr -J``), so the key names and structure follow the
+reference exactly (``bin/pdf-metadata-json:260-410``): top-level
+``version`` / ``page_count`` / ``page_data`` / ``imagestack_image_format``;
+per page ``page_number`` / ``page_rotation`` / ``page_language`` /
+``page_rect`` / ``image_data`` (xref, width, height, depth, label,
+bbox, transform, mode, mask) / ``estimated_scale`` / ``estimated_ppi``
+/ ``estimated_default_render_res`` / ``hyperlinks`` /
+``has_text_layer`` / ``page_without_images_color_mode``.
 
-One divergence: the reference classifies colour mode by *rendering* the
-page with images removed (PyMuPDF); without a raster engine we classify
-from the image data itself plus content-stream inspection, which covers
-the scanned-book corpus this tool targets.
+Colour mode is classified by rendering the page with images removed
+through the in-tree rasterizer (reference semantics,
+``bin/pdf-metadata-json:61-114``); image placements (bbox/transform in
+top-left-origin coordinates, like fitz) come from a paint-free pass of
+the same interpreter.
 """
 
 import argparse
@@ -21,11 +27,23 @@ import sys
 import numpy as np
 from PIL import Image
 
+from ..const import VERSION
 from ..pdf.reader import PdfReader
+
+ANALYSIS_VERSION = '0.0.1'
+SPEC_VERSION = '0.0.1'
+
+
+def _round2(x):
+    return round(float(x), 2)
+
+
+def _round_list(v):
+    return [_round2(x) for x in v]
 
 
 def _classify_pixels(arr):
-    """Bitonal / Grayscale / RGB from decoded pixels."""
+    """PIL-ish image mode from decoded pixels: '1' / 'L' / 'RGB'."""
     if arr.ndim == 3:
         if (arr[..., 0] == arr[..., 1]).all() and \
                 (arr[..., 1] == arr[..., 2]).all():
@@ -34,129 +52,194 @@ def _classify_pixels(arr):
             return 'RGB'
     vals = np.unique(arr)
     if len(vals) <= 2:
+        return '1'
+    return 'L'
+
+
+def _image_mode(reader, stream, sample_pixels):
+    """PIL-style mode string for an image XObject (the reference reads
+    it off a fitz pixmap, ``bin/pdf-metadata-json:116-190``)."""
+    raw, filt, w, h, cs = reader.extract_image(stream)
+    bpc = reader.resolve(stream.dict.get('BitsPerComponent'))
+    if bpc == 1:
+        return '1', bpc
+    if sample_pixels and filt in ('DCTDecode', 'JPXDecode'):
+        try:
+            img = Image.open(io.BytesIO(raw))
+            img.thumbnail((256, 256))
+            return _classify_pixels(np.asarray(img.convert('RGB'))), bpc
+        except Exception:
+            pass
+    if cs == 'DeviceRGB':
+        return 'RGB', bpc
+    if cs in ('DeviceGray', None):
+        return 'L', bpc
+    return 'RGB', bpc
+
+
+def get_scale_from_image_data(image_data):
+    """Reference formula (``bin/pdf-metadata-json:192-219``)."""
+    if image_data:
+        scale_x = 1.0
+        scale_y = 1.0
+        for info in image_data:
+            bbox = info['bbox']
+            width = info['width']
+            height = info['height']
+            bbox_w = abs(bbox[2] - bbox[0])
+            bbox_h = abs(bbox[3] - bbox[1])
+            if 0 < bbox_w < width:
+                scale_x = width / bbox_w
+            if 0 < bbox_h < height:
+                scale_y = height / bbox_h
+        return max(scale_x, scale_y)
+    return 300.0 / 72.0
+
+
+def get_recommended_image_format_from_page_data(page_data):
+    """Reference policy (``bin/pdf-metadata-json:223-258``): 'RGB',
+    'Grayscale' or 'Bitonal'."""
+    page_colour_modes = [x['page_without_images_color_mode']
+                         for x in page_data]
+    if 'RGB' in page_colour_modes:
+        return 'RGB'
+    if not any(x.get('image_data') for x in page_data):
+        if 'Grayscale' in page_colour_modes:
+            return 'Grayscale'
+        if 'Bitonal' in page_colour_modes:
+            return 'Bitonal'
         return 'Bitonal'
-    return 'Grayscale'
+    flattened = [im['mode'] for x in page_data
+                 for im in x.get('image_data', [])]
+    if 'RGB' in flattened or 'RGBA' in flattened:
+        return 'RGB'
+    if 'Grayscale' in page_colour_modes:
+        return 'Grayscale'
+    if 'L' in flattened or 'LA' in flattened:
+        return 'Grayscale'
+    if '1' in flattened:
+        return 'Bitonal'
+    return 'Bitonal'
+
+
+def _bbox_from_transform(tm):
+    xs = []
+    ys = []
+    for (ux, uy) in ((0, 0), (1, 0), (0, 1), (1, 1)):
+        xs.append(tm[0] * ux + tm[2] * uy + tm[4])
+        ys.append(tm[1] * ux + tm[3] * uy + tm[5])
+    return [min(xs), min(ys), max(xs), max(ys)]
 
 
 def analyse_page(reader, idx, sample_pixels=True):
+    from ..pdf.raster import page_colour_mode, image_placements
+    page = reader.pages()[idx]
     page_w, page_h = reader.page_size(idx)
-    images = []
-    modes = set()
-    for name, num, stream in reader.page_images(idx):
-        raw, filt, w, h, cs = reader.extract_image(stream)
-        smask = reader.resolve(stream.dict.get('SMask'))
-        bpc = reader.resolve(stream.dict.get('BitsPerComponent'))
-        entry = {
-            'name': name,
-            'xref': num,
-            'width': w,
-            'height': h,
-            'filter': filt,
-            'colorspace': cs,
-            'bpc': bpc,
-            'has-mask': smask is not None,
-            'size': len(raw),
-        }
-        mode = None
-        if bpc == 1:
-            mode = 'Bitonal'
-        elif cs == 'DeviceRGB':
-            mode = 'RGB'
-        elif cs == 'DeviceGray':
-            mode = 'Grayscale'
-        if sample_pixels and filt in ('DCTDecode', 'JPXDecode'):
-            try:
-                img = Image.open(io.BytesIO(raw))
-                img.thumbnail((256, 256))
-                mode = _classify_pixels(np.asarray(img))
-            except Exception:
-                pass
-        entry['mode'] = mode
-        if mode:
-            modes.add(mode)
-        images.append(entry)
 
-    contents = reader.page_contents(idx)
-    has_text = bool(re.search(rb'\bTj\b|\bTJ\b', contents))
-
-    # vector/text colour: render the page with image XObjects skipped
-    # (reference parity, bin/pdf-metadata-json:61-114) and classify the
-    # remaining marks.  All-white pages classify Bitonal, exactly like
-    # the reference's min/max test on a blank pixmap.
-    from ..pdf.raster import page_colour_mode
-    try:
-        vec_mode = page_colour_mode(reader, idx)
-    except Exception:
-        vec_mode = None
-    if vec_mode is not None:
-        # union with the image modes; the widest wins below (a blank
-        # render classifies Bitonal, matching the reference's min/max
-        # test on an empty pixmap)
-        modes.add(vec_mode)
-    # estimated PPI if the page is one full-bleed image
-    ppi = None
-    if images:
-        big = max(images, key=lambda i: i['width'] * i['height'])
-        if page_w > 0:
-            ppi = round(big['width'] / (page_w / 72.0), 2)
-
-    if 'RGB' in modes:
-        colour = 'RGB'
-    elif 'Grayscale' in modes:
-        colour = 'Grayscale'
-    elif 'Bitonal' in modes:
-        colour = 'Bitonal'
-    else:
-        colour = 'Unknown'
-
-    return {
-        'page': idx,
-        'width': page_w,
-        'height': page_h,
-        'images': images,
-        'colour-mode': colour,
-        'has-text': has_text,
-        'estimated-ppi': ppi,
+    page_data = {
+        'page_number': idx,
+        'page_rotation': int(reader.resolve(page.get('Rotate')) or 0),
+        'page_language': None,
+        'page_rect': _round_list([0, 0, page_w, page_h]),
     }
 
+    placements = {}
+    try:
+        for name, tm in image_placements(reader, idx):
+            placements.setdefault(name, []).append(tm)
+    except Exception:
+        pass
 
-def recommended_format(page_reports):
-    """Imagestack recommendation (``bin/pdf-metadata-json:223-258``
-    policy): all-bitonal -> CCITT TIFFs, otherwise JPEG2000."""
-    modes = {p['colour-mode'] for p in page_reports}
-    if modes <= {'Bitonal', 'Unknown'}:
-        return 'tiff'
-    return 'jp2'
+    image_data = []
+    for name, num, stream in reader.page_images(idx):
+        if name not in placements:
+            # like the reference: resources can list images the content
+            # stream never draws — skip them
+            continue
+        tm = placements[name][0]
+        mode, bpc = _image_mode(reader, stream, sample_pixels)
+        entry = {
+            'xref': num,
+            'width': int(reader.resolve(stream.dict['Width'])),
+            'height': int(reader.resolve(stream.dict['Height'])),
+            'depth': int(bpc or 8),
+            'label': name,
+            'bbox': _round_list(_bbox_from_transform(tm)),
+            'transform': _round_list(tm),
+            'mode': mode,
+            'mask': None,
+        }
+        smask = reader.resolve(stream.dict.get('SMask'))
+        if smask is not None:
+            mmode, mbpc = _image_mode(reader, smask, sample_pixels)
+            entry['mask'] = {
+                'xref': None,
+                'width': int(reader.resolve(smask.dict['Width'])),
+                'height': int(reader.resolve(smask.dict['Height'])),
+                'depth': int(mbpc or 8),
+                'mode': mmode,
+            }
+        image_data.append(entry)
+
+    scale = get_scale_from_image_data(image_data)
+    if page_w * scale > 10000 or page_h * scale > 10000:
+        scale = min(10000 / max(page_w, 1), 10000 / max(page_h, 1))
+    page_data['estimated_scale'] = _round2(scale)
+    page_data['estimated_ppi'] = int(72 * scale)
+    page_data['estimated_default_render_res'] = _round_list(
+        [v * scale for v in [0, 0, page_w, page_h]])
+
+    link_uri = []
+    annots = reader.resolve(page.get('Annots')) or []
+    for aref in annots:
+        a = reader.resolve(aref)
+        if not a or str(reader.resolve(a.get('Subtype'))) != 'Link':
+            continue
+        action = reader.resolve(a.get('A')) or {}
+        uri = reader.resolve(action.get('URI'))
+        if uri is None:
+            continue
+        rect = [float(reader.resolve(v))
+                for v in (reader.resolve(a.get('Rect')) or [0, 0, 0, 0])]
+        link_uri.append({
+            'uri': uri.decode('utf-8', 'replace')
+                   if isinstance(uri, bytes) else str(uri),
+            'xref': getattr(aref, 'num', None),
+            'bbox': _round_list(rect),
+        })
+
+    contents = reader.page_contents(idx)
+    page_data['has_text_layer'] = bool(
+        re.search(rb'\bTj\b|\bTJ\b', contents))
+    if link_uri:
+        page_data['hyperlinks'] = link_uri
+    if image_data:
+        page_data['image_data'] = image_data
+
+    try:
+        page_data['page_without_images_color_mode'] = \
+            page_colour_mode(reader, idx)
+    except Exception:
+        page_data['page_without_images_color_mode'] = 'Bitonal'
+
+    return page_data
 
 
 def analyse(path, sample_pixels=True):
     reader = PdfReader(path)
-    pages = [analyse_page(reader, i, sample_pixels=sample_pixels)
-             for i in range(reader.page_count())]
-    info = reader.info()
-
-    def _s(v):
-        if isinstance(v, bytes):
-            return v.decode('utf-8', 'replace')
-        return v
-
-    links = []
-    for idx in range(reader.page_count()):
-        annots = reader.resolve(reader.pages()[idx].get('Annots')) or []
-        for a in annots:
-            a = reader.resolve(a)
-            if a and str(reader.resolve(a.get('Subtype'))) == 'Link':
-                links.append({'page': idx})
-
-    return {
-        'pages': pages,
-        'page-count': reader.page_count(),
-        'metadata': {str(k): _s(reader.resolve(v))
-                     for k, v in info.items()},
-        'has-xmp': reader.xmp_metadata() is not None,
-        'hyperlinks': links,
-        'recommended-imagestack-format': recommended_format(pages),
+    res = {
+        'version': {
+            'analysis': ANALYSIS_VERSION,
+            'spec': SPEC_VERSION,
+            'framework': VERSION,
+        },
+        'page_count': reader.page_count(),
+        'page_data': [analyse_page(reader, i, sample_pixels=sample_pixels)
+                      for i in range(reader.page_count())],
     }
+    res['imagestack_image_format'] = \
+        get_recommended_image_format_from_page_data(res['page_data'])
+    return res
 
 
 def main(argv=None):

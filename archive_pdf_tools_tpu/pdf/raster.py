@@ -293,6 +293,7 @@ class _ContentLexer:
 class Rasterizer:
     def __init__(self, reader):
         self.reader = reader
+        self._record = None
 
     # ---- public API ----------------------------------------------------
 
@@ -551,6 +552,8 @@ class Rasterizer:
                     if isinstance(xo, PStream):
                         sub = str(r.resolve(xo.dict.get('Subtype')))
                         if sub == 'Image':
+                            if self._record is not None:
+                                self._record.append((name, gs.ctm))
                             if not self.skip_images:
                                 self._draw_image(canvas, gs, xo)
                         elif sub == 'Form':
@@ -1064,6 +1067,31 @@ class Rasterizer:
             region[inside] = blended[inside]
         else:
             region[inside] = src[inside]
+
+
+def image_placements(reader, idx):
+    """[(name, transform)] for every image Do executed on page ``idx``,
+    in draw order, without painting.  Transforms map the unit square to
+    the placed quad in TOP-LEFT-origin page coordinates (the fitz
+    convention the reference's pdf-metadata-json reports,
+    ``bin/pdf-metadata-json:294-321``)."""
+    r = reader
+    page = r.pages()[idx]
+    box = r._inherited(page, 'MediaBox') or [0, 0, 612, 792]
+    box = [float(r.resolve(v)) for v in box]
+    ras = Rasterizer(r)
+    ras.skip_images = True
+    ras._record = []
+    gs = _GState()
+    # 1:1 scale, y flipped so coordinates are top-left origin
+    gs.ctm = (1.0, 0.0, 0.0, -1.0, -box[0], box[3])
+    res = r._inherited(page, 'Resources') or {}
+    canvas = np.zeros((1, 1, 3), np.float32)   # nothing paints
+    try:
+        ras._execute(r.page_contents(idx), res, canvas, gs, depth=0)
+    except Exception:
+        pass
+    return ras._record
 
 
 _INLINE_ABBREV = {'W': 'Width', 'H': 'Height', 'BPC': 'BitsPerComponent',

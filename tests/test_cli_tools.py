@@ -57,18 +57,25 @@ class TestPdfMetadataJson:
     def test_analyse(self, book_pdf):
         path, hocr = book_pdf
         rep = analyse(path)
-        assert rep['page-count'] == 2
-        assert rep['pages'][0]['has-text']
-        assert len(rep['pages'][0]['images']) == 2
-        assert rep['recommended-imagestack-format'] == 'jp2'
-        assert rep['pages'][0]['estimated-ppi'] is not None
+        # reference JSON schema (bin/pdf-metadata-json:260-410):
+        # pdf-to-hocr -J consumes these exact keys
+        assert rep['page_count'] == 2
+        pd = rep['page_data'][0]
+        assert pd['has_text_layer']
+        assert len(pd['image_data']) == 2
+        for im in pd['image_data']:
+            assert {'xref', 'width', 'height', 'depth', 'label',
+                    'bbox', 'transform', 'mode', 'mask'} <= set(im)
+        assert rep['imagestack_image_format'] in ('Grayscale', 'RGB')
+        assert pd['estimated_ppi'] >= 72
+        assert pd['estimated_scale'] > 0
 
     def test_cli(self, book_pdf, tmp_path, capsys):
         path, _ = book_pdf
         out = str(tmp_path / 'meta.json')
         assert meta_main([path, out]) == 0
         rep = json.loads(open(out).read())
-        assert rep['page-count'] == 2
+        assert rep['page_count'] == 2
 
     def test_vector_colour_detected(self, tmp_path):
         """Colour set only by vector operators (no images) must flip the
@@ -87,7 +94,8 @@ class TestPdfMetadataJson:
             path = str(tmp_path / ('v_%s.pdf' % want))
             b.save(path)
             rep = analyse(path, sample_pixels=False)
-            assert rep['pages'][0]['colour-mode'] == want, want
+            got = rep['page_data'][0]['page_without_images_color_mode']
+            assert got == want, want
 
 
 class TestCompressPdfImages:

@@ -131,17 +131,17 @@ class TestCliIntegration:
     def test_metadata_json_vector_colour(self):
         from archive_pdf_tools_tpu.cli.pdf_metadata_json import \
             analyse_page
+        key = 'page_without_images_color_mode'
         r = _doc_with_ops(b'0.9 0.2 0.2 rg 10 10 100 100 re f')
-        rep = analyse_page(r, 0)
-        assert rep['colour-mode'] == 'RGB'
+        assert analyse_page(r, 0)[key] == 'RGB'
         # NB: a page whose render has exactly two values classifies
         # Bitonal — the reference's min/max pixmap test does the same
         # (bin/pdf-metadata-json:96-108); Grayscale needs >= 3 levels
         r2 = _doc_with_ops(b'0.5 g 10 10 100 100 re f '
                            b'0.2 g 120 10 50 50 re f')
-        assert analyse_page(r2, 0)['colour-mode'] == 'Grayscale'
+        assert analyse_page(r2, 0)[key] == 'Grayscale'
         r3 = _doc_with_ops(b'0 g 10 10 100 100 re f')
-        assert analyse_page(r3, 0)['colour-mode'] == 'Bitonal'
+        assert analyse_page(r3, 0)[key] == 'Bitonal'
 
     def test_imagestack_vector_only_page(self, tmp_path):
         from archive_pdf_tools_tpu.cli.pdf_to_imagestack import main
