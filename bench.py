@@ -17,6 +17,10 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+# persistent compile cache: kernel compiles go through a remote service
+# (20-90 s each); without the cache a cold bench can exceed a 10-minute
+# budget (see CLAUDE.md)
+os.environ.setdefault('JAX_COMPILATION_CACHE_DIR', '/tmp/jax_cache_apt')
 
 import numpy as np
 
@@ -113,7 +117,8 @@ def main():
     # host heuristics and device<->host readbacks included.  Smaller
     # batch: the sigma/selector readbacks serialize on the host link.
     pipe_pages_per_sec = None
-    if os.environ.get('BENCH_SKIP_PIPELINE') != '1':
+    try:
+      if os.environ.get('BENCH_SKIP_PIPELINE') != '1':
         from archive_pdf_tools_tpu.mrc.api import (decompose_masks,
                                                    decompose_layers)
         pbatch = int(os.environ.get('BENCH_PIPELINE_BATCH',
@@ -146,6 +151,9 @@ def main():
         t0 = time.perf_counter()
         pipe_step()
         pipe_pages_per_sec = pbatch / (time.perf_counter() - t0)
+    except Exception as exc:   # never lose the primary metric
+        print('pipeline-level bench failed: %r' % (exc,),
+              file=sys.stderr)
 
     metric = '%ddpi_%sfull_mrc_decompose_pages_per_sec_per_chip' \
         % (dpi, 'rgb_' if rgb else '')
