@@ -345,22 +345,32 @@ def _validate_codestream(cs, strict_profile=True):
     sqcd = qcd[0]
     guard = sqcd >> 5
     style = sqcd & 0x1F
-    if style != 0x02:
-        if not strict_profile and style in (0x00, 0x01):
+    nbands = 3 * levels + 1
+    if style == 0x02:
+        # scalar expounded (the in-tree encoder): u16 per band
+        if len(qcd) != 1 + 2 * nbands:
+            _fail('QCD carries %d bands, expected %d'
+                  % ((len(qcd) - 1) // 2, nbands))
+        eps_mu = []
+        for i in range(nbands):
+            v = struct.unpack('>H', qcd[1 + 2 * i:3 + 2 * i])[0]
+            eps_mu.append((v >> 11, v & 0x7FF))
+    elif style == 0x00:
+        # 'no quantization' (reversible 5/3, what Pillow/OpenJPEG emit
+        # by default): one u8 exponent per band — the packet walk is
+        # transform-independent, so strict-walk these too
+        if len(qcd) != 1 + nbands:
+            _fail('QCD (style 0) carries %d bands, expected %d'
+                  % (len(qcd) - 1, nbands))
+        eps_mu = [(qcd[1 + i] >> 3, 0) for i in range(nbands)]
+    else:
+        if not strict_profile and style == 0x01:
             return {'w': w, 'h': h, 'ncomp': ncomp, 'ssiz': ssiz,
                     'levels': levels, 'guard': guard,
                     'transform': transform, 'blocks': None,
                     'included': None, 'progression': prog, 'mct': mct,
                     'packet_walk': False}
-        _fail('expected scalar expounded quantization, Sqcd=%#x' % sqcd)
-    nbands = 3 * levels + 1
-    if len(qcd) != 1 + 2 * nbands:
-        _fail('QCD carries %d bands, expected %d'
-              % ((len(qcd) - 1) // 2, nbands))
-    eps_mu = []
-    for i in range(nbands):
-        v = struct.unpack('>H', qcd[1 + 2 * i:3 + 2 * i])[0]
-        eps_mu.append((v >> 11, v & 0x7FF))
+        _fail('unsupported quantization style, Sqcd=%#x' % sqcd)
 
     # ---- tile part ----
     if cs[pos:pos + 2] != b'\xff\x90':

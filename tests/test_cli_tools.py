@@ -255,3 +255,26 @@ class TestStrictWellFormedness:
         out = str(tmp_path / 'c.pdf')
         assert comp_main([src, hocr, out, '--dpi', '100']) == 0
         self._strict_parse(out)
+
+
+class TestPdfcomp:
+    def test_pdfcomp_with_hocr(self, jpeg_pdf, tmp_path, capsys):
+        from archive_pdf_tools_tpu.cli.pdfcomp import main as pdfcomp_main
+        src, hocr = jpeg_pdf
+        out = str(tmp_path / 'pc.pdf')
+        assert pdfcomp_main([src, out, '--hocr', hocr]) == 0
+        cap = capsys.readouterr()
+        assert 'Compression factor:' in cap.out
+        r = PdfReader(out)
+        assert r.page_count() == 2
+        names = {n for n, _, _ in r.page_images(0)}
+        assert 'MRCbg' in names
+
+    def test_pdfcomp_without_hocr(self, jpeg_pdf, tmp_path, capsys):
+        # no pdf-to-hocr binary in this environment: must still
+        # compress without text-guided masks
+        from archive_pdf_tools_tpu.cli.pdfcomp import main as pdfcomp_main
+        src, _hocr = jpeg_pdf
+        out = str(tmp_path / 'pc2.pdf')
+        assert pdfcomp_main([src, out]) == 0
+        assert PdfReader(out).page_count() == 2

@@ -172,8 +172,12 @@ class TestJp2SpecValidator:
         buf = io.BytesIO()
         img.save(buf, format='JPEG2000',
                  quality_mode='rates', quality_layers=[50])
-        facts = validate_jp2(buf.getvalue(), strict_profile=False)
+        facts = validate_jp2(buf.getvalue())
         assert facts['w'] == 140 and facts['h'] == 120
+        # OpenJPEG's reversible streams strict-walk too (QCD style 0):
+        # agreement with a fully independent encoder's Tier-2 framing
+        # cross-validates the walker itself
+        assert facts['packet_walk']
 
     def test_rejects_packet_header_bitflip(self):
         # flips in the first packet's HEADER bytes must derail the walk
