@@ -143,20 +143,22 @@ def analyse_page(reader, idx, sample_pixels=True):
         'page_rect': _round_list([0, 0, page_w, page_h]),
     }
 
-    placements = {}
     try:
-        for name, tm in image_placements(reader, idx):
-            placements.setdefault(name, []).append(tm)
+        records = image_placements(reader, idx)
     except Exception:
-        pass
+        records = []
 
+    # draw-order records carry the stream resolved through the
+    # resources ACTIVE at draw time, so images living inside Form
+    # XObjects are inventoried too (and name collisions between page-
+    # and form-level resources cannot mismatch)
     image_data = []
-    for name, num, stream in reader.page_images(idx):
-        if name not in placements:
-            # like the reference: resources can list images the content
-            # stream never draws — skip them
-            continue
-        tm = placements[name][0]
+    seen = set()
+    for name, tm, num, stream in records:
+        key = (name, num)
+        if key in seen:
+            continue       # one entry per image, first placement wins
+        seen.add(key)
         mode, bpc = _image_mode(reader, stream, sample_pixels)
         entry = {
             'xref': num,

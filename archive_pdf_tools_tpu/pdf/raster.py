@@ -23,10 +23,11 @@ need:
     SMask alpha and ImageMask stencils (decode via the same per-filter
     path the recode pipeline uses: DCT/JPX through Pillow, JBIG2 and
     CCITT through the in-tree codecs);
-  * Form XObjects (Matrix + BBox clip, recursive).
+  * Form XObjects (Matrix + BBox clip, recursive), inline images
+    (BI/ID/EI), axial/radial shadings with Type 2/3 functions.
 
-Deliberately out of scope: glyph outlines, shading interpolation
-(painted 50% gray), halftones/transfer functions, blend modes.
+Deliberately out of scope: glyph outlines, mesh shadings (painted 50%
+gray), halftones/transfer functions, blend modes.
 """
 
 import io
@@ -69,6 +70,12 @@ def _cmyk_to_rgb(c, m, y, k):
     return (max(0.0, 1.0 - min(1.0, c + k)),
             max(0.0, 1.0 - min(1.0, m + k)),
             max(0.0, 1.0 - min(1.0, y + k)))
+
+
+def _cmyk_to_rgb_arr(c, m, y, k):
+    return (np.clip(1 - np.minimum(1, c + k), 0, 1),
+            np.clip(1 - np.minimum(1, m + k), 0, 1),
+            np.clip(1 - np.minimum(1, y + k), 0, 1))
 
 
 class _GState:
@@ -171,6 +178,12 @@ class _ContentLexer:
         kw = d[start:self.pos].decode('latin-1', 'replace')
         if kw == 'BI':
             return self._inline_image()
+        if kw == 'true':
+            return True
+        if kw == 'false':
+            return False
+        if kw == 'null':
+            return None
         return ('op', kw)
 
     def _name(self):
@@ -269,10 +282,13 @@ class _ContentLexer:
             val = self._next()
             if isinstance(tok, PName):
                 params[str(tok)] = val
-        # exactly one whitespace byte after ID, then binary data to EI
+        # one whitespace byte after ID (writers emitting CRLF get both
+        # consumed, like mupdf/pdf.js), then binary data to EI
         if self.pos < len(self.data) and \
                 self.data[self.pos] in self._WS:
-            self.pos += 1
+            crlf = self.data[self.pos] == 0x0D and \
+                self.data[self.pos + 1:self.pos + 2] == b'\n'
+            self.pos += 2 if crlf else 1
         pos = self.pos
         while True:
             e = self.data.find(b'EI', pos)
@@ -553,7 +569,10 @@ class Rasterizer:
                         sub = str(r.resolve(xo.dict.get('Subtype')))
                         if sub == 'Image':
                             if self._record is not None:
-                                self._record.append((name, gs.ctm))
+                                ref = xobjs.get(name)
+                                num = getattr(ref, 'num', None)
+                                self._record.append(
+                                    (name, gs.ctm, num, xo))
                             if not self.skip_images:
                                 self._draw_image(canvas, gs, xo)
                         elif sub == 'Form':
@@ -830,7 +849,7 @@ class Rasterizer:
                 return      # LZW/unknown: not emitted by our targets
         cs = p.get('ColorSpace')
         cs = _INLINE_CS.get(str(cs), str(cs) if cs else None)
-        is_mask = bool(p.get('ImageMask'))
+        is_mask = p.get('ImageMask') is True
         if is_mask or bpc == 1:
             stride = (w + 7) // 8
             bits = np.unpackbits(
@@ -849,7 +868,10 @@ class Rasterizer:
                 self._paint_sampled(canvas, gs, arr, None)
             return
         ncomp = {'DeviceGray': 1, 'DeviceRGB': 3,
-                 'DeviceCMYK': 4}.get(cs, 1)
+                 'DeviceCMYK': 4}.get(cs)
+        if ncomp is None:
+            # named colour space: resolve via the page resources
+            ncomp = self._cs_components(resources, cs or 'DeviceGray')
         if bpc != 8 or len(data) < w * h * ncomp:
             return
         arr = np.frombuffer(data[:w * h * ncomp], np.uint8) \
@@ -857,10 +879,8 @@ class Rasterizer:
         if ncomp == 1:
             arr = arr.repeat(3, axis=-1)
         elif ncomp == 4:
-            c, m, y, k = (arr[..., i] for i in range(4))
-            arr = np.stack([np.clip(1 - np.minimum(1, c + k), 0, 1),
-                            np.clip(1 - np.minimum(1, m + k), 0, 1),
-                            np.clip(1 - np.minimum(1, y + k), 0, 1)],
+            arr = np.stack(_cmyk_to_rgb_arr(*(arr[..., i]
+                                              for i in range(4))),
                            axis=-1)
         self._paint_sampled(canvas, gs, arr, None)
 
@@ -941,48 +961,70 @@ class Rasterizer:
         inv = _mat_inv(gs.ctm)
         if inv is None:
             return
-        ys, xs = np.mgrid[0:H, 0:W]
-        a, b, c, dd, e, f = inv
-        ux = a * (xs + 0.5) + c * (ys + 0.5) + e
-        uy = b * (xs + 0.5) + dd * (ys + 0.5) + f
         if stype == 2 and len(coords) >= 4:
-            x0, y0, x1, y1 = coords[:4]
-            dx, dy = x1 - x0, y1 - y0
-            denom = max(dx * dx + dy * dy, 1e-9)
-            t = ((ux - x0) * dx + (uy - y0) * dy) / denom
+            pass
         elif stype == 3 and len(coords) >= 6:
-            x0, y0, _r0, x1, y1, r1 = coords[:6]
-            # approximate: parameter from distance to the outer circle
-            dist = np.sqrt((ux - x1) ** 2 + (uy - y1) ** 2)
-            t = np.clip(dist / max(r1, 1e-9), 0.0, 1.0)
+            pass
         else:
             self._fill_clip(canvas, gs, (0.5, 0.5, 0.5))
             return
-        t = np.clip(t, 0.0, 1.0)
-        vals = self._eval_function(fn, t.ravel())
-        if vals is None:
-            self._fill_clip(canvas, gs, (0.5, 0.5, 0.5))
-            return
-        ncomp = vals.shape[-1]
-        if ncomp == 1:
-            rgbv = np.repeat(vals, 3, axis=-1)
-        elif ncomp == 4:
-            cc, mm, yy2, kk = (vals[:, i] for i in range(4))
-            rgbv = np.stack([1 - np.minimum(1, cc + kk),
-                             1 - np.minimum(1, mm + kk),
-                             1 - np.minimum(1, yy2 + kk)], axis=-1)
-        else:
-            rgbv = vals[:, :3]
-        img = np.clip(rgbv.reshape(H, W, 3), 0, 1) * 255.0
+        # paint only the clip's bounding rows, in row chunks of f32 —
+        # a full-page f64 evaluation at 600 ppi allocates gigabytes
         if gs.clip is not None:
-            canvas[gs.clip] = img[gs.clip]
+            rows = np.flatnonzero(gs.clip.any(axis=1))
+            cols = np.flatnonzero(gs.clip.any(axis=0))
+            if not len(rows):
+                return
+            ry0, ry1 = int(rows[0]), int(rows[-1]) + 1
+            cx0, cx1 = int(cols[0]), int(cols[-1]) + 1
         else:
-            canvas[:, :] = img
+            ry0, ry1, cx0, cx1 = 0, H, 0, W
+        a, b, c, dd, e, f = inv
+        for y0c in range(ry0, ry1, 256):
+            y1c = min(y0c + 256, ry1)
+            ys, xs = np.mgrid[y0c:y1c, cx0:cx1]
+            ux = (a * (xs + 0.5) + c * (ys + 0.5) + e).astype(np.float32)
+            uy = (b * (xs + 0.5) + dd * (ys + 0.5) + f) \
+                .astype(np.float32)
+            if stype == 2:
+                x0, y0, x1, y1 = coords[:4]
+                dx, dy = x1 - x0, y1 - y0
+                denom = max(dx * dx + dy * dy, 1e-9)
+                t = ((ux - x0) * dx + (uy - y0) * dy) / denom
+            else:
+                x0, y0, _r0, x1, y1, r1 = coords[:6]
+                # approximate: parameter from distance to outer circle
+                dist = np.sqrt((ux - x1) ** 2 + (uy - y1) ** 2)
+                t = dist / max(r1, 1e-9)
+            t = np.clip(t, 0.0, 1.0)
+            vals = self._eval_function(fn, t.ravel())
+            if vals is None:
+                self._fill_clip(canvas, gs, (0.5, 0.5, 0.5))
+                return
+            ncomp = vals.shape[-1]
+            if ncomp == 1:
+                rgbv = np.repeat(vals, 3, axis=-1)
+            elif ncomp == 4:
+                rgbv = np.stack(
+                    _cmyk_to_rgb_arr(vals[:, 0], vals[:, 1],
+                                     vals[:, 2], vals[:, 3]), axis=-1)
+            else:
+                rgbv = vals[:, :3]
+            img = np.clip(rgbv.reshape(y1c - y0c, cx1 - cx0, 3),
+                          0, 1).astype(np.float32) * 255.0
+            region = canvas[y0c:y1c, cx0:cx1]
+            if gs.clip is not None:
+                sel = gs.clip[y0c:y1c, cx0:cx1]
+                region[sel] = img[sel]
+            else:
+                region[:, :] = img
 
-    def _paint_sampled(self, canvas, gs, arr, stencil_alpha):
-        """Shared inverse-mapped painter for decoded sample arrays
-        (arr: (h, w, 3) float in [0,1], or None with a boolean stencil
-        painting the fill colour)."""
+    def _paint_sampled(self, canvas, gs, arr, stencil_alpha,
+                       blend_alpha=None):
+        """Shared inverse-mapped painter for decoded sample arrays:
+        arr (h, w, 3) float in [0,1] (with an optional (h, w) float
+        blend_alpha for SMask compositing), or arr=None with a boolean
+        stencil painting the fill colour."""
         H, W = canvas.shape[:2]
         inv = _mat_inv(gs.ctm)
         if inv is None:
@@ -1015,64 +1057,29 @@ class Rasterizer:
         ih, iw = arr.shape[:2]
         sx = np.clip((u * iw).astype(np.int64), 0, iw - 1)
         sy = np.clip(((1 - v) * ih).astype(np.int64), 0, ih - 1)
-        region[inside] = (arr[sy, sx] * 255.0)[inside]
+        src = arr[sy, sx] * 255.0
+        if blend_alpha is not None:
+            av = blend_alpha[sy, sx][..., None]
+            src = av * src + (1 - av) * region
+        region[inside] = src[inside]
 
     def _draw_image(self, canvas, gs, stream):
-        H, W = canvas.shape[:2]
-        inv = _mat_inv(gs.ctm)
-        if inv is None:
-            return
-        # device bbox of the unit square
-        corners = [_mat_apply(gs.ctm, x, y)
-                   for (x, y) in ((0, 0), (1, 0), (0, 1), (1, 1))]
-        x0 = max(0, int(np.floor(min(p[0] for p in corners))))
-        x1 = min(W, int(np.ceil(max(p[0] for p in corners))))
-        y0 = max(0, int(np.floor(min(p[1] for p in corners))))
-        y1 = min(H, int(np.ceil(max(p[1] for p in corners))))
-        if x0 >= x1 or y0 >= y1:
-            return
         try:
             arr, alpha = self._decode_image_array(stream)
         except Exception:
             return
-        ys, xs = np.mgrid[y0:y1, x0:x1]
-        xc = xs + 0.5
-        yc = ys + 0.5
-        a, b, c, d, e, f = inv
-        u = a * xc + c * yc + e
-        v = b * xc + d * yc + f
-        inside = (u >= 0) & (u < 1) & (v >= 0) & (v < 1)
-        if gs.clip is not None:
-            inside &= gs.clip[y0:y1, x0:x1]
-        if not inside.any():
-            return
         if arr is None:
-            # stencil mask: paint fill colour where alpha
-            ih, iw = alpha.shape
-            sx = np.clip((u * iw).astype(np.int64), 0, iw - 1)
-            sy = np.clip(((1 - v) * ih).astype(np.int64), 0, ih - 1)
-            paint = inside & alpha[sy, sx]
-            col = np.array(gs.fill, np.float32) * 255.0
-            region = canvas[y0:y1, x0:x1]
-            region[paint] = col
-            return
-        ih, iw = arr.shape[:2]
-        sx = np.clip((u * iw).astype(np.int64), 0, iw - 1)
-        sy = np.clip(((1 - v) * ih).astype(np.int64), 0, ih - 1)
-        src = arr[sy, sx] * 255.0
-        region = canvas[y0:y1, x0:x1]
-        if alpha is not None:
-            av = alpha[sy, sx][..., None]
-            blended = av * src + (1 - av) * region
-            region[inside] = blended[inside]
+            self._paint_sampled(canvas, gs, None, alpha)
         else:
-            region[inside] = src[inside]
+            self._paint_sampled(canvas, gs, arr, None,
+                                blend_alpha=alpha)
 
 
 def image_placements(reader, idx):
-    """[(name, transform)] for every image Do executed on page ``idx``,
-    in draw order, without painting.  Transforms map the unit square to
-    the placed quad in TOP-LEFT-origin page coordinates (the fitz
+    """[(name, transform, xref_num, stream)] for every image Do
+    executed on page ``idx`` (Form XObject recursion included), in draw
+    order, without painting.  Transforms map the unit square to the
+    placed quad in TOP-LEFT-origin page coordinates (the fitz
     convention the reference's pdf-metadata-json reports,
     ``bin/pdf-metadata-json:294-321``)."""
     r = reader

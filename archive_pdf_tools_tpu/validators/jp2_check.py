@@ -319,16 +319,24 @@ def _validate_codestream(cs, strict_profile=True):
         struct.unpack('>BBHBBBBBB', cod[:10])
     if prog > 4:
         _fail('bad progression order %d' % prog)
-    if not strict_profile and (scod & 1 or layers != 1):
-        # foreign profile: box/marker checks only
-        return {'w': w, 'h': h, 'ncomp': ncomp, 'ssiz': ssiz,
-                'levels': levels, 'guard': None, 'transform': transform,
-                'blocks': None, 'included': None, 'progression': prog,
-                'mct': mct, 'packet_walk': False}
-    if scod & 1:
-        _fail('user precincts unexpected (Scod bit 0)')
-    if layers != 1:
-        _fail('expected single-layer codestream, got %d' % layers)
+    # the packet walk assumes: one layer, one precinct per resolution
+    # (Scod bit 0 clear), no SOP/EPH markers (bits 1-2 clear), and a
+    # resolution-major packet order — true for LRCP/RLCP/RPCL with a
+    # single layer and precinct, NOT for PCRL/CPRL (component-major)
+    walkable = (scod == 0 and layers == 1 and prog <= 2)
+    if not walkable:
+        if not strict_profile:
+            # foreign profile: box/marker checks only
+            return {'w': w, 'h': h, 'ncomp': ncomp, 'ssiz': ssiz,
+                    'levels': levels, 'guard': None,
+                    'transform': transform, 'blocks': None,
+                    'included': None, 'progression': prog, 'mct': mct,
+                    'packet_walk': False}
+        if scod:
+            _fail('precincts/SOP/EPH unexpected (Scod=%#x)' % scod)
+        if layers != 1:
+            _fail('expected single-layer codestream, got %d' % layers)
+        _fail('component-major progression %d not walkable' % prog)
     if mct not in (0, 1):
         _fail('bad MCT flag')
     if mct == 1 and ncomp < 3:
@@ -373,6 +381,26 @@ def _validate_codestream(cs, strict_profile=True):
         _fail('unsupported quantization style, Sqcd=%#x' % sqcd)
 
     # ---- tile part ----
+    try:
+        return _walk_tile(cs, pos, w, h, ncomp, ssiz, levels, guard,
+                          transform, prog, mct, cb_w, cb_h, eps_mu)
+    except Jp2ValidationError:
+        if strict_profile:
+            raise
+        # lenient mode: a legal foreign stream may use multiple
+        # tile-parts or other constructs the walk does not model —
+        # accept on box/marker-level checks alone
+        if b'\xff\xd9' not in cs[-4:]:
+            _fail('missing EOC')
+        return {'w': w, 'h': h, 'ncomp': ncomp, 'ssiz': ssiz,
+                'levels': levels, 'guard': guard,
+                'transform': transform, 'blocks': None,
+                'included': None, 'progression': prog, 'mct': mct,
+                'packet_walk': False}
+
+
+def _walk_tile(cs, pos, w, h, ncomp, ssiz, levels, guard, transform,
+               prog, mct, cb_w, cb_h, eps_mu):
     if cs[pos:pos + 2] != b'\xff\x90':
         _fail('missing SOT')
     lsot, isot, psot, tpsot, tnsot = struct.unpack('>HHIBB',

@@ -335,3 +335,53 @@ class TestInlineImagesAndShadings:
         assert 90 < mid[0] < 170 and 90 < mid[2] < 170
         from archive_pdf_tools_tpu.pdf.raster import page_colour_mode
         assert page_colour_mode(r, 0) == 'RGB'
+
+
+class TestFormXObjectImages:
+    def test_metadata_sees_form_wrapped_image(self, tmp_path):
+        # a scan image drawn only inside a Form XObject must still be
+        # inventoried (draw-order placement records carry the stream
+        # resolved via the form's own resources)
+        from archive_pdf_tools_tpu.pdf.writer import (PdfWriter, Name,
+                                                      Stream)
+        from archive_pdf_tools_tpu.cli.pdf_metadata_json import \
+            analyse_page
+        wr = PdfWriter()
+        cat = wr.reserve()
+        pages = wr.reserve()
+        arr = np.full((50, 40), 120, np.uint8)
+        img_ref = wr.add(Stream(
+            {Name('Type'): Name('XObject'),
+             Name('Subtype'): Name('Image'),
+             Name('Width'): 40, Name('Height'): 50,
+             Name('BitsPerComponent'): 8,
+             Name('ColorSpace'): Name('DeviceGray')},
+            arr.tobytes(), deflate=True))
+        form_ref = wr.add(Stream(
+            {Name('Type'): Name('XObject'),
+             Name('Subtype'): Name('Form'),
+             Name('BBox'): [0, 0, 1, 1],
+             Name('Resources'): {Name('XObject'):
+                                 {Name('FIm'): img_ref}}},
+            b'q 1 0 0 1 0 0 cm /FIm Do Q'))
+        content = wr.add(Stream(
+            {}, b'q 80 0 0 100 10 20 cm /Fx0 Do Q'))
+        page = wr.add({Name('Type'): Name('Page'), Name('Parent'): pages,
+                       Name('MediaBox'): [0, 0, 200, 150],
+                       Name('Contents'): content,
+                       Name('Resources'): {Name('XObject'):
+                                           {Name('Fx0'): form_ref}}})
+        wr.set(pages, {Name('Type'): Name('Pages'), Name('Kids'): [page],
+                       Name('Count'): 1})
+        wr.set(cat, {Name('Type'): Name('Catalog'), Name('Pages'): pages})
+        path = str(tmp_path / 'form.pdf')
+        with open(path, 'wb') as fp:
+            wr.save(fp, cat, None, b'0123456789abcdef')
+        r = PdfReader(path)
+        rep = analyse_page(r, 0)
+        assert len(rep['image_data']) == 1
+        im = rep['image_data'][0]
+        assert im['width'] == 40 and im['label'] == 'FIm'
+        # placed at (10, 20)-(90, 120) PDF coords -> top-left origin
+        assert abs(im['bbox'][0] - 10) < 0.01
+        assert abs(im['bbox'][2] - 90) < 0.01
