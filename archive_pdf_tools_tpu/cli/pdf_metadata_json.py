@@ -146,7 +146,13 @@ def analyse_page(reader, idx, sample_pixels=True):
     try:
         records = image_placements(reader, idx)
     except Exception:
-        records = []
+        # content stream unparsable: degrade to the resource inventory
+        # with a full-page placement rather than reporting no images
+        # (a successfully parsed page with undrawn images correctly
+        # reports none, like the reference)
+        records = [(name, (page_w, 0.0, 0.0, page_h, 0.0, 0.0),
+                    num, stream)
+                   for name, num, stream in reader.page_images(idx)]
 
     # draw-order records carry the stream resolved through the
     # resources ACTIVE at draw time, so images living inside Form
