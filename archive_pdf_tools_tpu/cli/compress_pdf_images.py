@@ -10,11 +10,9 @@ when Kakadu is absent.
 """
 
 import argparse
-import io
 import sys
 
 import numpy as np
-from PIL import Image
 
 from ..const import (COMPRESSOR_JBIG2, COMPRESSOR_JPEG2000,
                      JPEG2000_IMPL_KAKADU, JPEG2000_IMPL_PILLOW,
@@ -22,7 +20,7 @@ from ..const import (COMPRESSOR_JBIG2, COMPRESSOR_JPEG2000,
 from ..inputs.hocr import hocr_page_iterator, hocr_page_to_word_data
 from ..pdf.reader import PdfReader
 from ..pdf.rewrite import PdfRewriter, replace_image_ops
-from ..pdf.writer import Name, Ref, Stream
+from ..pdf.writer import Name, Stream
 from ..mrc.api import decompose_masks, decompose_layers
 from ..codecs.mrc_encode import encode_mrc_images
 from ..codecs.jpeg2000 import impl_available

@@ -31,11 +31,10 @@ gray), halftones/transfer functions, blend modes.
 """
 
 import io
-import re
 
 import numpy as np
 
-from .reader import PName, PRef, PStream
+from .reader import PName, PStream
 
 # matrices are (a, b, c, d, e, f): (x, y) -> (a x + c y + e,
 #                                             b x + d y + f)

@@ -27,9 +27,7 @@ import numpy as np
 
 def main():
     import jax
-    from archive_pdf_tools_tpu.mrc.step import (mrc_full_step,
-                                                mrc_full_step_pallas)
-    from __graft_entry__ import _example_inputs
+    from archive_pdf_tools_tpu.mrc.step import mrc_full_step_pallas
 
     batch = int(os.environ.get('BENCH_BATCH', '64'))
     rgb = os.environ.get('BENCH_MODE', 'gray') == 'rgb'

@@ -6,7 +6,6 @@ import io
 import zipfile
 
 import numpy as np
-import pytest
 from PIL import Image
 
 from archive_pdf_tools_tpu.pdf.builder import DocumentBuilder

@@ -3,8 +3,6 @@
 import io
 import os
 
-import numpy as np
-import pytest
 from PIL import Image
 
 from archive_pdf_tools_tpu.pipeline.recode import recode, guess_dpi
