@@ -452,24 +452,17 @@ def decode_text_region(data, syms):
             bmp = syms[sid]
             hh, ww = bmp.shape
             if transposed:
-                # S along y, T along x (6.4.5 step 3.c.ix)
-                x0 = ti
-                y0 = curs
-                if refcorner in (0, 1):   # BOTTOMLEFT / TOPLEFT
-                    pass
-                else:                     # *RIGHT: x adjusted
-                    x0 = ti - ww + 1
-                if refcorner in (0, 2):   # BOTTOM*: no y adj transposed
-                    pass
-                _compose(region, bmp, x0, y0, combop)
-                curs += hh - 1
-            else:
-                x0 = curs
-                y0 = ti
-                if refcorner in (0, 2):   # BOTTOMLEFT / BOTTOMRIGHT
-                    y0 = ti - hh + 1
-                _compose(region, bmp, x0, y0, combop)
-                curs += ww - 1
+                # not emitted by any encoder this validator certifies;
+                # refusing beats a silently wrong decode of a foreign
+                # stream (6.4.5 step 3.c.ix places S along y, T along x
+                # with its own refcorner adjustments)
+                _fail('transposed text regions unsupported')
+            x0 = curs
+            y0 = ti
+            if refcorner in (0, 2):       # BOTTOMLEFT / BOTTOMRIGHT
+                y0 = ti - hh + 1
+            _compose(region, bmp, x0, y0, combop)
+            curs += ww - 1
             done += 1
             if done >= ninst:
                 # spec: remaining strip data must still close with OOB,
