@@ -15,10 +15,12 @@ need:
   * path construction (m l c v y re h) with bezier flattening and
     scanline polygon fill in both winding rules, plus quad-based
     stroking;
-  * text as metric boxes: Tm/Td/TD/T*/TL/Tz/Tc/Tw tracking with
-    per-glyph advances from /Widths or /DW, painted in the fill colour
-    unless Tr 3 (the colour and coverage are what the consumers need —
-    no glyph outlines);
+  * real glyph outlines: Tm/Td/TD/T*/TL/Tz/Tc/Tw tracking with
+    per-glyph advances from /Widths, /W or the font program's own
+    metrics, outlines resolved by ``glyphs.GlyphSource`` (embedded
+    TrueType/CFF/Type1 via fontTools, DejaVu stand-ins for
+    non-embedded fonts), Type3 CharProcs executed as content streams,
+    and a metric-box fallback for anything unresolvable;
   * image XObjects via inverse-mapped nearest-neighbour sampling with
     SMask alpha and ImageMask stencils (decode via the same per-filter
     path the recode pipeline uses: DCT/JPX through Pillow, JBIG2 and
@@ -26,8 +28,8 @@ need:
   * Form XObjects (Matrix + BBox clip, recursive), inline images
     (BI/ID/EI), axial/radial shadings with Type 2/3 functions.
 
-Deliberately out of scope: glyph outlines, mesh shadings (painted 50%
-gray), halftones/transfer functions, blend modes.
+Deliberately out of scope: mesh shadings (painted 50% gray),
+halftones/transfer functions, blend modes.
 """
 
 import io
@@ -309,6 +311,23 @@ class Rasterizer:
     def __init__(self, reader):
         self.reader = reader
         self._record = None
+        self._glyph_sources = {}
+
+    def _glyph_source(self, font):
+        """Per-document GlyphSource cache (font dicts are cached by the
+        reader, so id() stays stable while we hold the source)."""
+        if not isinstance(font, dict):
+            return None
+        key = id(font)
+        src = self._glyph_sources.get(key)
+        if src is None:
+            try:
+                from .glyphs import GlyphSource
+                src = GlyphSource(self.reader, font)
+            except Exception:
+                src = False
+            self._glyph_sources[key] = src
+        return src or None
 
     # ---- public API ----------------------------------------------------
 
@@ -542,21 +561,25 @@ class Rasterizer:
                 elif op == 'Tr':
                     gs.render_mode = int(stack[-1])
                 elif op == 'Tj':
-                    tm = self._show_text(canvas, gs, tm, stack[-1])
+                    tm = self._show_text(canvas, gs, tm, stack[-1],
+                                         resources, depth)
                 elif op == "'":
                     tlm = _mat_mul((1, 0, 0, 1, 0, -gs.leading), tlm)
-                    tm = self._show_text(canvas, gs, tlm, stack[-1])
+                    tm = self._show_text(canvas, gs, tlm, stack[-1],
+                                         resources, depth)
                 elif op == '"':
                     gs.word_spc = float(stack[-3])
                     gs.char_spc = float(stack[-2])
                     tlm = _mat_mul((1, 0, 0, 1, 0, -gs.leading), tlm)
-                    tm = self._show_text(canvas, gs, tlm, stack[-1])
+                    tm = self._show_text(canvas, gs, tlm, stack[-1],
+                                         resources, depth)
                 elif op == 'TJ':
                     arr = stack[-1] if stack and \
                         isinstance(stack[-1], list) else []
                     for el in arr:
                         if isinstance(el, bytes):
-                            tm = self._show_text(canvas, gs, tm, el)
+                            tm = self._show_text(canvas, gs, tm, el,
+                                                 resources, depth)
                         elif isinstance(el, (int, float)):
                             dx = -el / 1000.0 * gs.fsize * gs.hscale
                             tm = _mat_mul((1, 0, 0, 1, dx, 0), tm)
@@ -649,12 +672,27 @@ class Rasterizer:
                             mask[yi, a:b] = True
         return mask
 
-    def _fill(self, canvas, polys, gs, rule):
-        mask = self._poly_mask(canvas.shape[:2], polys, rule)
+    def _fill(self, canvas, polys, gs, rule, colour=None):
+        """Bbox-localized scanline fill (full-page masks per glyph/path
+        would dominate at print resolutions)."""
+        H, W = canvas.shape[:2]
+        arrs = [np.asarray(p, np.float64).reshape(-1, 2) for p in polys]
+        arrs = [p for p in arrs if len(p) >= 2]
+        if not arrs:
+            return
+        x0 = max(0, int(np.floor(min(p[:, 0].min() for p in arrs))))
+        x1 = min(W, int(np.ceil(max(p[:, 0].max() for p in arrs))) + 1)
+        y0 = max(0, int(np.floor(min(p[:, 1].min() for p in arrs))))
+        y1 = min(H, int(np.ceil(max(p[:, 1].max() for p in arrs))) + 1)
+        if x0 >= x1 or y0 >= y1:
+            return
+        shifted = [p - (x0, y0) for p in arrs]
+        mask = self._poly_mask((y1 - y0, x1 - x0), shifted, rule)
         if gs.clip is not None:
-            mask &= gs.clip
-        col = np.array(gs.fill, np.float32) * 255.0
-        canvas[mask] = col
+            mask &= gs.clip[y0:y1, x0:x1]
+        col = np.array(colour if colour is not None else gs.fill,
+                       np.float32) * 255.0
+        canvas[y0:y1, x0:x1][mask] = col
 
     def _fill_clip(self, canvas, gs, colour):
         col = np.array(colour, np.float32) * 255.0
@@ -684,10 +722,7 @@ class Rasterizer:
                               (x1 - nx, y1 - ny), (x0 - nx, y0 - ny)])
         if not quads:
             return
-        mask = self._poly_mask(canvas.shape[:2], quads, 'nonzero')
-        if gs.clip is not None:
-            mask &= gs.clip
-        canvas[mask] = np.array(gs.stroke, np.float32) * 255.0
+        self._fill(canvas, quads, gs, 'nonzero', colour=gs.stroke)
 
     # ---- text ----------------------------------------------------------
 
@@ -699,11 +734,32 @@ class Rasterizer:
         sub = str(r.resolve(font.get('Subtype')))
         if sub == 'Type0':
             desc = r.resolve(font.get('DescendantFonts'))
-            dw = 0.5
+            dw = 1.0          # spec default DW = 1000 (9.7.4.3)
+            wmap = {}
             if desc:
                 cid = r.resolve(desc[0])
-                dw = float(r.resolve(cid.get('DW', 500))) / 1000.0
-            return {}, dw, 2
+                dw = float(r.resolve(cid.get('DW', 1000))) / 1000.0
+                # /W: [c [w...] | cFirst cLast w], keyed by CID
+                warr = r.resolve(cid.get('W'))
+                if isinstance(warr, list):
+                    i = 0
+                    while i < len(warr) - 1:
+                        c = int(r.resolve(warr[i]))
+                        nxt = r.resolve(warr[i + 1])
+                        if isinstance(nxt, list):
+                            for j, wv in enumerate(nxt):
+                                wmap[c + j] = \
+                                    float(r.resolve(wv)) / 1000.0
+                            i += 2
+                        elif i + 2 < len(warr):
+                            c2 = min(int(nxt), c + 65535)
+                            wv = float(r.resolve(warr[i + 2])) / 1000.0
+                            for cc in range(c, c2 + 1):
+                                wmap[cc] = wv
+                            i += 3
+                        else:
+                            break
+            return wmap, dw, 2
         first = r.resolve(font.get('FirstChar'))
         widths = r.resolve(font.get('Widths'))
         wmap = {}
@@ -715,9 +771,13 @@ class Rasterizer:
                     pass
         return wmap, 0.5, 1
 
-    def _show_text(self, canvas, gs, tm, text):
+    def _show_text(self, canvas, gs, tm, text, resources=None, depth=0):
         if not isinstance(text, bytes):
             return tm
+        src = self._glyph_source(gs.font)
+        if src is not None and src.type3:
+            return self._show_type3(canvas, gs, tm, text, resources,
+                                    depth)
         wmap, dw, nbytes = self._font_metrics(gs.font)
         codes = []
         if nbytes == 2:
@@ -727,14 +787,38 @@ class Rasterizer:
             codes = list(text)
         fs = gs.fsize
         paint = gs.render_mode not in (3, 7)
+        stroke_only = gs.render_mode in (1, 5)
         for code in codes:
-            w0 = wmap.get(code, dw)
+            glyph = src.outline(code) if src is not None else None
+            # /W and /Widths are keyed by CID, not code
+            wkey = code
+            if src is not None and src.kind is not None and src.is_cid \
+                    and src.cmap_singles is not None:
+                wkey = src._resolve_cid(code)
+            w0 = wmap.get(wkey)
+            if w0 is None:
+                w0 = glyph[1] if glyph is not None else dw
             # Tw applies only to SINGLE-byte code 32 (ISO 32000-1
             # 9.3.3); 2-byte 0x0020 in a Type0 string gets none
             wsp = gs.word_spc if (code == 32 and nbytes == 1) else 0.0
             adv = (w0 * fs + gs.char_spc + wsp) * gs.hscale
-            if paint and code != 32:
-                # glyph box in text space: (0, -0.2 em)..(adv, 0.75 em)
+            if paint and glyph is not None and glyph[0]:
+                paths, _adv = glyph
+                trm = _mat_mul(tm, gs.ctm)
+                a, b, c, d, e, f = _mat_mul(
+                    (fs * gs.hscale, 0, 0, fs, 0, gs.rise), trm)
+                polys = [np.stack(
+                    (a * p[:, 0] + c * p[:, 1] + e,
+                     b * p[:, 0] + d * p[:, 1] + f), axis=-1)
+                    for p in paths]
+                col = gs.stroke if stroke_only else gs.fill
+                self._fill(canvas, polys, gs, 'nonzero', colour=col)
+            elif paint and code != 32:
+                # unresolvable glyph OR a contour-less one (our own
+                # glyphless text layer): round-1 metric box in text
+                # space (0, -0.2 em)..(adv, 0.75 em) — keeps visible-Tr
+                # coverage meaningful for the colour-mode/debug probes
+                # where a real viewer would show blank
                 trm = _mat_mul(tm, gs.ctm)
                 corners = [
                     _mat_apply(trm, 0, gs.rise - 0.18 * fs),
@@ -745,6 +829,57 @@ class Rasterizer:
                     _mat_apply(trm, 0, gs.rise + 0.72 * fs),
                 ]
                 self._fill(canvas, [corners], gs, 'nonzero')
+            tm = _mat_mul((1, 0, 0, 1, adv, 0), tm)
+        return tm
+
+    def _show_type3(self, canvas, gs, tm, text, resources, depth):
+        """Type3 fonts: each glyph is a content stream (CharProcs),
+        executed with FontMatrix x text rendering matrix (9.6.5)."""
+        r = self.reader
+        font = gs.font
+        fm = r.resolve(font.get('FontMatrix')) or [0.001, 0, 0,
+                                                   0.001, 0, 0]
+        fm = tuple(float(r.resolve(v)) for v in fm)
+        charprocs = r.resolve(font.get('CharProcs')) or {}
+        t3res = r.resolve(font.get('Resources')) or resources or {}
+        diffs = {}
+        enc = r.resolve(font.get('Encoding'))
+        if isinstance(enc, dict):
+            code = 0
+            for item in (r.resolve(enc.get('Differences')) or []):
+                item = r.resolve(item)
+                if isinstance(item, (int, float)):
+                    code = int(item)
+                elif isinstance(item, PName):
+                    diffs[code] = str(item)
+                    code += 1
+        first = r.resolve(font.get('FirstChar'))
+        widths = r.resolve(font.get('Widths')) or []
+        fs = gs.fsize
+        paint = gs.render_mode not in (3, 7)
+        for code in text:
+            wg = 0.0
+            if isinstance(first, int) and 0 <= code - first < len(widths):
+                try:
+                    wg = float(r.resolve(widths[code - first]))
+                except (TypeError, ValueError):
+                    pass
+            # Type3 widths live in GLYPH space: map through FontMatrix
+            wsp = gs.word_spc if code == 32 else 0.0
+            adv = (wg * fm[0] * fs + gs.char_spc + wsp) * gs.hscale
+            name = diffs.get(code)
+            proc = r.resolve(charprocs.get(name)) if name else None
+            if paint and isinstance(proc, PStream) and depth <= 8:
+                sub_gs = gs.copy()
+                trm = _mat_mul(tm, gs.ctm)
+                gm = _mat_mul((fs * gs.hscale, 0, 0, fs, 0, gs.rise),
+                              trm)
+                sub_gs.ctm = _mat_mul(fm, gm)
+                try:
+                    self._execute(proc.decoded(), t3res, canvas, sub_gs,
+                                  depth + 1)
+                except Exception:
+                    pass
             tm = _mat_mul((1, 0, 0, 1, adv, 0), tm)
         return tm
 
