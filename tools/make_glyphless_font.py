@@ -64,7 +64,9 @@ def _table_loca():
 
 
 def _table_glyf():
-    return b'\x00' * 4     # no outlines; loca points nowhere
+    # zero-length: loca is all-zero, so any padding here trips strict
+    # parsers (fontTools: "too much 'glyf' table data")
+    return b''
 
 
 def _table_cmap():
