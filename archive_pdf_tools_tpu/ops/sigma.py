@@ -59,15 +59,57 @@ def diagonal_detail(img):
     return _dwt1d(d, _DB2_HI, axis=-1)
 
 
+def _kth_smallest_bits(keys, k):
+    """Exact k-th order statistic of u32 ``keys`` (B, N) per row, by
+    MSB-first radix select: 32 count-and-descend passes instead of a
+    full sort.  (A measured fused-step profile showed jnp.sort on
+    (64, 527814) costing 78 ms on v5e — a quarter of the whole MRC
+    step; the 32 streamed compare+reduce passes are HBM-bound at a few
+    ms total.)"""
+    def body(i, state):
+        p, r = state
+        b = (31 - i).astype(jnp.uint32)
+        # p has bits 31..b+1 decided, bit b and below zero, so
+        # (keys >> b) == (p >> b) selects "matches prefix, bit b = 0"
+        grp = (keys >> b) == (p >> b)[:, None]
+        c0 = jnp.sum(grp, axis=1, dtype=jnp.int32)
+        go1 = r >= c0
+        p = jnp.where(go1, p | (jnp.uint32(1) << b), p)
+        r = jnp.where(go1, r - c0, r)
+        return p, r
+
+    p0 = jnp.zeros(keys.shape[:1], jnp.uint32)
+    p, _ = jax.lax.fori_loop(0, 32, body, (p0, k.astype(jnp.int32)))
+    return p
+
+
 def _masked_median(flat, keep):
-    """Median over entries where ``keep``; 0 when none survive."""
-    n = jnp.sum(keep, axis=-1)
-    s = jnp.sort(jnp.where(keep, flat, jnp.inf), axis=-1)
+    """Median over entries where ``keep``; 0 when none survive.
+
+    Bit-identical to sort + take of the (n-1)//2-th and n//2-th order
+    statistics: non-negative f32 bit patterns are order-isomorphic to
+    u32, so an exact radix select replaces the sort."""
+    lead = flat.shape[:-1]
+    flat2 = flat.reshape((-1, flat.shape[-1]))
+    keep2 = keep.reshape((-1, flat.shape[-1]))
+    n = jnp.sum(keep2, axis=-1, dtype=jnp.int32)
+    keys = jax.lax.bitcast_convert_type(
+        jnp.where(keep2, flat2, jnp.inf).astype(jnp.float32), jnp.uint32)
+
     lo_i = jnp.maximum((n - 1) // 2, 0)
     hi_i = jnp.maximum(n // 2, 0)
-    lo = jnp.take_along_axis(s, lo_i[..., None], axis=-1)[..., 0]
-    hi = jnp.take_along_axis(s, hi_i[..., None], axis=-1)[..., 0]
-    return jnp.where(n > 0, 0.5 * (lo + hi), 0.0)
+    v_lo = _kth_smallest_bits(keys, lo_i)
+    # hi rank is lo or lo+1: equal to v_lo unless exactly lo_i+1 keys
+    # are <= v_lo, in which case it is the next distinct key
+    c = jnp.sum(keys <= v_lo[:, None], axis=1, dtype=jnp.int32)
+    nxt = jnp.min(jnp.where(keys > v_lo[:, None], keys,
+                            jnp.uint32(0xFFFFFFFF)), axis=1)
+    v_hi = jnp.where(c >= hi_i + 1, v_lo, nxt)
+
+    lo = jax.lax.bitcast_convert_type(v_lo, jnp.float32)
+    hi = jax.lax.bitcast_convert_type(v_hi, jnp.float32)
+    med = jnp.where(n > 0, 0.5 * (lo + hi), 0.0)
+    return med.reshape(lead)
 
 
 @jax.jit
