@@ -26,9 +26,71 @@ from ..codecs.mrc_encode import encode_mrc_images
 from ..codecs.jpeg2000 import impl_available
 
 
+def _map_word_data(word_data, sx, sy, ox, oy, iw, ih):
+    """Affine-map hOCR line/word boxes and clip them to the image;
+    lines that land outside entirely are dropped."""
+    out = []
+    for par in word_data:
+        lines = []
+        for line in par.get('lines', ()):
+            l, t, r, b = line['bbox']
+            box = [l * sx + ox, t * sy + oy, r * sx + ox, b * sy + oy]
+            box = [max(0.0, min(box[0], iw)), max(0.0, min(box[1], ih)),
+                   max(0.0, min(box[2], iw)), max(0.0, min(box[3], ih))]
+            if box[2] - box[0] < 1 or box[3] - box[1] < 1:
+                continue
+            nl = dict(line)
+            nl['bbox'] = box
+            nl['words'] = [
+                dict(w, bbox=[w['bbox'][0] * sx + ox,
+                              w['bbox'][1] * sy + oy,
+                              w['bbox'][2] * sx + ox,
+                              w['bbox'][3] * sy + oy])
+                for w in line.get('words', ())]
+            lines.append(nl)
+        if lines:
+            out.append({'lines': lines})
+    return out
+
+
+def _word_data_for_image(reader, page_idx, word_data, hocr_dims,
+                         placement, image_size):
+    """Map page-raster hOCR boxes into one image's pixel space.
+
+    hOCR boxes live on the page raster (hocr_dims px over the full
+    page); the image covers only its placement rect (top-left-origin
+    page units).  The reference re-derives boxes per image via
+    fitz's get_image_bbox (``bin/compress-pdf-images:44-61``)."""
+    if not word_data or not hocr_dims or not hocr_dims[0] \
+            or not hocr_dims[1]:
+        return word_data
+    iw, ih = image_size
+    page = reader.pages()[page_idx]
+    box = reader._inherited(page, 'MediaBox') or [0, 0, 612, 792]
+    box = [float(reader.resolve(v)) for v in box]
+    pw, ph = box[2] - box[0], box[3] - box[1]
+    wh, hh = hocr_dims
+    # hocr px -> page units
+    ux, uy = pw / wh, ph / hh
+    if placement is not None:
+        a, b, c, d, e, f = placement
+        xs = [e, a + e, c + e, a + c + e]
+        ys = [f, b + f, d + f, b + d + f]
+        rx0, ry0 = min(xs), min(ys)
+        rw, rh = max(xs) - rx0, max(ys) - ry0
+        if rw > 1e-3 and rh > 1e-3:
+            sx, sy = ux * iw / rw, uy * ih / rh
+            return _map_word_data(word_data, sx, sy,
+                                  -rx0 * iw / rw, -ry0 * ih / rh,
+                                  iw, ih)
+    # fallback: image assumed to cover the page
+    return _map_word_data(word_data, iw / wh, ih / hh, 0.0, 0.0, iw, ih)
+
+
 def compress_page_images(rw, reader, page_idx, word_data,
                          bg_flags, fg_flags, impl, bg_downsample=3,
-                         dpi=None, errors=None, verbose=False):
+                         dpi=None, errors=None, verbose=False,
+                         hocr_dims=None):
     """MRC-recompress every image on a page, in place: each `/ImN Do`
     is substituted with bg + fg(SMask=mask) draws inside the original
     transform context — the reference likewise iterates all page
@@ -38,6 +100,16 @@ def compress_page_images(rw, reader, page_idx, word_data,
     if not imgs:
         return False
     from ..pipeline.recode import _decode_pdf_image
+
+    placements = {}
+    if word_data and hocr_dims:
+        from ..pdf.raster import image_placements
+        try:
+            for pname, transform, _num, _stream in \
+                    image_placements(reader, page_idx):
+                placements.setdefault(pname, transform)
+        except Exception:
+            placements = {}
 
     mapping = {}
     res_updates = {}
@@ -56,9 +128,15 @@ def compress_page_images(rw, reader, page_idx, word_data,
         if image.size[0] < 32 or image.size[1] < 32:
             continue        # icons/rules: not worth an MRC stack
 
+        wd_img = word_data
+        if word_data and hocr_dims:
+            wd_img = _word_data_for_image(
+                reader, page_idx, word_data, hocr_dims,
+                placements.get(name), image.size)
+
         arr = np.asarray(image)
         mask_dev, dev_imgs = decompose_masks(
-            [arr], [word_data or []], dpi=dpi,
+            [arr], [wd_img or []], dpi=dpi,
             denoise_mask=DENOISE_FAST, errors=errors)
         fg, bg = decompose_layers(mask_dev, dev_imgs,
                                   bg_downsample=bg_downsample,
@@ -150,18 +228,22 @@ def main(argv=None):
     rw = PdfRewriter(reader)
 
     word_datas = [None] * reader.page_count()
+    hocr_dims = [None] * reader.page_count()
     if args.hocr:
+        from ..inputs.hocr import hocr_page_get_dimensions
         for idx, page in enumerate(hocr_page_iterator(args.hocr)):
             if idx >= len(word_datas):
                 break
             word_datas[idx] = hocr_page_to_word_data(page)
+            hocr_dims[idx] = hocr_page_get_dimensions(page)
 
     n = 0
     for idx in range(reader.page_count()):
         if compress_page_images(rw, reader, idx, word_datas[idx],
                                 bg_flags, fg_flags, impl,
                                 bg_downsample=args.bg_downsample,
-                                dpi=args.dpi, verbose=args.verbose):
+                                dpi=args.dpi, verbose=args.verbose,
+                                hocr_dims=hocr_dims[idx]):
             n += 1
     rw.save(args.outfile)
     import os

@@ -1,16 +1,17 @@
 """pdfcomp: one-shot 'compress this PDF' (``bin/pdfcomp``).
 
-Pipeline parity: pdf-metadata-json -> hOCR (external ``pdf-to-hocr`` if
-available, else an existing text layer or none) -> compress-pdf-images,
-then print the compression factor (``bin/pdfcomp:27-42``).
+Pipeline parity: pdf-metadata-json -> pdf-to-hocr ->
+compress-pdf-images, then print the compression factor
+(``bin/pdfcomp:27-42``).  Unlike the reference, whose pdf-to-hocr step
+is an external archive-hocr-tools tool (``bin/pdfcomp:31``), ours is
+the in-tree extractor (``cli/pdf_to_hocr.py``), so the pipeline is
+self-contained.
 """
 
 import argparse
 import os
-import subprocess
 import sys
 import tempfile
-from shutil import which
 
 
 def main(argv=None):
@@ -32,14 +33,15 @@ def main(argv=None):
         json.dump(analyse(args.infile), fp)
 
     hocr_path = args.hocr
-    if hocr_path is None and which('pdf-to-hocr'):
-        hocr_path = os.path.join(tmpdir, 'out.hocr')
-        with open(hocr_path, 'wb') as fp:
-            subprocess.check_call(['pdf-to-hocr', '-f', args.infile,
-                                   '-J', meta_path], stdout=fp)
     if hocr_path is None:
-        print('note: no pdf-to-hocr available and no --hocr given; '
-              'compressing without text-guided masks', file=sys.stderr)
+        from .pdf_to_hocr import main as hocr_main
+        hocr_path = os.path.join(tmpdir, 'out.hocr')
+        rc = hocr_main(['-f', args.infile, '-J', meta_path,
+                        '-o', hocr_path])
+        if rc:
+            hocr_path = None
+            print('note: pdf-to-hocr failed; compressing without '
+                  'text-guided masks', file=sys.stderr)
 
     from .compress_pdf_images import main as compress_main
     cargv = [args.infile]

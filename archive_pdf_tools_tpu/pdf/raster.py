@@ -311,6 +311,8 @@ class Rasterizer:
     def __init__(self, reader):
         self.reader = reader
         self._record = None
+        self._text_record = None   # glyph sink for pdf/textextract.py
+        self._text_run = 0         # increments per shown string
         self._glyph_sources = {}
 
     def _glyph_source(self, font):
@@ -788,6 +790,9 @@ class Rasterizer:
         fs = gs.fsize
         paint = gs.render_mode not in (3, 7)
         stroke_only = gs.render_mode in (1, 5)
+        rec = self._text_record
+        if rec is not None:
+            self._text_run += 1
         for code in codes:
             glyph = src.outline(code) if src is not None else None
             # /W and /Widths are keyed by CID, not code
@@ -802,6 +807,20 @@ class Rasterizer:
             # 9.3.3); 2-byte 0x0020 in a Type0 string gets none
             wsp = gs.word_spc if (code == 32 and nbytes == 1) else 0.0
             adv = (w0 * fs + gs.char_spc + wsp) * gs.hscale
+            if rec is not None:
+                # glyph sink (pdf/textextract.py): metric quad in device
+                # space, no painting.  (font, code, nbytes, run, origin,
+                # x-end, ascent corner, descent corner, fs)
+                trm = _mat_mul(tm, gs.ctm)
+                rec.append((
+                    gs.font, code, nbytes, self._text_run,
+                    _mat_apply(trm, 0, gs.rise),
+                    _mat_apply(trm, w0 * fs * gs.hscale, gs.rise),
+                    _mat_apply(trm, 0, gs.rise + 0.72 * fs),
+                    _mat_apply(trm, 0, gs.rise - 0.18 * fs),
+                    fs))
+                tm = _mat_mul((1, 0, 0, 1, adv, 0), tm)
+                continue
             if paint and glyph is not None and glyph[0]:
                 paths, _adv = glyph
                 trm = _mat_mul(tm, gs.ctm)
@@ -857,6 +876,8 @@ class Rasterizer:
         widths = r.resolve(font.get('Widths')) or []
         fs = gs.fsize
         paint = gs.render_mode not in (3, 7)
+        if self._text_record is not None:
+            self._text_run += 1
         for code in text:
             wg = 0.0
             if isinstance(first, int) and 0 <= code - first < len(widths):
@@ -868,6 +889,18 @@ class Rasterizer:
             wsp = gs.word_spc if code == 32 else 0.0
             adv = (wg * fm[0] * fs + gs.char_spc + wsp) * gs.hscale
             name = diffs.get(code)
+            if self._text_record is not None:
+                trm = _mat_mul(tm, gs.ctm)
+                self._text_record.append((
+                    font, code, 1, self._text_run,
+                    _mat_apply(trm, 0, gs.rise),
+                    _mat_apply(trm, wg * fm[0] * fs * gs.hscale,
+                               gs.rise),
+                    _mat_apply(trm, 0, gs.rise + 0.72 * fs),
+                    _mat_apply(trm, 0, gs.rise - 0.18 * fs),
+                    fs))
+                tm = _mat_mul((1, 0, 0, 1, adv, 0), tm)
+                continue
             proc = r.resolve(charprocs.get(name)) if name else None
             if paint and isinstance(proc, PStream) and depth <= 8:
                 sub_gs = gs.copy()

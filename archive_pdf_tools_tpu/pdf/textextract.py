@@ -1,0 +1,317 @@
+"""PDF text-layer extraction to hOCR.
+
+In-tree replacement for the external ``pdf-to-hocr`` tool the
+reference's ``bin/pdfcomp`` shells out to (``bin/pdfcomp:31`` — it
+depends on archive-hocr-tools, an out-of-repo package): walk each
+page's content stream with the rasterizer's interpreter in glyph-sink
+mode (no painting), resolve glyph codes to unicode (ToUnicode CMap
+first, then /Differences glyph names, then the simple-font base
+encoding), group glyphs into words and baselines into lines, and emit
+hOCR that ``inputs/hocr.py`` (and any hOCR consumer) can parse.
+
+Coordinates: device pixels, top-left origin, at ``scale`` pixels per
+PDF unit (ppi = 72 * scale) — the raster space ``pdf-to-imagestack``
+renders at, so word boxes line up with the rendered page image.
+"""
+
+import re
+
+from .raster import Rasterizer, _GState, _mat_apply  # noqa: F401
+from .reader import PdfReader, PStream
+
+_HEXSTR = r'<([0-9a-fA-F]+)>'
+
+
+def _utf16be_hex_to_str(hx):
+    if len(hx) % 4:
+        hx = hx[:len(hx) - len(hx) % 4]
+    if not hx:
+        return ''
+    try:
+        return bytes.fromhex(hx).decode('utf-16-be', 'ignore')
+    except ValueError:
+        return ''
+
+
+def parse_tounicode(data):
+    """ToUnicode CMap -> {code: str}.  Unlike the CID parser in
+    pdf/glyphs.py this keeps full multi-char bf values (ligatures).
+    Spec: ISO 32000-1 9.10.3; reference consumes the same streams via
+    PyMuPDF's text extraction."""
+    out = {}
+    txt = data.decode('latin-1', 'replace')
+    for m in re.finditer(r'beginbfchar(.*?)endbfchar', txt, re.S):
+        for c, v in re.findall(_HEXSTR + r'\s*' + _HEXSTR, m.group(1)):
+            s = _utf16be_hex_to_str(v)
+            if s:
+                out[int(c, 16)] = s
+    for m in re.finditer(r'beginbfrange(.*?)endbfrange', txt, re.S):
+        body = m.group(1)
+        # <lo> <hi> <base>
+        for lo, hi, v in re.findall(
+                _HEXSTR + r'\s*' + _HEXSTR + r'\s*' + _HEXSTR, body):
+            lo_i, hi_i = int(lo, 16), int(hi, 16)
+            base = _utf16be_hex_to_str(v)
+            if not base or hi_i - lo_i > 65535:
+                continue
+            last = ord(base[-1])
+            for c in range(lo_i, hi_i + 1):
+                out.setdefault(
+                    c, base[:-1] + chr(last + (c - lo_i)))
+        # <lo> <hi> [<dst> <dst> ...]
+        for lo, _hi, arr in re.findall(
+                _HEXSTR + r'\s*' + _HEXSTR + r'\s*\[(.*?)\]', body,
+                re.S):
+            lo_i = int(lo, 16)
+            for j, v in enumerate(re.findall(_HEXSTR, arr)):
+                s = _utf16be_hex_to_str(v)
+                if s:
+                    out[lo_i + j] = s
+    return out
+
+
+class _FontText:
+    """Per-font code->unicode resolver."""
+
+    def __init__(self, reader, font, glyph_source):
+        self.src = glyph_source
+        self.map = None
+        try:
+            tu = reader.resolve(font.get('ToUnicode')) \
+                if isinstance(font, dict) else None
+            if isinstance(tu, PStream):
+                self.map = parse_tounicode(tu.decoded())
+        except Exception:
+            self.map = None
+
+    def unicode(self, code):
+        if self.map is not None:
+            s = self.map.get(code)
+            if s:
+                return s
+        src = self.src
+        if src is not None and not getattr(src, 'is_cid', False):
+            try:
+                name = src.diffs.get(code)
+                if name is not None:
+                    uv = src._name_to_unicode(name)
+                    if uv is not None:
+                        return chr(uv)
+                uv = src._code_to_unicode(code)
+                if uv is not None:
+                    return chr(uv)
+            except Exception:
+                pass
+        if self.map is None and src is None and 32 <= code < 127:
+            # no font program, no ToUnicode: assume ASCII-compatible
+            return chr(code)
+        return None
+
+
+def extract_page_glyphs(reader, idx, scale=1.0):
+    """[(text, x0, y0, x1, y1, baseline_y, run, fs_dev)] in device
+    (top-left origin) pixels; space glyphs become forced word breaks
+    (text '').  Returns (glyphs, width, height)."""
+    r = reader
+    page = r.pages()[idx]
+    box = r._inherited(page, 'MediaBox') or [0, 0, 612, 792]
+    box = [float(r.resolve(v)) for v in box]
+    pw, ph = box[2] - box[0], box[3] - box[1]
+    W = max(1, int(round(pw * scale)))
+    H = max(1, int(round(ph * scale)))
+
+    ras = Rasterizer(r)
+    ras.skip_images = True
+    ras._text_record = []
+    gs = _GState()
+    gs.ctm = (scale, 0.0, 0.0, -scale, -box[0] * scale, box[3] * scale)
+    res = r._inherited(page, 'Resources') or {}
+    import numpy as np
+    canvas = np.zeros((1, 1, 3), np.float32)   # nothing paints
+    try:
+        ras._execute(r.page_contents(idx), res, canvas, gs, depth=0)
+    except Exception:
+        pass
+
+    fonts = {}
+    glyphs = []
+    for font, code, nbytes, run, orig, xend, asc, desc, fs \
+            in ras._text_record:
+        key = id(font)
+        ft = fonts.get(key)
+        if ft is None:
+            ft = _FontText(r, font, ras._glyph_source(font))
+            fonts[key] = ft
+        text = ft.unicode(code)
+        if text is not None and text.strip() == '':
+            text = ''                     # explicit space: word break
+        # metric quad -> axis-aligned box
+        xs = (orig[0], xend[0], asc[0], desc[0])
+        ys = (orig[1], xend[1], asc[1], desc[1])
+        fs_dev = ((asc[0] - desc[0]) ** 2
+                  + (asc[1] - desc[1]) ** 2) ** 0.5 / 0.9
+        glyphs.append((text, min(xs), min(ys), max(xs), max(ys),
+                       orig[1], run, fs_dev))
+    return glyphs, W, H
+
+
+def group_words(glyphs):
+    """Greedy reading-order grouping of glyphs into words.
+
+    A word breaks on: an explicit space glyph, a gap over 0.3 em
+    between the previous glyph's x-end and the next glyph's x-start, a
+    gap over 0.08 em at a text-run boundary (each word its own Td/TJ —
+    our own text layer, Tesseract's), a backwards jump, or a baseline
+    shift over 0.35 em.  Returns [(text, bbox, baseline_y, fs)]."""
+    words = []
+    cur = None
+
+    def flush():
+        nonlocal cur
+        if cur is not None and cur['text']:
+            words.append((cur['text'],
+                          (cur['x0'], cur['y0'], cur['x1'], cur['y1']),
+                          cur['base'], cur['fs']))
+        cur = None
+
+    for (text, x0, y0, x1, y1, base, run, fs) in glyphs:
+        if text == '':
+            flush()
+            continue
+        if text is None:
+            text = '�'
+        em = max(fs, 1e-6)
+        if cur is not None:
+            gap = x0 - cur['xend']
+            if gap > 0.30 * em or gap < -1.5 * em \
+                    or (run != cur['run'] and gap > 0.08 * em) \
+                    or abs(base - cur['base']) > 0.35 * em:
+                flush()
+        if cur is None:
+            cur = {'text': '', 'x0': x0, 'y0': y0, 'x1': x1, 'y1': y1,
+                   'base': base, 'fs': fs, 'xend': x1, 'run': run}
+        cur['text'] += text
+        cur['x0'] = min(cur['x0'], x0)
+        cur['y0'] = min(cur['y0'], y0)
+        cur['x1'] = max(cur['x1'], x1)
+        cur['y1'] = max(cur['y1'], y1)
+        cur['xend'] = max(cur['xend'], x1)
+        cur['base'] = base
+        cur['fs'] = max(cur['fs'], fs)
+        cur['run'] = run
+    flush()
+    return words
+
+
+def group_lines(words):
+    """Cluster words into lines by baseline proximity, left-to-right.
+
+    Returns [{'bbox', 'baseline_y', 'x_size', 'words': [...]}] sorted
+    top-to-bottom."""
+    remaining = sorted(words, key=lambda w: (w[2], w[1][0]))
+    lines = []
+    for w in remaining:
+        placed = None
+        for ln in lines:
+            if abs(w[2] - ln['baseline_y']) <= 0.5 * max(w[3],
+                                                         ln['x_size']):
+                placed = ln
+                break
+        if placed is None:
+            placed = {'bbox': list(w[1]), 'baseline_y': w[2],
+                      'x_size': w[3], 'words': []}
+            lines.append(placed)
+        placed['words'].append(w)
+        placed['bbox'][0] = min(placed['bbox'][0], w[1][0])
+        placed['bbox'][1] = min(placed['bbox'][1], w[1][1])
+        placed['bbox'][2] = max(placed['bbox'][2], w[1][2])
+        placed['bbox'][3] = max(placed['bbox'][3], w[1][3])
+        placed['x_size'] = max(placed['x_size'], w[3])
+        # running baseline: last word wins (words arrive sorted)
+        placed['baseline_y'] = w[2]
+    for ln in lines:
+        ln['words'].sort(key=lambda w: w[1][0])
+    lines.sort(key=lambda ln: (ln['bbox'][1], ln['bbox'][0]))
+    return lines
+
+
+def _esc(s):
+    return (s.replace('&', '&amp;').replace('<', '&lt;')
+            .replace('>', '&gt;'))
+
+
+def page_to_hocr(reader, idx, scale=1.0, pageno=None):
+    """One ocr_page div (bytes, utf-8)."""
+    glyphs, W, H = extract_page_glyphs(reader, idx, scale=scale)
+    lines = group_lines(group_words(glyphs))
+    pageno = idx if pageno is None else pageno
+    ppi = int(round(72 * scale))
+    out = ["<div class='ocr_page' id='page_%06d' title='bbox 0 0 %d %d; "
+           "ppageno %d; scan_res %d %d'>" % (pageno + 1, W, H, pageno,
+                                             ppi, ppi)]
+    if lines:
+        x0 = min(ln['bbox'][0] for ln in lines)
+        y0 = min(ln['bbox'][1] for ln in lines)
+        x1 = max(ln['bbox'][2] for ln in lines)
+        y1 = max(ln['bbox'][3] for ln in lines)
+        out.append(" <div class='ocr_carea' title='bbox %d %d %d %d'>"
+                   % (x0, y0, x1, y1))
+        out.append("  <p class='ocr_par' dir='ltr' "
+                   "title='bbox %d %d %d %d'>" % (x0, y0, x1, y1))
+        for li, ln in enumerate(lines):
+            bx = [int(round(v)) for v in ln['bbox']]
+            base_off = int(round(ln['baseline_y'] - ln['bbox'][3]))
+            out.append("   <span class='ocr_line' id='line_%06d_%04d' "
+                       "title='bbox %d %d %d %d; baseline 0 %d; "
+                       "x_size %d'>" % (pageno + 1, li, bx[0], bx[1],
+                                        bx[2], bx[3], base_off,
+                                        int(round(ln['x_size']))))
+            for wi, (text, wb, _base, fs) in enumerate(ln['words']):
+                wb = [int(round(v)) for v in wb]
+                out.append("    <span class='ocrx_word' "
+                           "id='word_%06d_%04d_%04d' title='bbox %d %d "
+                           "%d %d; x_wconf 100; x_fsize %d'>%s</span>"
+                           % (pageno + 1, li, wi, wb[0], wb[1], wb[2],
+                              wb[3], max(1, int(round(fs * 72.0 / max(
+                                  ppi, 1)))), _esc(text)))
+            out.append("   </span>")
+        out.append("  </p>")
+        out.append(" </div>")
+    out.append("</div>")
+    return '\n'.join(out).encode('utf-8')
+
+
+HOCR_HEADER = b"""<?xml version="1.0" encoding="UTF-8"?>
+<!DOCTYPE html PUBLIC "-//W3C//DTD XHTML 1.0 Transitional//EN" "http://www.w3.org/TR/xhtml1/DTD/xhtml1-transitional.dtd">
+<html xmlns="http://www.w3.org/1999/xhtml" xml:lang="en" lang="en">
+ <head>
+  <title></title>
+  <meta http-equiv="Content-Type" content="text/html;charset=utf-8"/>
+  <meta name='ocr-system' content='archive-pdf-tools-tpu pdf-to-hocr'/>
+  <meta name='ocr-capabilities' content='ocr_page ocr_carea ocr_par ocr_line ocrx_word'/>
+ </head>
+ <body>
+"""
+
+HOCR_FOOTER = b""" </body>
+</html>
+"""
+
+
+def pdf_to_hocr(pdf_path_or_reader, out_fp, scales=None,
+                default_scale=1.0):
+    """Write a whole-document hOCR to ``out_fp`` (binary).
+
+    scales: optional per-page scale list (e.g. estimated_ppi/72 from
+    pdf-metadata-json); default_scale applies elsewhere."""
+    reader = pdf_path_or_reader
+    if not isinstance(reader, PdfReader):
+        reader = PdfReader(reader)
+    out_fp.write(HOCR_HEADER)
+    for idx in range(reader.page_count()):
+        scale = default_scale
+        if scales is not None and idx < len(scales) and scales[idx]:
+            scale = scales[idx]
+        out_fp.write(page_to_hocr(reader, idx, scale=scale))
+        out_fp.write(b'\n')
+    out_fp.write(HOCR_FOOTER)

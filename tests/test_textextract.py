@@ -1,0 +1,143 @@
+"""pdf-to-hocr: PDF text-layer extraction (pdf/textextract.py).
+
+The reference has no in-repo equivalent (its ``bin/pdfcomp:31`` shells
+out to archive-hocr-tools' pdf-to-hocr); these tests pin the in-tree
+extractor: hOCR -> text PDF -> hOCR round trip, word segmentation
+rules, ToUnicode/base-encoding resolution, and the self-contained
+pdfcomp pipeline.
+"""
+
+import io
+import os
+
+import numpy as np
+import pytest
+
+from archive_pdf_tools_tpu.pdf.builder import DocumentBuilder
+from archive_pdf_tools_tpu.pdf.reader import PdfReader
+from archive_pdf_tools_tpu.pdf.textextract import (
+    extract_page_glyphs, group_words, group_lines, page_to_hocr,
+    parse_tounicode)
+from archive_pdf_tools_tpu.inputs.hocr import (
+    hocr_page_iterator, hocr_page_to_word_data, hocr_page_get_dimensions)
+
+
+def _doc_with_ops(ops, w=300, h=200):
+    b = DocumentBuilder()
+    idx = b.add_text_page([], w, h, 72)
+    b.pages[idx].extra_ops = ops
+    b.write_pdfa()
+    b.write_metadata()
+    buf = io.BytesIO()
+    b.save(buf, deflate=False)
+    return PdfReader(buf.getvalue())
+
+
+class TestGrouping:
+    def test_spaces_split_kerning_does_not(self):
+        r = _doc_with_ops(
+            b'BT /XF1 24 Tf 1 0 0 1 20 150 Tm (Hello world) Tj ET '
+            b'BT /XF1 18 Tf 1 0 0 1 20 100 Tm '
+            b'[(kern) -30 (ed) -2000 (gap)] TJ ET')
+        g, W, H = extract_page_glyphs(r, 0, scale=1.0)
+        words = [w[0] for w in group_words(g)]
+        assert words == ['Hello', 'world', 'kerned', 'gap']
+
+    def test_lines_cluster_by_baseline(self):
+        r = _doc_with_ops(
+            b'BT /XF1 20 Tf 1 0 0 1 20 150 Tm (one) Tj ET '
+            b'BT /XF1 20 Tf 1 0 0 1 120 150 Tm (two) Tj ET '
+            b'BT /XF1 20 Tf 1 0 0 1 20 100 Tm (three) Tj ET')
+        g, _W, _H = extract_page_glyphs(r, 0, scale=1.0)
+        lines = group_lines(group_words(g))
+        assert len(lines) == 2
+        assert [w[0] for w in lines[0]['words']] == ['one', 'two']
+        assert [w[0] for w in lines[1]['words']] == ['three']
+        # device y grows downward: first line above second
+        assert lines[0]['bbox'][1] < lines[1]['bbox'][1]
+
+    def test_scale_applies(self):
+        r = _doc_with_ops(b'BT /XF1 24 Tf 1 0 0 1 50 100 Tm (x) Tj ET')
+        g1, W1, H1 = extract_page_glyphs(r, 0, scale=1.0)
+        g2, W2, H2 = extract_page_glyphs(r, 0, scale=2.0)
+        assert (W2, H2) == (2 * W1, 2 * H1)
+        assert abs(g2[0][1] - 2 * g1[0][1]) < 1e-6
+
+
+class TestToUnicode:
+    def test_parse_bfchar_and_ranges(self):
+        data = (b'begincmap\n'
+                b'2 beginbfchar\n<0001> <0041>\n<0002> <00660069>\n'
+                b'endbfchar\n'
+                b'1 beginbfrange\n<0010> <0012> <0061>\nendbfrange\n'
+                b'1 beginbfrange\n<0020> <0021> [<005A> <0059>]\n'
+                b'endbfrange\nendcmap')
+        m = parse_tounicode(data)
+        assert m[1] == 'A'
+        assert m[2] == 'fi'          # ligature: full multi-char value
+        assert m[0x10] == 'a' and m[0x12] == 'c'
+        assert m[0x20] == 'Z' and m[0x21] == 'Y'
+
+
+class TestRoundTrip:
+    def test_hocr_pdf_hocr(self, tmp_path):
+        from tests.fixtures import make_book
+        from archive_pdf_tools_tpu.cli.pdfrenderer_cli import main as rmain
+        from archive_pdf_tools_tpu.cli.pdf_to_hocr import main as hmain
+
+        _glob, hocr_path, pages = make_book(tmp_path, n_pages=1,
+                                            w=400, h=560)
+        outpdf = str(tmp_path / 'text.pdf')
+        assert rmain(['-T', hocr_path, '-o', outpdf]) == 0
+
+        outhocr = str(tmp_path / 'rt.hocr')
+        assert hmain(['-f', outpdf, '-o', outhocr, '--ppi', '72']) == 0
+
+        got = []
+        n_pages = 0
+        for page in hocr_page_iterator(outhocr):
+            n_pages += 1
+            assert hocr_page_get_dimensions(page) == (400, 560)
+            wd = hocr_page_to_word_data(page)
+            got += [(w['text'], w['bbox']) for par in wd
+                    for line in par['lines'] for w in line['words']]
+        assert n_pages == 1
+        orig = pages[0][1]
+        assert [g[0] for g in got] == [o[4] for o in orig]
+        # word x-extents within a few px of the source boxes (the y
+        # extent differs by design: metric box vs source line box)
+        for (text, bbox), (l, t, r, b, _w) in zip(got, orig):
+            assert abs(bbox[0] - l) <= 4, (text, bbox)
+            assert abs(bbox[2] - r) <= 12, (text, bbox)
+
+    def test_hocr_output_is_parseable_xml(self, tmp_path):
+        r = _doc_with_ops(
+            b'BT /XF1 24 Tf 1 0 0 1 20 150 Tm (a <&> b) Tj ET')
+        div = page_to_hocr(r, 0, scale=1.0)
+        from lxml import etree
+        root = etree.fromstring(div)
+        words = [w.text for w in root.iter()
+                 if (w.get('class') or '') == 'ocrx_word']
+        assert words == ['a', '<&>', 'b']
+
+
+class TestPdfcompSelfContained:
+    @pytest.mark.skipif(os.environ.get('APT_SKIP_E2E') == '1',
+                        reason='e2e gated off')
+    def test_pdfcomp_without_external_tool(self, tmp_path):
+        """recode a fixture book, then pdfcomp the result with no
+        external pdf-to-hocr on PATH: hOCR comes from the in-tree
+        extractor and the output must stay a well-formed PDF."""
+        from tests.test_recode_e2e import run_recode
+        from archive_pdf_tools_tpu.cli.pdfcomp import main as pmain
+
+        first, _res, _pages = run_recode(tmp_path, n_pages=1,
+                                         validate=False)
+        out = str(tmp_path / 'comp.pdf')
+        assert pmain([first, out]) == 0
+        reader = PdfReader(out)
+        assert reader.page_count() == 1
+        # the text layer survived into the hOCR step: extract again
+        g, _W, _H = extract_page_glyphs(reader, 0, scale=1.0)
+        texts = ''.join(w[0] for w in group_words(g))
+        assert 'word00' in texts
