@@ -19,7 +19,7 @@ from functools import partial
 import numpy as np
 import jax
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..mrc.step import mrc_full_step_pallas
 
@@ -49,7 +49,7 @@ def sharded_mrc_step(mesh, window, rgb=False, denoise='fast',
         local_step, mesh=mesh,
         in_specs=tuple([P('pages')] * n_in),
         out_specs=(P('pages'), P('pages'), P('pages')),
-        check_rep=False)
+        check_vma=False)
 
 
 def split_lines_per_shard(boxes, pages, selector, batch, n_shards):

@@ -135,7 +135,7 @@ class TestMultiHost:
 
 class TestShardMapPallas:
     def test_optimise_kernel_under_shard_map(self):
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
         from archive_pdf_tools_tpu.ops.optimise_pallas import optimise_pallas
         from archive_pdf_tools_tpu.ops import golden
         mesh = page_mesh(8)
@@ -144,7 +144,7 @@ class TestShardMapPallas:
         mask = rng.random((8, 60, 130)) < 0.15
         fn = shard_map(lambda m, i: optimise_pallas(m, i, 3, interpret=True),
                        mesh=mesh, in_specs=(P('pages'), P('pages')),
-                       out_specs=P('pages'), check_rep=False)
+                       out_specs=P('pages'), check_vma=False)
         with mesh:
             out = np.asarray(fn(mask, img))
         for i in range(8):
