@@ -67,6 +67,31 @@ class TestDenoisePallas:
                                                   interpret=True))[0]
         assert (ref == got).all()
 
+    def test_long_nonconstant_chain_exact(self):
+        # adversarial input for the K-windowed prefix shortcut: a lone
+        # full-width one-pixel row is a >K-long chain of AND transitions
+        # (every interior pixel counts exactly mincnt neighbours), so no
+        # 128-column window composition is constant and the row must
+        # take the full-prefix fallback.  Also a checkerboard band and
+        # an isolated-speckle field for the resolved paths.
+        h, w = 20, 400
+        rows = []
+        m = np.zeros((h, w), bool)
+        m[10, :] = True                       # AND chain, kept
+        rows.append(m)
+        m = np.zeros((h, w), bool)
+        m[8:12, ::2] = True                   # checkerboard-ish band
+        m[9, :] = True
+        rows.append(m)
+        m = np.zeros((h, w), bool)
+        m[5, 5] = m[7, 100] = m[15, 399] = True   # speckles, dropped
+        rows.append(m)
+        for mask in rows:
+            ref = golden.fast_mask_denoise_ref(mask, 4, 2)
+            got = np.asarray(fast_mask_denoise_pallas(
+                mask[None], 4, 2, interpret=True))[0]
+            assert (ref == got).all()
+
 
 class TestThresholdPallas:
     # interpret runs cost minutes at radius 48; the radius-8 bucket
