@@ -70,39 +70,80 @@ def parse_tounicode(data):
     return out
 
 
+def _name_to_unicode(name):
+    """AGL glyph name (or uniXXXX/uXXXXXX form) -> unicode value."""
+    try:
+        from fontTools.agl import AGL2UV
+    except Exception:
+        AGL2UV = {}
+    if name in AGL2UV:
+        return AGL2UV[name]
+    m = re.match(r'^uni([0-9A-Fa-f]{4})', name)
+    if m:
+        return int(m.group(1), 16)
+    m = re.match(r'^u([0-9A-Fa-f]{4,6})$', name)
+    if m:
+        return int(m.group(1), 16)
+    return None
+
+
 class _FontText:
-    """Per-font code->unicode resolver."""
+    """Per-font code->unicode resolver: ToUnicode CMap, then /Encoding
+    Differences glyph names (covers Type1/TrueType/Type3 — matplotlib's
+    PDF backend emits Type3 subsets this way), then the base encoding,
+    then an ASCII fallback for bare fonts."""
 
     def __init__(self, reader, font, glyph_source):
         self.src = glyph_source
         self.map = None
+        self.diffs = {}
+        self.is_cid = False
+        if not isinstance(font, dict):
+            return
         try:
-            tu = reader.resolve(font.get('ToUnicode')) \
-                if isinstance(font, dict) else None
+            self.is_cid = str(reader.resolve(font.get('Subtype'))) \
+                == 'Type0'
+            tu = reader.resolve(font.get('ToUnicode'))
             if isinstance(tu, PStream):
                 self.map = parse_tounicode(tu.decoded())
         except Exception:
             self.map = None
+        try:
+            enc = reader.resolve(font.get('Encoding'))
+            if isinstance(enc, dict):
+                code = 0
+                for item in (reader.resolve(enc.get('Differences'))
+                             or []):
+                    item = reader.resolve(item)
+                    if isinstance(item, (int, float)):
+                        code = int(item)
+                    elif item is not None and not isinstance(
+                            item, (list, dict, PStream)):
+                        self.diffs[code] = str(item)
+                        code += 1
+        except Exception:
+            pass
 
     def unicode(self, code):
         if self.map is not None:
             s = self.map.get(code)
             if s:
                 return s
+        name = self.diffs.get(code)
+        if name is not None:
+            uv = _name_to_unicode(name)
+            if uv is not None:
+                return chr(uv)
         src = self.src
         if src is not None and not getattr(src, 'is_cid', False):
             try:
-                name = src.diffs.get(code)
-                if name is not None:
-                    uv = src._name_to_unicode(name)
-                    if uv is not None:
-                        return chr(uv)
                 uv = src._code_to_unicode(code)
                 if uv is not None:
                     return chr(uv)
             except Exception:
                 pass
-        if self.map is None and src is None and 32 <= code < 127:
+        if self.map is None and src is None and not self.is_cid \
+                and 32 <= code < 127:
             # no font program, no ToUnicode: assume ASCII-compatible
             return chr(code)
         return None

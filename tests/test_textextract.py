@@ -121,6 +121,33 @@ class TestRoundTrip:
         assert words == ['a', '<&>', 'b']
 
 
+class TestForeignPdf:
+    def test_matplotlib_pdf_extracts(self, tmp_path):
+        """A PDF produced by a genuinely foreign writer (matplotlib's
+        PDF backend: Type3 DejaVu subsets, /Differences glyph names,
+        no ToUnicode) must extract correct words and sane boxes."""
+        matplotlib = pytest.importorskip('matplotlib')
+        matplotlib.use('Agg')
+        import matplotlib.pyplot as plt
+        fig = plt.figure(figsize=(4, 3))
+        fig.text(0.1, 0.8, 'Hello TPU world', fontsize=18)
+        fig.text(0.1, 0.5, 'Second line of text', fontsize=14)
+        path = str(tmp_path / 'mpl.pdf')
+        fig.savefig(path, format='pdf')
+        plt.close(fig)
+
+        r = PdfReader(path)
+        g, W, H = extract_page_glyphs(r, 0, scale=2.0)
+        assert (W, H) == (576, 432)
+        lines = group_lines(group_words(g))
+        assert [w[0] for w in lines[0]['words']] == \
+            ['Hello', 'TPU', 'world']
+        assert [w[0] for w in lines[1]['words']] == \
+            ['Second', 'line', 'of', 'text']
+        # upper line sits in the top half, second below it
+        assert lines[0]['bbox'][3] < H / 2 < lines[1]['bbox'][3]
+
+
 class TestPdfcompSelfContained:
     @pytest.mark.skipif(os.environ.get('APT_SKIP_E2E') == '1',
                         reason='e2e gated off')
