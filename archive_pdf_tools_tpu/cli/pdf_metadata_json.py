@@ -216,9 +216,16 @@ def analyse_page(reader, idx, sample_pixels=True):
             'bbox': _round_list(rect),
         })
 
-    contents = reader.page_contents(idx)
-    page_data['has_text_layer'] = bool(
-        re.search(rb'\bTj\b|\bTJ\b', contents))
+    # real glyph walk (Form XObjects included, string literals that
+    # merely contain "Tj" excluded); content-stream regex as fallback
+    try:
+        from ..pdf.textextract import extract_page_glyphs
+        glyphs, _w, _h = extract_page_glyphs(reader, idx, scale=0.25)
+        page_data['has_text_layer'] = bool(glyphs)
+    except Exception:
+        contents = reader.page_contents(idx)
+        page_data['has_text_layer'] = bool(
+            re.search(rb'\bTj\b|\bTJ\b', contents))
     if link_uri:
         page_data['hyperlinks'] = link_uri
     if image_data:
