@@ -191,19 +191,44 @@ def extract_page_glyphs(reader, idx, scale=1.0):
         ys = (orig[1], xend[1], asc[1], desc[1])
         fs_dev = ((asc[0] - desc[0]) ** 2
                   + (asc[1] - desc[1]) ** 2) ** 0.5 / 0.9
+        # orientation from the up-vector (asc - desc; never zero):
+        # the advance direction is up rotated -90 deg = (-uy, ux).
+        # Quantized to the four page orientations: 0 = left-to-right,
+        # 1 = top-to-bottom (page rotated 90 cw), 2 = right-to-left
+        # (upside down), 3 = bottom-to-top (90 ccw).
+        ux, uy = asc[0] - desc[0], asc[1] - desc[1]
+        dx, dy = -uy, ux
+        if abs(dx) >= abs(dy):
+            ddir = 0 if dx >= 0 else 2
+        else:
+            ddir = 1 if dy >= 0 else 3
+        # reading-order coordinates: 'along' grows with the advance,
+        # 'cross' is the baseline position normal to it
+        if ddir == 0:
+            a0, a1, cross = orig[0], xend[0], orig[1]
+        elif ddir == 2:
+            a0, a1, cross = -orig[0], -xend[0], orig[1]
+        elif ddir == 1:
+            a0, a1, cross = orig[1], xend[1], orig[0]
+        else:
+            a0, a1, cross = -orig[1], -xend[1], orig[0]
         glyphs.append((text, min(xs), min(ys), max(xs), max(ys),
-                       orig[1], run, fs_dev))
+                       cross, run, fs_dev, a0, max(a0, a1), ddir))
     return glyphs, W, H
 
 
 def group_words(glyphs):
     """Greedy reading-order grouping of glyphs into words.
 
-    A word breaks on: an explicit space glyph, a gap over 0.3 em
-    between the previous glyph's x-end and the next glyph's x-start, a
-    gap over 0.08 em at a text-run boundary (each word its own Td/TJ —
-    our own text layer, Tesseract's), a backwards jump, or a baseline
-    shift over 0.35 em.  Returns [(text, bbox, baseline_y, fs)]."""
+    Grouping runs in reading-order coordinates ('along' the quantized
+    advance direction, 'cross' normal to it), so 90/180/270-degree
+    rotated text groups exactly like horizontal text.  A word breaks
+    on: an explicit space glyph, an orientation change, a gap over
+    0.3 em between the previous glyph's along-end and the next glyph's
+    along-start, a gap over 0.08 em at a text-run boundary (each word
+    its own Td/TJ — our own text layer, Tesseract's), a backwards
+    jump, or a baseline shift over 0.35 em.
+    Returns [(text, bbox, cross, fs, dir)]."""
     words = []
     cur = None
 
@@ -212,10 +237,10 @@ def group_words(glyphs):
         if cur is not None and cur['text']:
             words.append((cur['text'],
                           (cur['x0'], cur['y0'], cur['x1'], cur['y1']),
-                          cur['base'], cur['fs']))
+                          cur['base'], cur['fs'], cur['dir']))
         cur = None
 
-    for (text, x0, y0, x1, y1, base, run, fs) in glyphs:
+    for (text, x0, y0, x1, y1, base, run, fs, a0, a1, ddir) in glyphs:
         if text == '':
             flush()
             continue
@@ -223,20 +248,22 @@ def group_words(glyphs):
             text = '�'
         em = max(fs, 1e-6)
         if cur is not None:
-            gap = x0 - cur['xend']
-            if gap > 0.30 * em or gap < -1.5 * em \
+            gap = a0 - cur['aend']
+            if ddir != cur['dir'] or gap > 0.30 * em \
+                    or gap < -1.5 * em \
                     or (run != cur['run'] and gap > 0.08 * em) \
                     or abs(base - cur['base']) > 0.35 * em:
                 flush()
         if cur is None:
             cur = {'text': '', 'x0': x0, 'y0': y0, 'x1': x1, 'y1': y1,
-                   'base': base, 'fs': fs, 'xend': x1, 'run': run}
+                   'base': base, 'fs': fs, 'aend': a1, 'run': run,
+                   'dir': ddir}
         cur['text'] += text
         cur['x0'] = min(cur['x0'], x0)
         cur['y0'] = min(cur['y0'], y0)
         cur['x1'] = max(cur['x1'], x1)
         cur['y1'] = max(cur['y1'], y1)
-        cur['xend'] = max(cur['xend'], x1)
+        cur['aend'] = max(cur['aend'], a1)
         cur['base'] = base
         cur['fs'] = max(cur['fs'], fs)
         cur['run'] = run
@@ -244,23 +271,31 @@ def group_words(glyphs):
     return words
 
 
-def group_lines(words):
-    """Cluster words into lines by baseline proximity, left-to-right.
+def _along0(w):
+    """Reading-order start coordinate of a word from its bbox + dir."""
+    bbox, ddir = w[1], w[4]
+    return (bbox[0], bbox[1], -bbox[2], -bbox[3])[ddir]
 
-    Returns [{'bbox', 'baseline_y', 'x_size', 'words': [...]}] sorted
-    top-to-bottom."""
-    remaining = sorted(words, key=lambda w: (w[2], w[1][0]))
+
+def group_lines(words):
+    """Cluster words into lines by (orientation, baseline) proximity,
+    ordered in reading order within the line.
+
+    Returns [{'bbox', 'baseline_y', 'x_size', 'dir', 'words': [...]}]
+    sorted top-to-bottom."""
+    remaining = sorted(words, key=lambda w: (w[4], w[2], _along0(w)))
     lines = []
     for w in remaining:
         placed = None
         for ln in lines:
-            if abs(w[2] - ln['baseline_y']) <= 0.5 * max(w[3],
-                                                         ln['x_size']):
+            if ln['dir'] == w[4] and \
+                    abs(w[2] - ln['baseline_y']) <= 0.5 * max(
+                        w[3], ln['x_size']):
                 placed = ln
                 break
         if placed is None:
             placed = {'bbox': list(w[1]), 'baseline_y': w[2],
-                      'x_size': w[3], 'words': []}
+                      'x_size': w[3], 'dir': w[4], 'words': []}
             lines.append(placed)
         placed['words'].append(w)
         placed['bbox'][0] = min(placed['bbox'][0], w[1][0])
@@ -271,7 +306,7 @@ def group_lines(words):
         # running baseline: last word wins (words arrive sorted)
         placed['baseline_y'] = w[2]
     for ln in lines:
-        ln['words'].sort(key=lambda w: w[1][0])
+        ln['words'].sort(key=_along0)
     lines.sort(key=lambda ln: (ln['bbox'][1], ln['bbox'][0]))
     return lines
 
@@ -301,13 +336,15 @@ def page_to_hocr(reader, idx, scale=1.0, pageno=None):
                    "title='bbox %d %d %d %d'>" % (x0, y0, x1, y1))
         for li, ln in enumerate(lines):
             bx = [int(round(v)) for v in ln['bbox']]
-            base_off = int(round(ln['baseline_y'] - ln['bbox'][3]))
+            base_off = int(round(ln['baseline_y'] - ln['bbox'][3])) \
+                if ln.get('dir', 0) in (0, 2) else 0
             out.append("   <span class='ocr_line' id='line_%06d_%04d' "
                        "title='bbox %d %d %d %d; baseline 0 %d; "
                        "x_size %d'>" % (pageno + 1, li, bx[0], bx[1],
                                         bx[2], bx[3], base_off,
                                         int(round(ln['x_size']))))
-            for wi, (text, wb, _base, fs) in enumerate(ln['words']):
+            for wi, (text, wb, _base, fs, _dir) in enumerate(
+                    ln['words']):
                 wb = [int(round(v)) for v in wb]
                 out.append("    <span class='ocrx_word' "
                            "id='word_%06d_%04d_%04d' title='bbox %d %d "

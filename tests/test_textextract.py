@@ -56,6 +56,26 @@ class TestGrouping:
         # device y grows downward: first line above second
         assert lines[0]['bbox'][1] < lines[1]['bbox'][1]
 
+    def test_rotated_text_groups_in_reading_order(self):
+        # 90-degree text matrix: advance runs up the page.  Grouping
+        # must split words on the space and keep reading order, and
+        # must not merge the rotated line with the horizontal one.
+        r = _doc_with_ops(
+            b'BT /XF1 16 Tf 0 1 -1 0 100 40 Tm (going up fast) Tj ET '
+            b'BT /XF1 16 Tf 1 0 0 1 120 100 Tm (flat here) Tj ET')
+        g, _W, _H = extract_page_glyphs(r, 0, scale=1.0)
+        lines = group_lines(group_words(g))
+        texts = [[w[0] for w in ln['words']] for ln in lines]
+        assert ['going', 'up', 'fast'] in texts
+        assert ['flat', 'here'] in texts
+        rot = next(ln for ln in lines
+                   if [w[0] for w in ln['words']][0] == 'going')
+        # vertical line: tall, narrow boxes; words ordered bottom-up
+        assert rot['bbox'][3] - rot['bbox'][1] > \
+            rot['bbox'][2] - rot['bbox'][0]
+        ys = [w[1][3] for w in rot['words']]
+        assert ys[0] > ys[1] > ys[2]
+
     def test_scale_applies(self):
         r = _doc_with_ops(b'BT /XF1 24 Tf 1 0 0 1 50 100 Tm (x) Tj ET')
         g1, W1, H1 = extract_page_glyphs(r, 0, scale=1.0)
