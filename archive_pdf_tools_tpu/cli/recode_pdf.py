@@ -206,6 +206,26 @@ def main(argv=None):
                          'are mutually exclusive\n\n')
         parser.print_help()
         return 1
+    if args.hocr_file is None:
+        # TPU extra over the reference (which requires -T): with
+        # --from-pdf, extract the input's own text layer as hOCR
+        # (cli/pdf_to_hocr.py) so a plain PDF recodes in one step
+        if args.from_pdf is None:
+            sys.stderr.write('***** Error: --hocr-file is required with '
+                             '--from-imagestack\n\n')
+            parser.print_help()
+            return 1
+        import tempfile
+        from .pdf_to_hocr import main as hocr_main
+        args.hocr_file = tempfile.mktemp(prefix='recode_', suffix='.hocr')
+        if args.verbose:
+            print('No --hocr-file: extracting the text layer of %s'
+                  % args.from_pdf)
+        rc = hocr_main(['-f', args.from_pdf, '-o', args.hocr_file])
+        if rc:
+            sys.stderr.write('***** Error: text-layer extraction '
+                             'failed\n')
+            return 1
 
     args = resolve_compression_flags(args)
 

@@ -188,3 +188,23 @@ class TestPdfcompSelfContained:
         g, _W, _H = extract_page_glyphs(reader, 0, scale=1.0)
         texts = ''.join(w[0] for w in group_words(g))
         assert 'word00' in texts
+
+    @pytest.mark.skipif(os.environ.get('APT_SKIP_E2E') == '1',
+                        reason='e2e gated off')
+    def test_recode_pdf_without_hocr(self, tmp_path):
+        """recode_pdf --from-pdf with no -T auto-extracts the input's
+        text layer (TPU extra; the reference errors without -T)."""
+        from tests.test_recode_e2e import run_recode
+        from archive_pdf_tools_tpu.cli.recode_pdf import main as rmain
+
+        first, _res, _pages = run_recode(tmp_path, n_pages=1,
+                                         validate=False)
+        out = str(tmp_path / 'again.pdf')
+        rc = rmain(['-P', first, '-o', out, '--dpi', '72',
+                    '-J', 'pillow'])
+        assert rc == 0
+        reader = PdfReader(out)
+        assert reader.page_count() == 1
+        g, _W, _H = extract_page_glyphs(reader, 0, scale=1.0)
+        texts = ''.join(w[0] for w in group_words(g))
+        assert 'word00' in texts
