@@ -307,6 +307,103 @@ class _ContentLexer:
             pos = e + 2
 
 
+# standard-14 base fonts -> Adobe core AFM files shipped by matplotlib;
+# PDFs may reference these without /Widths (ISO 32000-1 9.6.2.2 allows
+# omitting metrics for the standard 14), so a conforming reader needs
+# the real advance widths, not a flat default
+_STD14_AFM = {
+    'helvetica': 'phvr8a', 'helvetica-bold': 'phvb8a',
+    'helvetica-oblique': 'phvro8a', 'helvetica-boldoblique': 'phvbo8a',
+    'courier': 'pcrr8a', 'courier-bold': 'pcrb8a',
+    'courier-oblique': 'pcrro8a', 'courier-boldoblique': 'pcrbo8a',
+    'times-roman': 'ptmr8a', 'times-bold': 'ptmb8a',
+    'times-italic': 'ptmri8a', 'times-bolditalic': 'ptmbi8a',
+    'symbol': 'psyr', 'zapfdingbats': 'pzdr',
+    # common aliases
+    'arial': 'phvr8a', 'arial-bold': 'phvb8a',
+    'arialmt': 'phvr8a', 'arial-boldmt': 'phvb8a',
+    'timesnewroman': 'ptmr8a', 'timesnewromanpsmt': 'ptmr8a',
+    'couriernew': 'pcrr8a',
+}
+_AFM_CACHE = {}
+
+
+def _load_afm(key):
+    afm = _AFM_CACHE.get(key)
+    if afm is None and key not in _AFM_CACHE:
+        try:
+            import os
+            import matplotlib
+            try:
+                from matplotlib import _afm as afm_mod
+            except ImportError:               # older matplotlib
+                from matplotlib import afm as afm_mod
+            path = os.path.join(matplotlib.get_data_path(), 'fonts',
+                                'afm', key + '.afm')
+            with open(path, 'rb') as fp:
+                afm = afm_mod.AFM(fp)
+        except Exception:
+            afm = None
+        _AFM_CACHE[key] = afm
+    return afm
+
+
+def _std14_widths(reader, font):
+    """code -> advance/1000 for a /Widths-less simple font from the
+    matching core AFM (empty dict when the base font is unknown)."""
+    base = str(reader.resolve(font.get('BaseFont')) or '')
+    base = base.split('+')[-1].lower()
+    key = _STD14_AFM.get(base)
+    if key is None:
+        return {}
+    afm = _load_afm(key)
+    if afm is None:
+        return {}
+    by_name = getattr(afm, '_metrics_by_name', {})
+    by_code = getattr(afm, '_metrics', {})
+
+    # /Encoding Differences override; otherwise Symbol/ZapfDingbats use
+    # their built-in encoding (the AFM's own C codes), text fonts the
+    # cp1252-compatible default
+    diffs = {}
+    try:
+        enc = reader.resolve(font.get('Encoding'))
+        if isinstance(enc, dict):
+            code = 0
+            for item in (reader.resolve(enc.get('Differences')) or []):
+                item = reader.resolve(item)
+                if isinstance(item, (int, float)):
+                    code = int(item)
+                else:
+                    diffs[code] = str(item)
+                    code += 1
+    except Exception:
+        pass
+
+    from .glyphs import _uv_names
+    wmap = {}
+    builtin = key in ('psyr', 'pzdr')
+    for code in range(256):
+        name = diffs.get(code)
+        m = by_name.get(name) if name else None
+        if m is None and name is None:
+            if builtin:
+                m = by_code.get(code)
+            else:
+                try:
+                    uv = ord(bytes([code]).decode('cp1252'))
+                except (UnicodeDecodeError, ValueError):
+                    uv = None
+                if uv is not None:
+                    for cand in _uv_names(uv):
+                        m = by_name.get(cand)
+                        if m is not None:
+                            break
+        if m is not None:
+            wmap[code] = float(m.width) / 1000.0
+    return wmap
+
+
 class Rasterizer:
     def __init__(self, reader):
         self.reader = reader
@@ -771,6 +868,8 @@ class Rasterizer:
                     wmap[first + i] = float(r.resolve(wv)) / 1000.0
                 except (TypeError, ValueError):
                     pass
+        if not wmap:
+            wmap = _std14_widths(r, font)
         return wmap, 0.5, 1
 
     def _show_text(self, canvas, gs, tm, text, resources=None, depth=0):

@@ -141,6 +141,39 @@ class TestRoundTrip:
         assert words == ['a', '<&>', 'b']
 
 
+class TestStd14Metrics:
+    def test_helvetica_afm_widths(self):
+        """A /Widths-less standard-14 Helvetica font (allowed by ISO
+        32000-1 9.6.2.2) must use real core-AFM advances: 'i' is
+        222/1000 em, 'W' 944/1000 em — not a flat default."""
+        from archive_pdf_tools_tpu.pdf.writer import PdfWriter, Name, \
+            Stream
+        wr = PdfWriter()
+        cat = wr.reserve()
+        pages = wr.reserve()
+        fref = wr.add({Name('Type'): Name('Font'),
+                       Name('Subtype'): Name('Type1'),
+                       Name('BaseFont'): Name('Helvetica')})
+        cref = wr.add(Stream(
+            {}, b'BT /F1 24 Tf 1 0 0 1 20 100 Tm (iii WWW) Tj ET'))
+        page = wr.add({Name('Type'): Name('Page'), Name('Parent'): pages,
+                       Name('MediaBox'): [0, 0, 400, 200],
+                       Name('Contents'): cref,
+                       Name('Resources'): {Name('Font'):
+                                           {Name('F1'): fref}}})
+        wr.set(pages, {Name('Type'): Name('Pages'), Name('Kids'): [page],
+                       Name('Count'): 1})
+        wr.set(cat, {Name('Type'): Name('Catalog'), Name('Pages'): pages})
+        import io
+        buf = io.BytesIO()
+        wr.save(buf, cat, None, b'0123456789abcdef')
+        r = PdfReader(buf.getvalue())
+        words = group_words(extract_page_glyphs(r, 0, scale=1.0)[0])
+        wmap = {t: bb[2] - bb[0] for t, bb, _b, _f, _d in words}
+        assert abs(wmap['iii'] - 3 * 24 * 0.222) < 0.5
+        assert abs(wmap['WWW'] - 3 * 24 * 0.944) < 0.5
+
+
 class TestForeignPdf:
     def test_matplotlib_pdf_extracts(self, tmp_path):
         """A PDF produced by a genuinely foreign writer (matplotlib's
