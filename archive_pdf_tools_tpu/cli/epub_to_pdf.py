@@ -3,12 +3,15 @@
 The reference delegates to PyMuPDF's ``convert_to_pdf``
 (``bin/epub-to-pdf:35-76``).  Without a full layout engine we implement
 a flow-based conversion: spine XHTML chapters are extracted with lxml
-as an ordered flow of paragraphs and images; text lays out as wrapped
-monospace text (Courier, a PDF standard-14 font, so line metrics are
-exact), images are embedded (JPEG passthrough where possible, Flate
-otherwise) and placed in-flow scaled to the column, chapter starts
-become PDF outline entries, and OPF metadata maps to the docinfo.
-Covers and figures survive; fixed-layout positioning does not.
+as an ordered flow of headings, paragraphs and images; text lays out
+proportionally (Times-Roman body, Helvetica-Bold headings — standard-14
+fonts measured with their real core AFM advances, WinAnsi-encoded, so
+wraps are exact; monospace Courier fallback when no AFMs are
+available), images are embedded (JPEG passthrough where possible,
+Flate otherwise) and placed in-flow scaled to the column, chapter
+starts become PDF outline entries, and OPF metadata maps to the
+docinfo.  Covers and figures survive; fixed-layout positioning does
+not.
 """
 
 import argparse
@@ -25,9 +28,30 @@ PAGE_W, PAGE_H = 612.0, 792.0
 MARGIN = 54.0
 FONT_SIZE = 10.0
 LEADING = 13.0
-CHAR_W = FONT_SIZE * 0.6    # courier advance 600/1000
+HEAD_SIZE = 14.0
+HEAD_LEADING = 18.0
+CHAR_W = FONT_SIZE * 0.6    # courier advance 600/1000 (fallback)
 COLS = int((PAGE_W - 2 * MARGIN) / CHAR_W)
 ROWS = int((PAGE_H - 2 * MARGIN) / LEADING)
+COL_W = PAGE_W - 2 * MARGIN
+
+
+class _PlainResolver:
+    """Duck-typed reader for raster helpers on literal dicts."""
+
+    @staticmethod
+    def resolve(v):
+        return v
+
+
+def _afm_codewidths(base_name):
+    """[256] advances (fraction of em) for a standard-14 font under
+    WinAnsi, from the core AFMs; None when unavailable."""
+    from ..pdf.raster import _std14_widths
+    wmap = _std14_widths(_PlainResolver, {'BaseFont': base_name})
+    if not wmap:
+        return None
+    return [wmap.get(c, 0.5) for c in range(256)]
 
 
 def _opf_path(zf):
@@ -63,7 +87,12 @@ def _extract_flow(zf, doc_path):
         data = zf.read(doc_path)
     except KeyError:
         return '', []
-    root = etree.fromstring(data, etree.HTMLParser())
+    try:
+        # EPUB content documents are XHTML: XML rules, utf-8 default,
+        # XML declaration honored
+        root = etree.fromstring(data)
+    except etree.XMLSyntaxError:
+        root = etree.fromstring(data, etree.HTMLParser(encoding='utf-8'))
     base = posixpath.dirname(doc_path)
     title = ''
     for h in root.iter():
@@ -96,11 +125,13 @@ def _extract_flow(zf, doc_path):
             # document order by this same iteration)
             text = re.sub(r'\s+', ' ', ' '.join(p.itertext())).strip()
             if text:
-                flow.append(('text', text))
+                flow.append(('head' if local.startswith('h') else 'text',
+                             text))
     return title, flow
 
 
 def _wrap(text, cols):
+    """Monospace fallback wrap (no AFMs available)."""
     lines = []
     for para in text.split('\n'):
         words = para.split(' ')
@@ -117,9 +148,48 @@ def _wrap(text, cols):
     return lines
 
 
+def _wrap_prop(text, widths, size, col_w):
+    """Width-measured wrap: WinAnsi bytes against per-code advances."""
+    def wlen(bs):
+        return sum(widths[b] for b in bs) * size
+
+    space_w = widths[32] * size
+    lines = []
+    for para in text.split('\n'):
+        cur = b''
+        cur_w = 0.0
+        for word in para.split(' '):
+            wb = word.encode('cp1252', 'replace')
+            ww = wlen(wb)
+            while ww > col_w and len(wb) > 1:
+                # hard-break an over-wide word at the column edge
+                k = 1
+                while k < len(wb) and wlen(wb[:k + 1]) <= col_w:
+                    k += 1
+                if cur:
+                    lines.append(cur)
+                    cur, cur_w = b'', 0.0
+                lines.append(wb[:k])
+                wb = wb[k:]
+                ww = wlen(wb)
+            if not cur:
+                cur, cur_w = wb, ww
+            elif cur_w + space_w + ww <= col_w:
+                cur += b' ' + wb
+                cur_w += space_w + ww
+            else:
+                lines.append(cur)
+                cur, cur_w = wb, ww
+        lines.append(cur)
+    return lines
+
+
 def _esc(s):
+    if isinstance(s, bytes):
+        return s.replace(b'\\', rb'\\').replace(b'(', rb'\(') \
+                .replace(b')', rb'\)')
     return s.replace('\\', r'\\').replace('(', r'\(').replace(')', r'\)') \
-            .encode('latin-1', 'replace')
+            .encode('cp1252', 'replace')
 
 
 def main(argv=None):
@@ -135,9 +205,26 @@ def main(argv=None):
     w = PdfWriter()
     catalog_ref = w.reserve()
     pages_ref = w.reserve()
-    font_ref = w.add({Name('Type'): Name('Font'),
+    body_widths = _afm_codewidths('Times-Roman')
+    head_widths = _afm_codewidths('Helvetica-Bold')
+    proportional = body_widths is not None and head_widths is not None
+
+    def std_font(base):
+        return w.add({Name('Type'): Name('Font'),
                       Name('Subtype'): Name('Type1'),
-                      Name('BaseFont'): Name('Courier')})
+                      Name('BaseFont'): Name(base),
+                      Name('Encoding'): Name('WinAnsiEncoding')})
+
+    if proportional:
+        font_ref = std_font('Times-Roman')
+        head_ref = std_font('Helvetica-Bold')
+    else:
+        font_ref = std_font('Courier')
+        head_ref = font_ref
+    # per-style (font name, size, leading, row units)
+    STYLES = {'b': ('F1', FONT_SIZE, LEADING, 1.0),
+              'h': ('F2', HEAD_SIZE, HEAD_LEADING,
+                    HEAD_LEADING / LEADING)}
 
     page_refs = []
     chapter_pages = []    # (title, first page index)
@@ -185,21 +272,27 @@ def main(argv=None):
         y = PAGE_H - MARGIN
         xobjs = {}
         text_run = []
+        run_style = 'b'
 
         def flush_text():
             nonlocal text_run, y
             if not text_run:
                 return
-            ops.append(b'BT /F1 %g Tf %g %g Td %g TL' %
-                       (FONT_SIZE, MARGIN, y, LEADING))
+            fname, size, leading, _u = STYLES[run_style]
+            ops.append(b'BT /%s %g Tf %g %g Td %g TL' %
+                       (fname.encode(), size, MARGIN, y, leading))
             for line in text_run:
                 ops.append(b"(%s) '" % _esc(line))
             ops.append(b'ET')
-            y -= LEADING * len(text_run)
+            y -= leading * len(text_run)
             text_run = []
 
         for item in cur_items:
             if item[0] == 'line':
+                style = item[2] if len(item) > 2 else 'b'
+                if style != run_style:
+                    flush_text()
+                    run_style = style
                 text_run.append(item[1])
             else:
                 flush_text()
@@ -211,7 +304,8 @@ def main(argv=None):
                            (w_pt, h_pt, MARGIN, y, name.encode()))
         flush_text()
         content = w.add(Stream({}, b'\n'.join(ops), deflate=True))
-        res = {Name('Font'): {Name('F1'): font_ref}}
+        res = {Name('Font'): {Name('F1'): font_ref,
+                              Name('F2'): head_ref}}
         if xobjs:
             res[Name('XObject')] = xobjs
         ref = w.add({Name('Type'): Name('Page'), Name('Parent'): pages_ref,
@@ -249,18 +343,28 @@ def main(argv=None):
             if kind == 'img':
                 add_image_block(payload)
                 continue
-            for line in _wrap(payload, COLS):
-                cur_items.append(('line', line))
-                cur_rows += 1
+            style = 'h' if kind == 'head' else 'b'
+            if proportional:
+                widths = head_widths if style == 'h' else body_widths
+                size = STYLES[style][1]
+                lines = _wrap_prop(payload, widths, size, COL_W)
+            else:
+                style = 'b'
+                lines = _wrap(payload, COLS)
+            units = STYLES[style][3]
+            for line in lines:
+                cur_items.append(('line', line, style))
+                cur_rows += units
                 if cur_rows >= ROWS:
                     flush_page()
             if cur_items:
-                cur_items.append(('line', ''))
-                cur_rows += 1
+                cur_items.append(('line', b'' if proportional else '',
+                                  style))
+                cur_rows += units
     flush_page()
 
     if not page_refs:    # empty spine: still emit one blank page
-        cur_items = [('line', '')]
+        cur_items = [('line', b'', 'b')]
         flush_page()
 
     w.set(pages_ref, {Name('Type'): Name('Pages'),

@@ -196,6 +196,45 @@ class TestCliIntegration:
         a = Rasterizer(r).render_page(0)
         assert len(np.unique(a[..., 0])) > 30
 
+    def test_epub_proportional_layout(self, tmp_path):
+        """Headings set in 14pt Helvetica-Bold, body in 10pt
+        Times-Roman with AFM-measured ragged-right wraps (not
+        monospace), WinAnsi punctuation preserved."""
+        from archive_pdf_tools_tpu.cli.epub_to_pdf import main
+        from archive_pdf_tools_tpu.pdf.textextract import (
+            extract_page_glyphs, group_words, group_lines)
+        epub = str(tmp_path / 'p.epub')
+        with zipfile.ZipFile(epub, 'w') as zf:
+            zf.writestr('META-INF/container.xml', '''<?xml version="1.0"?>
+<container xmlns="urn:oasis:names:tc:opendocument:xmlns:container"
+ version="1.0"><rootfiles><rootfile full-path="content.opf"
+ media-type="application/oebps-package+xml"/></rootfiles></container>''')
+            zf.writestr('content.opf', '''<?xml version="1.0"?>
+<package xmlns="http://www.idpf.org/2007/opf" version="2.0">
+ <metadata xmlns:dc="http://purl.org/dc/elements/1.1/">
+  <dc:title>T</dc:title></metadata>
+ <manifest><item id="c1" href="c1.xhtml"
+  media-type="application/xhtml+xml"/></manifest>
+ <spine><itemref idref="c1"/></spine></package>''')
+            zf.writestr('c1.xhtml',
+                        '<html><body><h1>Big Heading</h1><p>'
+                        + 'The quick brown fox jumps over it. ' * 25
+                        + '</p><p>Curly “quotes” — dash.'
+                        '</p></body></html>')
+        out = str(tmp_path / 'p.pdf')
+        assert main([epub, out]) == 0
+        r = PdfReader(out)
+        lines = group_lines(group_words(
+            extract_page_glyphs(r, 0, scale=1.0)[0]))
+        assert [w[0] for w in lines[0]['words']] == ['Big', 'Heading']
+        assert lines[0]['x_size'] > lines[1]['x_size']   # 14pt vs 10pt
+        # proportional wrap: body lines end ragged near the column
+        # right edge (54 + 504 = 558pt), well past a monospace wrap
+        body_edges = [ln['bbox'][2] for ln in lines[1:6]]
+        assert all(470 < e <= 559 for e in body_edges), body_edges
+        text = ' '.join(w[0] for ln in lines for w in ln['words'])
+        assert '“quotes”' in text and '—' in text
+
 
 class TestMultiImagePages:
     def _two_image_pdf(self, tmp_path):
