@@ -87,10 +87,19 @@ def _word_data_for_image(reader, page_idx, word_data, hocr_dims,
     return _map_word_data(word_data, iw / wh, ih / hh, 0.0, 0.0, iw, ih)
 
 
+def _already_mrc(reader, stream):
+    """True for JPXDecode/JBIG2Decode images (an MRC stack's own
+    parts): recompressing those inflates them."""
+    filt = reader.resolve(stream.dict.get('Filter'))
+    filts = filt if isinstance(filt, list) else [filt]
+    names = {str(reader.resolve(f)) for f in filts if f is not None}
+    return bool(names & {'JPXDecode', 'JBIG2Decode'})
+
+
 def compress_page_images(rw, reader, page_idx, word_data,
                          bg_flags, fg_flags, impl, bg_downsample=3,
                          dpi=None, errors=None, verbose=False,
-                         hocr_dims=None):
+                         hocr_dims=None, recompress_mrc=False):
     """MRC-recompress every image on a page, in place: each `/ImN Do`
     is substituted with bg + fg(SMask=mask) draws inside the original
     transform context — the reference likewise iterates all page
@@ -114,6 +123,12 @@ def compress_page_images(rw, reader, page_idx, word_data,
     mapping = {}
     res_updates = {}
     for img_i, (name, _xobj_num, stream) in enumerate(imgs):
+        if not recompress_mrc and _already_mrc(reader, stream):
+            if verbose:
+                print('page %d image %s: already JPX/JBIG2, keeping '
+                      '(--recompress-mrc overrides)' % (page_idx, name),
+                      file=sys.stderr)
+            continue
         try:
             image = _decode_pdf_image(reader, stream)
         except Exception as exc:
@@ -213,6 +228,10 @@ def main(argv=None):
     parser.add_argument('outfile')
     parser.add_argument('--bg-downsample', type=int, default=3)
     parser.add_argument('--dpi', type=int, default=None)
+    parser.add_argument('--recompress-mrc', action='store_true',
+                        help='also recompress images that are already '
+                             'JPX/JBIG2 (an existing MRC stack); off by '
+                             'default because it inflates them')
     parser.add_argument('-v', '--verbose', action='store_true')
     args = parser.parse_args(argv)
 
@@ -243,7 +262,8 @@ def main(argv=None):
                                 bg_flags, fg_flags, impl,
                                 bg_downsample=args.bg_downsample,
                                 dpi=args.dpi, verbose=args.verbose,
-                                hocr_dims=hocr_dims[idx]):
+                                hocr_dims=hocr_dims[idx],
+                                recompress_mrc=args.recompress_mrc):
             n += 1
     rw.save(args.outfile)
     import os
