@@ -316,6 +316,29 @@ def _esc(s):
             .replace('>', '&gt;'))
 
 
+def group_paragraphs(lines):
+    """Split the top-to-bottom line list into paragraphs on vertical
+    gaps over ~1.8 line-heights, orientation changes, or horizontal
+    disjointness (column breaks)."""
+    paras = []
+    cur = []
+    for ln in lines:
+        if cur:
+            prev = cur[-1]
+            gap = ln['bbox'][1] - prev['bbox'][3]
+            x_ov = min(ln['bbox'][2], prev['bbox'][2]) - \
+                max(ln['bbox'][0], prev['bbox'][0])
+            if ln['dir'] != prev['dir'] \
+                    or gap > 1.8 * max(ln['x_size'], prev['x_size']) \
+                    or x_ov <= 0:
+                paras.append(cur)
+                cur = []
+        cur.append(ln)
+    if cur:
+        paras.append(cur)
+    return paras
+
+
 def page_to_hocr(reader, idx, scale=1.0, pageno=None):
     """One ocr_page div (bytes, utf-8)."""
     glyphs, W, H = extract_page_glyphs(reader, idx, scale=scale)
@@ -325,16 +348,18 @@ def page_to_hocr(reader, idx, scale=1.0, pageno=None):
     out = ["<div class='ocr_page' id='page_%06d' title='bbox 0 0 %d %d; "
            "ppageno %d; scan_res %d %d'>" % (pageno + 1, W, H, pageno,
                                              ppi, ppi)]
-    if lines:
-        x0 = min(ln['bbox'][0] for ln in lines)
-        y0 = min(ln['bbox'][1] for ln in lines)
-        x1 = max(ln['bbox'][2] for ln in lines)
-        y1 = max(ln['bbox'][3] for ln in lines)
+    li = 0
+    for para in group_paragraphs(lines):
+        x0 = min(ln['bbox'][0] for ln in para)
+        y0 = min(ln['bbox'][1] for ln in para)
+        x1 = max(ln['bbox'][2] for ln in para)
+        y1 = max(ln['bbox'][3] for ln in para)
         out.append(" <div class='ocr_carea' title='bbox %d %d %d %d'>"
                    % (x0, y0, x1, y1))
         out.append("  <p class='ocr_par' dir='ltr' "
                    "title='bbox %d %d %d %d'>" % (x0, y0, x1, y1))
-        for li, ln in enumerate(lines):
+        for ln in para:
+            li += 1
             bx = [int(round(v)) for v in ln['bbox']]
             base_off = int(round(ln['baseline_y'] - ln['bbox'][3])) \
                 if ln.get('dir', 0) in (0, 2) else 0
