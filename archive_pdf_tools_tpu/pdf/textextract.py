@@ -316,6 +316,59 @@ def _esc(s):
             .replace('>', '&gt;'))
 
 
+def _merged_gaps(intervals, min_gap):
+    """Gaps wider than min_gap between merged [lo, hi) intervals."""
+    ivs = sorted(intervals)
+    gaps = []
+    hi = None
+    for lo, h in ivs:
+        if hi is not None and lo - hi > min_gap:
+            gaps.append((hi, lo))
+        hi = h if hi is None else max(hi, h)
+    return gaps
+
+
+def order_reading(lines):
+    """Recursive XY-cut over line boxes: split on full-width vertical
+    gaps (bands, top to bottom), then on full-height horizontal gutters
+    (columns, left to right) — so two-column pages read left column
+    first instead of interleaving, while spanning titles stay on top."""
+    def cut(items, depth):
+        if len(items) <= 1 or depth >= 6:
+            return sorted(items, key=lambda ln: (ln['bbox'][1],
+                                                 ln['bbox'][0]))
+        ms = sorted(ln['x_size'] for ln in items)[len(items) // 2]
+        ms = max(ms, 1.0)
+        y_gaps = _merged_gaps([(ln['bbox'][1], ln['bbox'][3])
+                               for ln in items], 0.6 * ms)
+        if y_gaps:
+            bands = [[] for _ in range(len(y_gaps) + 1)]
+            cuts = [g[0] for g in y_gaps]
+            for ln in items:
+                k = sum(1 for c in cuts if ln['bbox'][1] >= c)
+                bands[k].append(ln)
+            out = []
+            for band in bands:
+                out.extend(cut(band, depth + 1))
+            return out
+        x_gaps = _merged_gaps([(ln['bbox'][0], ln['bbox'][2])
+                               for ln in items], 1.0 * ms)
+        if x_gaps:
+            cols = [[] for _ in range(len(x_gaps) + 1)]
+            cuts = [g[0] for g in x_gaps]
+            for ln in items:
+                k = sum(1 for c in cuts if ln['bbox'][0] >= c)
+                cols[k].append(ln)
+            out = []
+            for col in cols:
+                out.extend(cut(col, depth + 1))
+            return out
+        return sorted(items, key=lambda ln: (ln['bbox'][1],
+                                             ln['bbox'][0]))
+
+    return cut(list(lines), 0)
+
+
 def group_paragraphs(lines):
     """Split the top-to-bottom line list into paragraphs on vertical
     gaps over ~1.8 line-heights, orientation changes, or horizontal
@@ -342,7 +395,7 @@ def group_paragraphs(lines):
 def page_to_hocr(reader, idx, scale=1.0, pageno=None):
     """One ocr_page div (bytes, utf-8)."""
     glyphs, W, H = extract_page_glyphs(reader, idx, scale=scale)
-    lines = group_lines(group_words(glyphs))
+    lines = order_reading(group_lines(group_words(glyphs)))
     pageno = idx if pageno is None else pageno
     ppi = int(round(72 * scale))
     out = ["<div class='ocr_page' id='page_%06d' title='bbox 0 0 %d %d; "

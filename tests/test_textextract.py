@@ -141,6 +141,26 @@ class TestRoundTrip:
         assert words == ['a', '<&>', 'b']
 
 
+class TestReadingOrder:
+    def test_two_columns_with_spanning_title(self):
+        """XY-cut ordering: a spanning title first, then the whole left
+        column, then the right — not y-interleaved."""
+        from archive_pdf_tools_tpu.pdf.textextract import order_reading
+        ops = [b'BT /XF1 14 Tf 1 0 0 1 80 280 Tm (Spanning Title) Tj ET']
+        for i in range(3):
+            y = 240 - i * 20
+            ops.append(b'BT /XF1 10 Tf 1 0 0 1 20 %d Tm '
+                       b'(left%d column text) Tj ET' % (y, i))
+            ops.append(b'BT /XF1 10 Tf 1 0 0 1 160 %d Tm '
+                       b'(right%d column text) Tj ET' % (y - 7, i))
+        r = _doc_with_ops(b' '.join(ops), w=300, h=300)
+        lines = order_reading(group_lines(group_words(
+            extract_page_glyphs(r, 0)[0])))
+        firsts = [ln['words'][0][0] for ln in lines]
+        assert firsts == ['Spanning', 'left0', 'left1', 'left2',
+                          'right0', 'right1', 'right2']
+
+
 class TestStd14Metrics:
     def test_helvetica_afm_widths(self):
         """A /Widths-less standard-14 Helvetica font (allowed by ISO
