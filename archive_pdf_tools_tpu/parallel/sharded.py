@@ -14,11 +14,10 @@ pipeline builds per-chip batches, so in practice each shard receives
 its own complete (boxes, pages, selector) set.
 """
 
-from functools import partial
 
 import numpy as np
 import jax
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import PartitionSpec as P
 from jax import shard_map
 
 from ..mrc.step import mrc_full_step_pallas

@@ -16,7 +16,7 @@ renders at, so word boxes line up with the rendered page image.
 
 import re
 
-from .raster import Rasterizer, _GState, _mat_apply  # noqa: F401
+from .raster import Rasterizer, _GState
 from .reader import PdfReader, PStream
 
 _HEXSTR = r'<([0-9a-fA-F]+)>'
