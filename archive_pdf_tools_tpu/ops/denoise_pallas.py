@@ -47,10 +47,147 @@ def _prefix_compose(tables, width, nbits, nstates, mf, identity):
     return p
 
 
-def _make_kernel(n, mincnt, h, w, wp, nstates, mf, identity):
+# ---- bit-plane in-row prefix (n=2 only) ---------------------------------
+#
+# The in-row FSM has 4 states (a, b) = (out[x-1], out[x]); a segment's
+# composed map M is stored as 8 one-bit-per-COLUMN planes P[st], Q[st]
+# (the map's output state is (p, q)), packed 32 columns per int32 lane.
+# Composition M12 = M2 o M1 is then 4 mux-by-minterm selects — ~80
+# whole-word ops on arrays 32x smaller than the per-column packed-table
+# form, vs 28 ops on the wide arrays (measured ~5x fewer vreg-ops per
+# row).  Packing rides the MXU: bits -> words is a matmul against
+# 2^(i%32) selection matrices (split in 16-bit halves so f32 sums stay
+# exact), unpack is the transpose broadcast + per-lane bit extract.
+# Algebra validated bit-exactly against the serial recurrence (and the
+# packed-table kernel) on randomized rows before landing.
+
+_ID_P = (0, 0, 1, 1)    # identity map: p(a, b) = a
+_ID_Q = (0, 1, 0, 1)    #               q(a, b) = b
+
+
+def _bp_compose(P1, Q1, P2, Q2):
+    """M12 = M2 after M1; P*/Q* are 4-tuples of packed-word arrays."""
+    P12 = []
+    Q12 = []
+    for st in range(4):
+        p1 = P1[st]
+        q1 = Q1[st]
+        np1 = ~p1
+        nq1 = ~q1
+        m00 = np1 & nq1
+        m01 = np1 & q1
+        m10 = p1 & nq1
+        m11 = p1 & q1
+        Q12.append((m00 & Q2[0]) | (m01 & Q2[1]) | (m10 & Q2[2])
+                   | (m11 & Q2[3]))
+        P12.append((m00 & P2[0]) | (m01 & P2[1]) | (m10 & P2[2])
+                   | (m11 & P2[3]))
+    return P12, Q12
+
+
+def _bp_row_prefix(q0, q1, q2, wlo_ref, whi_ref, scat_ref, wp):
+    """Per-column inclusive-prefix evaluation at state 0 for one row.
+
+    q0/q1/q2: (B, Wp) int32 0/1 planes ([tau<=0], [tau<=1], [tau<=2]
+    with forced rules applied).  Returns the (B, Wp) int32 out row."""
+    f32 = jnp.float32
+    i32 = jnp.int32
+    nw = wp // 32
+
+    def pack(q):
+        qf = q.astype(f32)
+        lo = jax.lax.dot_general(qf, wlo_ref[...], (((1,), (0,)),
+                                                    ((), ())),
+                                 preferred_element_type=f32)
+        hi = jax.lax.dot_general(qf, whi_ref[...], (((1,), (0,)),
+                                                    ((), ())),
+                                 preferred_element_type=f32)
+        return lo.astype(i32) | (hi.astype(i32) << 16)
+
+    w0 = pack(q0)
+    w1 = pack(q1)
+    w2 = pack(q2)
+    ones = jnp.full_like(w0, -1)
+    zeros = jnp.zeros_like(w0)
+    P = [zeros, ones, zeros, ones]      # atomic p(a, b) = b
+    Q = [w0, w1, w1, w2]
+
+    # in-word inclusive prefix: 5 doubling steps, identity fill
+    for k in (1, 2, 4, 8, 16):
+        mask = (1 << k) - 1
+        Ps = [(P[st] << k) | (mask if _ID_P[st] else 0)
+              for st in range(4)]
+        Qs = [(Q[st] << k) | (mask if _ID_Q[st] else 0)
+              for st in range(4)]
+        P, Q = _bp_compose(Ps, Qs, P, Q)
+
+    # per-word totals (bit 31) -> cross-word inclusive prefix
+    TP = [(P[st] >> 31) & 1 for st in range(4)]
+    TQ = [(Q[st] >> 31) & 1 for st in range(4)]
+    lanes_w = jax.lax.broadcasted_iota(i32, TP[0].shape,
+                                       TP[0].ndim - 1)
+    k = 1
+    while k < nw:
+        TPs = [jnp.where(lanes_w >= k,
+                         jnp.roll(TP[st], k, axis=-1), _ID_P[st])
+               for st in range(4)]
+        TQs = [jnp.where(lanes_w >= k,
+                         jnp.roll(TQ[st], k, axis=-1), _ID_Q[st])
+               for st in range(4)]
+        TP, TQ = _bp_compose(TPs, TQs, TP, TQ)
+        k *= 2
+
+    # exclusive prefix at state 0 -> per-word start state (sa, sb)
+    sa = jnp.where(lanes_w >= 1, jnp.roll(TP[0], 1, axis=-1), 0)
+    sb = jnp.where(lanes_w >= 1, jnp.roll(TQ[0], 1, axis=-1), 0)
+    ma = -sa                         # 0/1 -> all-zeros / all-ones
+    mb = -sb
+    out_w = (~ma & ~mb & Q[0]) | (~ma & mb & Q[1]) | (ma & ~mb & Q[2]) \
+        | (ma & mb & Q[3])
+
+    # unpack: broadcast each word's 16-bit halves to its 32 lanes, then
+    # extract this lane's bit
+    lo_f = (out_w & 0xFFFF).astype(f32)
+    hi_f = ((out_w >> 16) & 0xFFFF).astype(f32)
+    b_lo = jax.lax.dot_general(lo_f, scat_ref[...], (((1,), (0,)),
+                                                     ((), ())),
+                               preferred_element_type=f32).astype(i32)
+    b_hi = jax.lax.dot_general(hi_f, scat_ref[...], (((1,), (0,)),
+                                                     ((), ())),
+                               preferred_element_type=f32).astype(i32)
+    lanes = jax.lax.broadcasted_iota(i32, b_lo.shape, b_lo.ndim - 1)
+    word16 = jnp.where((lanes % 32) < 16, b_lo, b_hi)
+    return (word16 >> (lanes % 16)) & 1
+
+
+def _bp_matrices(wp):
+    """Host-side constant matrices: pack (Wp, Wp//32) x2 and the
+    word->lanes scatter (Wp//32, Wp), f32."""
+    import numpy as np
+    nw = wp // 32
+    i = np.arange(wp)
+    wlo = np.zeros((wp, nw), np.float32)
+    whi = np.zeros((wp, nw), np.float32)
+    bit = i % 32
+    sel = bit < 16
+    wlo[i[sel], (i // 32)[sel]] = (2.0 ** bit[sel])
+    whi[i[~sel], (i // 32)[~sel]] = (2.0 ** (bit[~sel] - 16))
+    scat = np.zeros((nw, wp), np.float32)
+    scat[i // 32, i] = 1.0
+    return wlo, whi, scat
+
+
+def _make_kernel(n, mincnt, h, w, wp, nstates, mf, identity,
+                 bitplane=False):
     rn = n + 1   # original row stays live from BOT-add to its own turn
 
-    def kernel(msk_a_ref, out_ref, botcol, topcol, ring, in_ring):
+    def kernel(msk_a_ref, *rest):
+        if bitplane:
+            wlo_ref, whi_ref, scat_ref = rest[:3]
+            out_ref, botcol, topcol, ring, in_ring = rest[3:]
+        else:
+            wlo_ref = whi_ref = scat_ref = None
+            out_ref, botcol, topcol, ring, in_ring = rest
         s = pl.program_id(0)
         y = s - n
 
@@ -91,33 +228,47 @@ def _make_kernel(n, mincnt, h, w, wp, nstates, mf, identity):
             border = jnp.logical_or(
                 jnp.logical_or(lanes < n, lanes >= w - n),
                 jnp.logical_or(y < n, y >= h - n))
-            forced = jnp.logical_or(m_row == 0, border)
 
-            # Each pixel's transition is one of n+2 constant tables
-            # (u(st) = popcount(st) >= tau, with tau clipped to
-            # [0, n+1]); forced pixels use the constant-u tables.
-            # Selecting among compile-time packed tables is cheaper
-            # than building the table per state.
-            def packed(ufn):
-                t = 0
-                for st in range(nstates):
-                    t |= (((st << 1) | (1 if ufn(st) else 0)) & mf) \
-                        << (n * st)
-                return t
+            if bitplane:
+                # [tau <= t] planes with the forced rules folded in
+                keep = jnp.logical_and(border, m_row > 0)
+                free = jnp.logical_and(jnp.logical_not(border),
+                                       m_row > 0)
+                q0 = jnp.where(keep | (free & (tau <= 0)), 1, 0)
+                q1 = jnp.where(keep | (free & (tau <= 1)), 1, 0)
+                q2 = jnp.where(keep | (free & (tau <= 2)), 1, 0)
+                out_row = _bp_row_prefix(q0, q1, q2, wlo_ref, whi_ref,
+                                         scat_ref, wp)
+            else:
+                forced = jnp.logical_or(m_row == 0, border)
 
-            t_by_tau = [packed(lambda st, tt=tt: bin(st).count('1') >= tt)
-                        for tt in range(n + 2)]
-            tau_c = jnp.clip(tau, 0, n + 1)
-            table = jnp.full_like(m_row, t_by_tau[n + 1])
-            for tt in range(n, -1, -1):
-                table = jnp.where(tau_c == tt, t_by_tau[tt], table)
-            table = jnp.where(
-                forced,
-                jnp.where(m_row > 0, t_by_tau[0], t_by_tau[n + 1]),
-                table)
+                # Each pixel's transition is one of n+2 constant tables
+                # (u(st) = popcount(st) >= tau, with tau clipped to
+                # [0, n+1]); forced pixels use the constant-u tables.
+                # Selecting among compile-time packed tables is cheaper
+                # than building the table per state.
+                def packed(ufn):
+                    t = 0
+                    for st in range(nstates):
+                        t |= (((st << 1) | (1 if ufn(st) else 0)) & mf) \
+                            << (n * st)
+                    return t
 
-            prefix = _prefix_compose(table, wp, n, nstates, mf, identity)
-            out_row = prefix & mf & 1    # newest bit of state from s0=0
+                t_by_tau = [packed(lambda st, tt=tt:
+                                   bin(st).count('1') >= tt)
+                            for tt in range(n + 2)]
+                tau_c = jnp.clip(tau, 0, n + 1)
+                table = jnp.full_like(m_row, t_by_tau[n + 1])
+                for tt in range(n, -1, -1):
+                    table = jnp.where(tau_c == tt, t_by_tau[tt], table)
+                table = jnp.where(
+                    forced,
+                    jnp.where(m_row > 0, t_by_tau[0], t_by_tau[n + 1]),
+                    table)
+
+                prefix = _prefix_compose(table, wp, n, nstates, mf,
+                                         identity)
+                out_row = prefix & mf & 1   # newest state bit from s0=0
 
             out_ref[0] = out_row.astype(jnp.uint8)
 
@@ -129,11 +280,28 @@ def _make_kernel(n, mincnt, h, w, wp, nstates, mf, identity):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=('mincnt', 'n_size', 'interpret'))
-def fast_mask_denoise_pallas(mask, mincnt=4, n_size=2, interpret=False):
-    """Drop-in for fast_mask_denoise_exact; bool (B, H, W) in/out."""
+def _use_bitplane(n):
+    # default 'tables' until the bit-plane path has a measured chip win
+    # (APT_DESPECKLE=bitplane opts in; interpret-mode bit-exactness is
+    # test-covered for both)
+    import os
+    return n == 2 and os.environ.get('APT_DESPECKLE', 'tables') \
+        == 'bitplane'
+
+
+@functools.partial(jax.jit, static_argnames=('mincnt', 'n_size',
+                                             'interpret', 'bitplane'))
+def fast_mask_denoise_pallas(mask, mincnt=4, n_size=2, interpret=False,
+                             bitplane=None):
+    """Drop-in for fast_mask_denoise_exact; bool (B, H, W) in/out.
+
+    bitplane: use the MXU-packed bit-plane in-row prefix (n=2 only;
+    default from APT_DESPECKLE, 'bitplane' unless set to 'tables')."""
     n = int(n_size)
     assert 1 <= n <= 3
+    if bitplane is None:
+        bitplane = _use_bitplane(n)
+    bitplane = bool(bitplane) and n == 2
     nstates = 1 << n
     mf = nstates - 1
     identity = 0
@@ -141,7 +309,9 @@ def fast_mask_denoise_pallas(mask, mincnt=4, n_size=2, interpret=False):
         identity |= st << (n * st)
 
     b, h, w = mask.shape
-    wp = -(-(w + n) // 128) * 128  # headroom for the windowed-sum shift
+    # lane headroom for the windowed-sum shift; the bit-plane pack
+    # needs a whole number of 32-column words (128-multiples are)
+    wp = -(-(w + n) // 128) * 128
     mi = jnp.transpose(mask.astype(jnp.uint8), (1, 0, 2))   # (H, B, W)
     if wp != w:
         mi = jnp.pad(mi, ((0, 0), (0, 0), (0, wp - w)))
@@ -152,10 +322,25 @@ def fast_mask_denoise_pallas(mask, mincnt=4, n_size=2, interpret=False):
     def spec(f):
         return pl.BlockSpec((1, b, wp), lambda s: (f(s), 0, 0))
 
+    extra_in = []
+    extra_specs = []
+    if bitplane:
+        import numpy as np
+        nw = wp // 32
+        wlo, whi, scat = _bp_matrices(wp)
+        extra_in = [jnp.asarray(wlo), jnp.asarray(whi),
+                    jnp.asarray(scat)]
+        extra_specs = [
+            pl.BlockSpec((wp, nw), lambda s: (0, 0)),
+            pl.BlockSpec((wp, nw), lambda s: (0, 0)),
+            pl.BlockSpec((nw, wp), lambda s: (0, 0)),
+        ]
+
     out = pl.pallas_call(
-        _make_kernel(n, mincnt, h, w, wp, nstates, mf, identity),
+        _make_kernel(n, mincnt, h, w, wp, nstates, mf, identity,
+                     bitplane=bitplane),
         grid=(h + n,),
-        in_specs=[spec(add_row)],
+        in_specs=[spec(add_row)] + extra_specs,
         out_specs=pl.BlockSpec((1, b, wp), lambda s: (out_row(s), 0, 0)),
         out_shape=jax.ShapeDtypeStruct((h, b, wp), jnp.uint8),
         scratch_shapes=[
@@ -167,6 +352,6 @@ def fast_mask_denoise_pallas(mask, mincnt=4, n_size=2, interpret=False):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(mi,)
+    )(mi, *extra_in)
 
     return jnp.transpose(out, (1, 0, 2))[:, :, :w].astype(bool)

@@ -67,6 +67,18 @@ class TestDenoisePallas:
                                                   interpret=True))[0]
         assert (ref == got).all()
 
+    def test_bitplane_and_tables_agree(self):
+        # both in-row prefix implementations (MXU bit-plane vs packed
+        # tables) must match the golden serial semantics exactly
+        rng = np.random.default_rng(7)
+        mask = rng.random((2, 50, 300)) < 0.3
+        ref = np.stack([golden.fast_mask_denoise_ref(m, 4, 2)
+                        for m in mask])
+        for bp in (True, False):
+            got = np.asarray(fast_mask_denoise_pallas(
+                mask, 4, 2, interpret=True, bitplane=bp))
+            assert (ref == got).all(), bp
+
     def test_long_nonconstant_chain_exact(self):
         # adversarial input for the K-windowed prefix shortcut: a lone
         # full-width one-pixel row is a >K-long chain of AND transitions
