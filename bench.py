@@ -29,6 +29,22 @@ def main():
     import jax
     from archive_pdf_tools_tpu.mrc.step import mrc_full_step_pallas
 
+    # the axon backend goes UNAVAILABLE for stretches (observed hours
+    # on 2026-08-17); wait for a live device rather than dying on the
+    # first device_put
+    deadline = time.time() + float(os.environ.get('BENCH_WAIT_S', '900'))
+    while True:
+        try:
+            probe = jax.device_put(np.zeros((8, 128), np.float32))
+            _ = np.asarray(probe.ravel()[:1])
+            break
+        except Exception as exc:
+            if time.time() > deadline:
+                raise
+            print('backend unavailable (%s); retrying...'
+                  % type(exc).__name__, file=sys.stderr)
+            time.sleep(60)
+
     batch = int(os.environ.get('BENCH_BATCH', '64'))
     rgb = os.environ.get('BENCH_MODE', 'gray') == 'rgb'
     dpi = int(os.environ.get('BENCH_DPI', '400'))
