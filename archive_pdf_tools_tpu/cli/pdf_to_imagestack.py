@@ -36,6 +36,16 @@ def page_image(reader, idx, ppi=None):
 
 
 def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    # the reference's positional signature
+    # (``bin/pdf-to-imagestack:75``): in_pdf in_json identifier out_zip
+    pos = [a for a in argv if not a.startswith('-')]
+    if len(pos) == 4:
+        i_pdf, i_json, ident, o_zip = pos
+        flags = [a for a in argv if a.startswith('-')]
+        argv = [i_pdf, o_zip, '--json', i_json,
+                '--identifier', ident] + flags
+
     parser = argparse.ArgumentParser(
         description='Convert a PDF to an imagestack zip.')
     parser.add_argument('infile')
@@ -46,13 +56,45 @@ def main(argv=None):
                         help='Pillow JPEG2000 rate (quality_layers)')
     parser.add_argument('--ppi', type=float, default=None,
                         help='render resolution for rasterized pages '
-                             '(default: match the page images, or 300)')
+                             '(default: the metadata JSON scale, else '
+                             'match the page images, or 300)')
+    parser.add_argument('-J', '--json', default=None,
+                        help='pdf-metadata-json report: per-page render '
+                             'scale + whole-stack tif/jp2 decision')
+    parser.add_argument('--identifier', default=None,
+                        help='archive.org-style member naming: '
+                             'ID_tif/ID_0000.tif')
     args = parser.parse_args(argv)
 
+    page_meta = None
+    if args.json:
+        import json as _json
+        with open(args.json) as fp:
+            meta = _json.load(fp)
+        page_meta = meta.get('page_data') or []
+        if args.format == 'auto':
+            # reference policy: TIFF only when every page's images are
+            # all 1-bit (``bin/pdf-to-imagestack:22-31``)
+            tif_ok = True
+            for pm in page_meta:
+                depths = {x.get('depth') for x in
+                          (pm.get('image_data') or [])}
+                if depths != {1}:
+                    tif_ok = False
+                    break
+            args.format = 'tiff' if tif_ok else 'jp2'
+
     reader = PdfReader(args.infile)
-    with zipfile.ZipFile(args.outzip, 'w', zipfile.ZIP_STORED) as zf:
+    with zipfile.ZipFile(args.outzip, 'w', zipfile.ZIP_STORED,
+                         allowZip64=True) as zf:
         for idx in range(reader.page_count()):
-            img = page_image(reader, idx, ppi=args.ppi)
+            ppi = args.ppi
+            if ppi is None and page_meta and idx < len(page_meta):
+                try:
+                    ppi = 72.0 * float(page_meta[idx]['estimated_scale'])
+                except (KeyError, TypeError, ValueError):
+                    ppi = None
+            img = page_image(reader, idx, ppi=ppi)
             if img is None:
                 print('page %d: could not render, skipped' % idx,
                       file=sys.stderr)
@@ -72,7 +114,12 @@ def main(argv=None):
                 img.save(buf, format='JPEG2000', quality_mode='rates',
                          quality_layers=[args.jp2_rate])
                 ext = 'jp2'
-            zf.writestr('page_%06d.%s' % (idx, ext), buf.getvalue())
+            if args.identifier:
+                member = '%s_%s/%s_%04d.%s' % (args.identifier, ext,
+                                               args.identifier, idx, ext)
+            else:
+                member = 'page_%06d.%s' % (idx, ext)
+            zf.writestr(member, buf.getvalue())
     print('wrote %s' % args.outzip)
     return 0
 

@@ -196,6 +196,22 @@ class TestCliIntegration:
         a = Rasterizer(r).render_page(0)
         assert len(np.unique(a[..., 0])) > 30
 
+    def test_imagestack_reference_signature(self, tmp_path):
+        """The reference's 4-positional form (in_pdf in_json identifier
+        out_zip) works: IA member naming, json-driven format."""
+        import json
+        from tests.test_recode_e2e import run_recode
+        from archive_pdf_tools_tpu.cli.pdf_metadata_json import analyse
+        from archive_pdf_tools_tpu.cli.pdf_to_imagestack import \
+            main as imain
+        pdf, _r, _p = run_recode(tmp_path, n_pages=1, validate=False)
+        meta = tmp_path / 'meta.json'
+        meta.write_text(json.dumps(analyse(pdf)))
+        out = str(tmp_path / 'st.zip')
+        assert imain([pdf, str(meta), 'mybook', out]) == 0
+        names = zipfile.ZipFile(out).namelist()
+        assert names == ['mybook_jp2/mybook_0000.jp2']
+
     def test_epub_proportional_layout(self, tmp_path):
         """Headings set in 14pt Helvetica-Bold, body in 10pt
         Times-Roman with AFM-measured ragged-right wraps (not
