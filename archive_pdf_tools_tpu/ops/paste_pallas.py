@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-PG = 8   # lines per grid step (sequential sub-pastes, same page)
+PG = 4   # lines per grid step (sequential sub-pastes, same page)
 
 
 def build_paste_plan(boxes, pages, selector, bsz, pg=PG):
@@ -90,9 +90,10 @@ def build_paste_plan(boxes, pages, selector, bsz, pg=PG):
 def _make_kernel(mh8, hp8, wpp, pg):
     def kernel(li_ref, t_ref, b_ref, l_ref, r_ref, sel_ref,
                gpage_ref, gfirst_ref, *refs):
-        crop_refs = refs[0:pg]            # (1, 2, mh8, 8, wpp) each:
-        out_ref = refs[pg + 1]            # both polarities one stream;
-        g = pl.program_id(0)              # refs[pg] is the aliased init
+        ct_refs = refs[0:pg]
+        ci_refs = refs[pg:2 * pg]
+        out_ref = refs[2 * pg + 1]        # refs[2*pg] is the aliased init
+        g = pl.program_id(0)
 
         @pl.when(gfirst_ref[g] == 1)
         def _():
@@ -118,8 +119,7 @@ def _make_kernel(mh8, hp8, wpp, pg):
                 jnp.logical_and(rows >= off, rows < off + (bb - tt)),
                 jnp.logical_and(jnp.logical_and(lanes >= ll, lanes < rr),
                                 sel > 0))
-            chosen = jnp.where(sel == 1, crop_refs[j][0, 0],
-                               crop_refs[j][0, 1])
+            chosen = jnp.where(sel == 1, ct_refs[j][0], ci_refs[j][0])
             cur = out_ref[0, pl.ds(tal8, mh8)]
             out_ref[0, pl.ds(tal8, mh8)] = jnp.where(ok, chosen, cur)
 
@@ -142,16 +142,15 @@ def paste_crops_pallas(crops_t, crops_i, li, t, b, l, r, sel,
     pg = PG
     assert cap % pg == 0 and gpage.shape[0] == cap // pg
 
-    # both polarities of a line ride ONE input stream: half the
-    # per-step DMA issues of separate ct/ci streams (same bytes)
-    crops = jnp.stack((crops_t.reshape(n, mh8, 8, wpp),
-                       crops_i.reshape(n, mh8, 8, wpp)), axis=1)
+    ct4 = crops_t.reshape(n, mh8, 8, wpp)
+    ci4 = crops_i.reshape(n, mh8, 8, wpp)
     init = jnp.zeros((bsz, hp8, 8, wpp), jnp.uint8)
 
     def crop_spec(j):
+        jj = j % pg                      # same line feeds both polarities
         def index_map(g, li_ref, *_scal):
-            return (li_ref[g * pg + j], 0, 0, 0, 0)
-        return pl.BlockSpec((1, 2, mh8, 8, wpp), index_map)
+            return (li_ref[g * pg + jj], 0, 0, 0)
+        return pl.BlockSpec((1, mh8, 8, wpp), index_map)
 
     def out_map(g, li_ref, t_ref, b_ref, l_ref, r_ref, sel_ref,
                 gpage_ref, gfirst_ref):
@@ -160,7 +159,7 @@ def paste_crops_pallas(crops_t, crops_i, li, t, b, l, r, sel,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=8,
         grid=(cap // pg,),
-        in_specs=[crop_spec(j) for j in range(pg)]
+        in_specs=[crop_spec(j) for j in range(2 * pg)]
         + [pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((1, hp8, 8, wpp), out_map),
     )
@@ -171,12 +170,12 @@ def paste_crops_pallas(crops_t, crops_i, li, t, b, l, r, sel,
         out_shape=jax.ShapeDtypeStruct((bsz, hp8, 8, wpp), jnp.uint8),
         # alias the zeros buffer (last non-scalar input) to the output:
         # pages never visited by the grid keep their zero content
-        input_output_aliases={8 + pg: 0},
+        input_output_aliases={8 + 2 * pg: 0},
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(li, t, b, l, r, sel, gpage, gfirst,
-      *([crops] * pg), init)
+      *([ct4] * pg), *([ci4] * pg), init)
 
     hocr = out.reshape(bsz, hp8 * 8, wpp)[:, :h, :w].astype(bool)
     return jnp.logical_or(hocr, global_mask)
