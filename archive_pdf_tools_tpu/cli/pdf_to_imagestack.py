@@ -39,12 +39,11 @@ def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
     # the reference's positional signature
     # (``bin/pdf-to-imagestack:75``): in_pdf in_json identifier out_zip
-    pos = [a for a in argv if not a.startswith('-')]
-    if len(pos) == 4:
-        i_pdf, i_json, ident, o_zip = pos
-        flags = [a for a in argv if a.startswith('-')]
-        argv = [i_pdf, o_zip, '--json', i_json,
-                '--identifier', ident] + flags
+    # — exactly four arguments, no flags (flag VALUES must not be
+    # miscounted as positionals, so any '-' argument disables this)
+    if len(argv) == 4 and not any(a.startswith('-') for a in argv):
+        i_pdf, i_json, ident, o_zip = argv
+        argv = [i_pdf, o_zip, '--json', i_json, '--identifier', ident]
 
     parser = argparse.ArgumentParser(
         description='Convert a PDF to an imagestack zip.')
@@ -79,7 +78,7 @@ def main(argv=None):
             for pm in page_meta:
                 depths = {x.get('depth') for x in
                           (pm.get('image_data') or [])}
-                if depths != {1}:
+                if depths - {1}:       # imageless pages don't veto TIFF
                     tif_ok = False
                     break
             args.format = 'tiff' if tif_ok else 'jp2'

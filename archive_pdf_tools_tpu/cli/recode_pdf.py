@@ -206,6 +206,7 @@ def main(argv=None):
                          'are mutually exclusive\n\n')
         parser.print_help()
         return 1
+    auto_hocr_dir = None
     if args.hocr_file is None:
         # TPU extra over the reference (which requires -T): with
         # --from-pdf, extract the input's own text layer as hOCR
@@ -215,9 +216,11 @@ def main(argv=None):
                              '--from-imagestack\n\n')
             parser.print_help()
             return 1
+        import os
         import tempfile
         from .pdf_to_hocr import main as hocr_main
-        args.hocr_file = tempfile.mktemp(prefix='recode_', suffix='.hocr')
+        auto_hocr_dir = tempfile.mkdtemp(prefix='recode_hocr')
+        args.hocr_file = os.path.join(auto_hocr_dir, 'text.hocr')
         if args.verbose:
             print('No --hocr-file: extracting the text layer of %s'
                   % args.from_pdf)
@@ -229,8 +232,21 @@ def main(argv=None):
 
     args = resolve_compression_flags(args)
 
+    try:
+        res = _run_recode(args)
+    finally:
+        if auto_hocr_dir is not None:
+            import shutil
+            shutil.rmtree(auto_hocr_dir, ignore_errors=True)
+
+    for error in res['errors']:
+        print('Encountered runtime error:', error)
+    return 0
+
+
+def _run_recode(args):
     from ..pipeline.recode import recode
-    res = recode(
+    return recode(
         from_pdf=args.from_pdf, from_imagestack=args.from_imagestack,
         dpi=args.dpi, hocr_file=args.hocr_file,
         scandata_file=args.scandata_file, out_pdf=args.out_pdf,
@@ -270,10 +286,6 @@ def main(argv=None):
                            'lossy': 'lossy',
                            'refine': 'refine'}[args.jbig2_symbol_coding],
         jbig2_bands=args.jbig2_bands)
-
-    for error in res['errors']:
-        print('Encountered runtime error:', error)
-    return 0
 
 
 if __name__ == '__main__':

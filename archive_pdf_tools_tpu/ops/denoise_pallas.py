@@ -295,8 +295,9 @@ def fast_mask_denoise_pallas(mask, mincnt=4, n_size=2, interpret=False,
                              bitplane=None):
     """Drop-in for fast_mask_denoise_exact; bool (B, H, W) in/out.
 
-    bitplane: use the MXU-packed bit-plane in-row prefix (n=2 only;
-    default from APT_DESPECKLE, 'bitplane' unless set to 'tables')."""
+    bitplane: use the MXU-packed bit-plane in-row prefix (n=2 only).
+    Default: packed tables, unless APT_DESPECKLE=bitplane (read at
+    trace time — set it before the first call, not mid-process)."""
     n = int(n_size)
     assert 1 <= n <= 3
     if bitplane is None:

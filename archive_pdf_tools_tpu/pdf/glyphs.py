@@ -126,6 +126,33 @@ def _parse_cmap_ranges(data):
     return singles, ranges
 
 
+def parse_differences(resolve, enc):
+    """/Encoding dict -> {code: glyph name} per ISO 32000-1 9.6.6.3
+    (ints reset the code counter, names assign and increment).  The
+    shared parser for the rasterizer, std-14 metrics, and text
+    extraction; non-name junk entries are skipped."""
+    diffs = {}
+    if not isinstance(enc, dict):
+        return diffs
+    code = 0
+    try:
+        items = resolve(enc.get('Differences')) or []
+    except Exception:
+        return diffs
+    for item in items:
+        try:
+            item = resolve(item)
+        except Exception:
+            continue
+        if isinstance(item, (int, float)):
+            code = int(item)
+        elif item is not None and not isinstance(item, (list, dict,
+                                                        bytes)):
+            diffs[code] = str(item)
+            code += 1
+    return diffs
+
+
 def _lookup_ranges(singles, ranges, code):
     v = singles.get(code)
     if v is not None:

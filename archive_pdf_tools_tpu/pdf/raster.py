@@ -365,20 +365,12 @@ def _std14_widths(reader, font):
     # /Encoding Differences override; otherwise Symbol/ZapfDingbats use
     # their built-in encoding (the AFM's own C codes), text fonts the
     # cp1252-compatible default
-    diffs = {}
+    from .glyphs import parse_differences
     try:
         enc = reader.resolve(font.get('Encoding'))
-        if isinstance(enc, dict):
-            code = 0
-            for item in (reader.resolve(enc.get('Differences')) or []):
-                item = reader.resolve(item)
-                if isinstance(item, (int, float)):
-                    code = int(item)
-                else:
-                    diffs[code] = str(item)
-                    code += 1
     except Exception:
-        pass
+        enc = None
+    diffs = parse_differences(reader.resolve, enc)
 
     from .glyphs import _uv_names
     wmap = {}
@@ -893,7 +885,10 @@ class Rasterizer:
         if rec is not None:
             self._text_run += 1
         for code in codes:
-            glyph = src.outline(code) if src is not None else None
+            # outlines are only built when actually needed (painting,
+            # or a width fallback): the glyph-sink path with /Widths
+            # present never parses the font program
+            glyph = None
             # /W and /Widths are keyed by CID, not code
             wkey = code
             if src is not None and src.kind is not None and src.is_cid \
@@ -901,6 +896,7 @@ class Rasterizer:
                 wkey = src._resolve_cid(code)
             w0 = wmap.get(wkey)
             if w0 is None:
+                glyph = src.outline(code) if src is not None else None
                 w0 = glyph[1] if glyph is not None else dw
             # Tw applies only to SINGLE-byte code 32 (ISO 32000-1
             # 9.3.3); 2-byte 0x0020 in a Type0 string gets none
@@ -920,6 +916,8 @@ class Rasterizer:
                     fs))
                 tm = _mat_mul((1, 0, 0, 1, adv, 0), tm)
                 continue
+            if paint and glyph is None and src is not None:
+                glyph = src.outline(code)
             if paint and glyph is not None and glyph[0]:
                 paths, _adv = glyph
                 trm = _mat_mul(tm, gs.ctm)

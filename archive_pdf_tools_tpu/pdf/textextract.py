@@ -108,21 +108,12 @@ class _FontText:
                 self.map = parse_tounicode(tu.decoded())
         except Exception:
             self.map = None
+        from .glyphs import parse_differences
         try:
             enc = reader.resolve(font.get('Encoding'))
-            if isinstance(enc, dict):
-                code = 0
-                for item in (reader.resolve(enc.get('Differences'))
-                             or []):
-                    item = reader.resolve(item)
-                    if isinstance(item, (int, float)):
-                        code = int(item)
-                    elif item is not None and not isinstance(
-                            item, (list, dict, PStream)):
-                        self.diffs[code] = str(item)
-                        code += 1
         except Exception:
-            pass
+            enc = None
+        self.diffs = parse_differences(reader.resolve, enc)
 
     def unicode(self, code):
         if self.map is not None:
@@ -305,13 +296,46 @@ def group_lines(words):
         placed['x_size'] = max(placed['x_size'], w[3])
         # running baseline: last word wins (words arrive sorted)
         placed['baseline_y'] = w[2]
+    # split lines at over-wide horizontal gaps (column gutters): two
+    # columns sharing a baseline grid must not fuse into one ocr_line,
+    # or the XY-cut never sees the gutter
+    split = []
     for ln in lines:
         ln['words'].sort(key=_along0)
-    lines.sort(key=lambda ln: (ln['bbox'][1], ln['bbox'][0]))
-    return lines
+        cur = None
+        for w in ln['words']:
+            gap_limit = 2.5 * max(ln['x_size'], 1.0)
+            if cur is not None and ln['dir'] in (0, 2):
+                prev_end = cur['words'][-1][1][2] if ln['dir'] == 0 \
+                    else None
+                gap = (w[1][0] - prev_end) if ln['dir'] == 0 else \
+                    (cur['words'][-1][1][0] - w[1][2])
+                if gap > gap_limit:
+                    split.append(cur)
+                    cur = None
+            if cur is None:
+                cur = {'bbox': list(w[1]), 'baseline_y': ln['baseline_y'],
+                       'x_size': ln['x_size'], 'dir': ln['dir'],
+                       'words': []}
+            cur['words'].append(w)
+            cur['bbox'][0] = min(cur['bbox'][0], w[1][0])
+            cur['bbox'][1] = min(cur['bbox'][1], w[1][1])
+            cur['bbox'][2] = max(cur['bbox'][2], w[1][2])
+            cur['bbox'][3] = max(cur['bbox'][3], w[1][3])
+        if cur is not None:
+            split.append(cur)
+    split.sort(key=lambda ln: (ln['bbox'][1], ln['bbox'][0]))
+    return split
+
+
+_XML_BAD = re.compile(
+    # XML 1.0 invalid: C0 controls except \t\n\r, lone surrogates,
+    # U+FFFE/FFFF (ToUnicode CMaps in the wild map codes to these)
+    '[\x00-\x08\x0b\x0c\x0e-\x1f\ud800-\udfff￾￿]')
 
 
 def _esc(s):
+    s = _XML_BAD.sub('�', s)
     return (s.replace('&', '&amp;').replace('<', '&lt;')
             .replace('>', '&gt;'))
 
@@ -341,6 +365,23 @@ def order_reading(lines):
         ms = max(ms, 1.0)
         y_gaps = _merged_gaps([(ln['bbox'][1], ln['bbox'][3])
                                for ln in items], 0.6 * ms)
+        x_gaps = _merged_gaps([(ln['bbox'][0], ln['bbox'][2])
+                               for ln in items], 1.0 * ms)
+        # cut the axis with the WIDER gap: a full-height gutter must
+        # beat ordinary inter-line gaps, or columns sharing a leading
+        # grid band-split first and interleave anyway
+        max_y = max((g[1] - g[0] for g in y_gaps), default=0.0)
+        max_x = max((g[1] - g[0] for g in x_gaps), default=0.0)
+        if x_gaps and max_x > max_y:
+            cols = [[] for _ in range(len(x_gaps) + 1)]
+            cuts = [g[0] for g in x_gaps]
+            for ln in items:
+                k = sum(1 for c in cuts if ln['bbox'][0] >= c)
+                cols[k].append(ln)
+            out = []
+            for col in cols:
+                out.extend(cut(col, depth + 1))
+            return out
         if y_gaps:
             bands = [[] for _ in range(len(y_gaps) + 1)]
             cuts = [g[0] for g in y_gaps]
@@ -350,18 +391,6 @@ def order_reading(lines):
             out = []
             for band in bands:
                 out.extend(cut(band, depth + 1))
-            return out
-        x_gaps = _merged_gaps([(ln['bbox'][0], ln['bbox'][2])
-                               for ln in items], 1.0 * ms)
-        if x_gaps:
-            cols = [[] for _ in range(len(x_gaps) + 1)]
-            cuts = [g[0] for g in x_gaps]
-            for ln in items:
-                k = sum(1 for c in cuts if ln['bbox'][0] >= c)
-                cols[k].append(ln)
-            out = []
-            for col in cols:
-                out.extend(cut(col, depth + 1))
             return out
         return sorted(items, key=lambda ln: (ln['bbox'][1],
                                              ln['bbox'][0]))

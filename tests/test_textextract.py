@@ -44,9 +44,11 @@ class TestGrouping:
         assert words == ['Hello', 'world', 'kerned', 'gap']
 
     def test_lines_cluster_by_baseline(self):
+        # 'two' sits 30px (1.5 em) after 'one': same line; gaps over
+        # 2.5 em are column gutters and split (TestReadingOrder)
         r = _doc_with_ops(
             b'BT /XF1 20 Tf 1 0 0 1 20 150 Tm (one) Tj ET '
-            b'BT /XF1 20 Tf 1 0 0 1 120 150 Tm (two) Tj ET '
+            b'BT /XF1 20 Tf 1 0 0 1 80 150 Tm (two) Tj ET '
             b'BT /XF1 20 Tf 1 0 0 1 20 100 Tm (three) Tj ET')
         g, _W, _H = extract_page_glyphs(r, 0, scale=1.0)
         lines = group_lines(group_words(g))
@@ -142,6 +144,34 @@ class TestRoundTrip:
 
 
 class TestReadingOrder:
+    def test_two_columns_same_baselines(self):
+        """Columns sharing one leading grid (equal baselines — the
+        common real-world case) must still read left column first:
+        lines split at the gutter instead of fusing across it."""
+        from archive_pdf_tools_tpu.pdf.textextract import order_reading
+        ops = []
+        for i in range(3):
+            y = 240 - i * 20
+            ops.append(b'BT /XF1 10 Tf 1 0 0 1 20 %d Tm '
+                       b'(left%d text here) Tj ET' % (y, i))
+            ops.append(b'BT /XF1 10 Tf 1 0 0 1 160 %d Tm '
+                       b'(right%d text here) Tj ET' % (y, i))
+        r = _doc_with_ops(b' '.join(ops), w=300, h=300)
+        lines = order_reading(group_lines(group_words(
+            extract_page_glyphs(r, 0)[0])))
+        firsts = [ln['words'][0][0] for ln in lines]
+        assert firsts == ['left0', 'left1', 'left2',
+                          'right0', 'right1', 'right2']
+
+    def test_xml_invalid_chars_sanitized(self):
+        """Control chars / lone surrogates from hostile ToUnicode maps
+        must not produce unparseable hOCR or crash the utf-8 encode."""
+        from archive_pdf_tools_tpu.pdf.textextract import _esc
+        s = 'a\x08b' + chr(0xD800) + 'c￾e'
+        out = _esc(s)
+        assert out == 'a�b�c�e'
+        out.encode('utf-8')   # must not raise
+
     def test_two_columns_with_spanning_title(self):
         """XY-cut ordering: a spanning title first, then the whole left
         column, then the right — not y-interleaved."""
