@@ -326,7 +326,6 @@ def fast_mask_denoise_pallas(mask, mincnt=4, n_size=2, interpret=False,
     extra_in = []
     extra_specs = []
     if bitplane:
-        import numpy as np
         nw = wp // 32
         wlo, whi, scat = _bp_matrices(wp)
         extra_in = [jnp.asarray(wlo), jnp.asarray(whi),
