@@ -33,6 +33,7 @@ halftones/transfer functions, blend modes.
 """
 
 import io
+import re
 
 import numpy as np
 
@@ -403,6 +404,7 @@ class Rasterizer:
         self._text_record = None   # glyph sink for pdf/textextract.py
         self._text_run = 0         # increments per shown string
         self._glyph_sources = {}
+        self._font_metrics_cache = {}
 
     def _glyph_source(self, font):
         """Per-document GlyphSource cache (font dicts are cached by the
@@ -672,8 +674,16 @@ class Rasterizer:
                             tm = self._show_text(canvas, gs, tm, el,
                                                  resources, depth)
                         elif isinstance(el, (int, float)):
-                            dx = -el / 1000.0 * gs.fsize * gs.hscale
-                            tm = _mat_mul((1, 0, 0, 1, dx, 0), tm)
+                            # vertical writing: the offset shifts ty
+                            # and is NOT scaled by Tz (9.4.4)
+                            m = self._font_metrics(gs.font)
+                            if m[3] == 1 and m[2] == 2:
+                                dy = -el / 1000.0 * gs.fsize
+                                tm = _mat_mul((1, 0, 0, 1, 0, dy), tm)
+                            else:
+                                dx = -el / 1000.0 * gs.fsize * \
+                                    gs.hscale
+                                tm = _mat_mul((1, 0, 0, 1, dx, 0), tm)
                 # ---- XObjects ----
                 elif op == 'Do':
                     name = str(stack[-1]) if stack else ''
@@ -818,15 +828,42 @@ class Rasterizer:
     # ---- text ----------------------------------------------------------
 
     def _font_metrics(self, font):
-        """(widths dict code->w/1000, default w/1000, bytes per code)."""
+        """(widths dict code->w/1000, default w/1000, bytes per code,
+        wmode, w2map cid->(w1, vx, vy) in em, (vy, w1) defaults).
+
+        wmode 1 = vertical writing (ISO 32000-1 9.7.4.3): Identity-V or
+        an embedded CMap whose dict (or content) carries /WMode 1.  /W2
+        supplies per-CID vertical displacement w1 and position vector v
+        (vertical origin = horizontal origin + v); /DW2 [880 -1000] is
+        the default (v_y, w1), with v_x defaulting to w0/2.  The
+        reference gets all of this from PyMuPDF's MuPDF text engine."""
+        key = id(font)
+        cached = self._font_metrics_cache.get(key)
+        if cached is not None:
+            return cached
         r = self.reader
         if not isinstance(font, dict):
-            return {}, 0.5, 1
+            return {}, 0.5, 1, 0, {}, (0.88, -1.0)
         sub = str(r.resolve(font.get('Subtype')))
         if sub == 'Type0':
+            wmode = 0
+            try:
+                enc = r.resolve(font.get('Encoding'))
+                if isinstance(enc, PStream):
+                    wm = r.resolve(enc.dict.get('WMode'))
+                    if wm is None:
+                        m = re.search(rb'/WMode\s+(\d+)', enc.decoded())
+                        wm = int(m.group(1)) if m else 0
+                    wmode = 1 if int(wm or 0) == 1 else 0
+                elif enc is not None and str(enc).endswith('-V'):
+                    wmode = 1
+            except Exception:
+                wmode = 0
             desc = r.resolve(font.get('DescendantFonts'))
             dw = 1.0          # spec default DW = 1000 (9.7.4.3)
             wmap = {}
+            w2map = {}
+            dw2 = (0.88, -1.0)
             if desc:
                 cid = r.resolve(desc[0])
                 dw = float(r.resolve(cid.get('DW', 1000))) / 1000.0
@@ -850,7 +887,42 @@ class Rasterizer:
                             i += 3
                         else:
                             break
-            return wmap, dw, 2
+                if wmode:
+                    d2 = r.resolve(cid.get('DW2'))
+                    if isinstance(d2, list) and len(d2) >= 2:
+                        try:
+                            dw2 = (float(r.resolve(d2[0])) / 1000.0,
+                                   float(r.resolve(d2[1])) / 1000.0)
+                        except (TypeError, ValueError):
+                            pass
+                    # /W2: [c [w1 vx vy ...] | cFirst cLast w1 vx vy]
+                    w2arr = r.resolve(cid.get('W2'))
+                    if isinstance(w2arr, list):
+                        i = 0
+                        while i < len(w2arr) - 1:
+                            c = int(r.resolve(w2arr[i]))
+                            nxt = r.resolve(w2arr[i + 1])
+                            if isinstance(nxt, list):
+                                vals = [float(r.resolve(v)) / 1000.0
+                                        for v in nxt]
+                                for j in range(0, len(vals) - 2, 3):
+                                    w2map[c + j // 3] = (
+                                        vals[j], vals[j + 1],
+                                        vals[j + 2])
+                                i += 2
+                            elif i + 4 < len(w2arr):
+                                c2 = min(int(nxt), c + 65535)
+                                trip = tuple(
+                                    float(r.resolve(w2arr[i + 2 + k]))
+                                    / 1000.0 for k in range(3))
+                                for cc in range(c, c2 + 1):
+                                    w2map[cc] = trip
+                                i += 5
+                            else:
+                                break
+            res = (wmap, dw, 2, wmode, w2map, dw2)
+            self._font_metrics_cache[key] = res
+            return res
         first = r.resolve(font.get('FirstChar'))
         widths = r.resolve(font.get('Widths'))
         wmap = {}
@@ -862,7 +934,9 @@ class Rasterizer:
                     pass
         if not wmap:
             wmap = _std14_widths(r, font)
-        return wmap, 0.5, 1
+        res = (wmap, 0.5, 1, 0, {}, (0.88, -1.0))
+        self._font_metrics_cache[key] = res
+        return res
 
     def _show_text(self, canvas, gs, tm, text, resources=None, depth=0):
         if not isinstance(text, bytes):
@@ -871,7 +945,9 @@ class Rasterizer:
         if src is not None and src.type3:
             return self._show_type3(canvas, gs, tm, text, resources,
                                     depth)
-        wmap, dw, nbytes = self._font_metrics(gs.font)
+        wmap, dw, nbytes, wmode, w2map, dw2 = \
+            self._font_metrics(gs.font)
+        vertical = wmode == 1 and nbytes == 2
         codes = []
         if nbytes == 2:
             for i in range(0, len(text) - 1, 2):
@@ -901,20 +977,35 @@ class Rasterizer:
             # Tw applies only to SINGLE-byte code 32 (ISO 32000-1
             # 9.3.3); 2-byte 0x0020 in a Type0 string gets none
             wsp = gs.word_spc if (code == 32 and nbytes == 1) else 0.0
-            adv = (w0 * fs + gs.char_spc + wsp) * gs.hscale
+            if vertical:
+                # 9.4.4: ty = w1*Tfs + Tc + Tw, unscaled by Tz; the
+                # glyph is drawn displaced by -v from the vertical
+                # origin (v defaults to (w0/2, DW2[0]/1000))
+                w1, vx, vy = w2map.get(
+                    wkey, (dw2[1], w0 * 0.5, dw2[0]))
+                adv = w1 * fs + gs.char_spc + wsp
+                gx = -vx * fs * gs.hscale
+                gy = gs.rise - vy * fs
+            else:
+                adv = (w0 * fs + gs.char_spc + wsp) * gs.hscale
+                gx, gy = 0.0, gs.rise
             if rec is not None:
                 # glyph sink (pdf/textextract.py): metric quad in device
                 # space, no painting.  (font, code, nbytes, run, origin,
-                # x-end, ascent corner, descent corner, fs)
+                # advance-end, ascent corner, descent corner, fs)
                 trm = _mat_mul(tm, gs.ctm)
+                if vertical:
+                    end = _mat_apply(trm, 0, gs.rise + w1 * fs)
+                else:
+                    end = _mat_apply(trm, w0 * fs * gs.hscale, gs.rise)
                 rec.append((
                     gs.font, code, nbytes, self._text_run,
-                    _mat_apply(trm, 0, gs.rise),
-                    _mat_apply(trm, w0 * fs * gs.hscale, gs.rise),
-                    _mat_apply(trm, 0, gs.rise + 0.72 * fs),
-                    _mat_apply(trm, 0, gs.rise - 0.18 * fs),
+                    _mat_apply(trm, 0, gs.rise), end,
+                    _mat_apply(trm, gx, gy + 0.72 * fs),
+                    _mat_apply(trm, gx, gy - 0.18 * fs),
                     fs))
-                tm = _mat_mul((1, 0, 0, 1, adv, 0), tm)
+                tm = _mat_mul((1, 0, 0, 1, 0, adv) if vertical
+                              else (1, 0, 0, 1, adv, 0), tm)
                 continue
             if paint and glyph is None and src is not None:
                 glyph = src.outline(code)
@@ -922,7 +1013,7 @@ class Rasterizer:
                 paths, _adv = glyph
                 trm = _mat_mul(tm, gs.ctm)
                 a, b, c, d, e, f = _mat_mul(
-                    (fs * gs.hscale, 0, 0, fs, 0, gs.rise), trm)
+                    (fs * gs.hscale, 0, 0, fs, gx, gy), trm)
                 polys = [np.stack(
                     (a * p[:, 0] + c * p[:, 1] + e,
                      b * p[:, 0] + d * p[:, 1] + f), axis=-1)
@@ -937,15 +1028,16 @@ class Rasterizer:
                 # where a real viewer would show blank
                 trm = _mat_mul(tm, gs.ctm)
                 corners = [
-                    _mat_apply(trm, 0, gs.rise - 0.18 * fs),
-                    _mat_apply(trm, w0 * fs * gs.hscale,
-                               gs.rise - 0.18 * fs),
-                    _mat_apply(trm, w0 * fs * gs.hscale,
-                               gs.rise + 0.72 * fs),
-                    _mat_apply(trm, 0, gs.rise + 0.72 * fs),
+                    _mat_apply(trm, gx, gy - 0.18 * fs),
+                    _mat_apply(trm, gx + w0 * fs * gs.hscale,
+                               gy - 0.18 * fs),
+                    _mat_apply(trm, gx + w0 * fs * gs.hscale,
+                               gy + 0.72 * fs),
+                    _mat_apply(trm, gx, gy + 0.72 * fs),
                 ]
                 self._fill(canvas, [corners], gs, 'nonzero')
-            tm = _mat_mul((1, 0, 0, 1, adv, 0), tm)
+            tm = _mat_mul((1, 0, 0, 1, 0, adv) if vertical
+                          else (1, 0, 0, 1, adv, 0), tm)
         return tm
 
     def _show_type3(self, canvas, gs, tm, text, resources, depth):

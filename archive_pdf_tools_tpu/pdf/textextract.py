@@ -178,21 +178,33 @@ def extract_page_glyphs(reader, idx, scale=1.0):
         if text is not None and text.strip() == '':
             text = ''                     # explicit space: word break
         # metric quad -> axis-aligned box
-        xs = (orig[0], xend[0], asc[0], desc[0])
-        ys = (orig[1], xend[1], asc[1], desc[1])
+        xs = [orig[0], xend[0], asc[0], desc[0]]
+        ys = [orig[1], xend[1], asc[1], desc[1]]
         fs_dev = ((asc[0] - desc[0]) ** 2
                   + (asc[1] - desc[1]) ** 2) ** 0.5 / 0.9
-        # orientation from the up-vector (asc - desc; never zero):
-        # the advance direction is up rotated -90 deg = (-uy, ux).
-        # Quantized to the four page orientations: 0 = left-to-right,
-        # 1 = top-to-bottom (page rotated 90 cw), 2 = right-to-left
+        # orientation from the advance vector (orig -> advance end);
+        # zero-advance glyphs fall back to the up-vector (asc - desc;
+        # never zero) rotated -90 deg = (-uy, ux).  Quantized to the
+        # four page orientations: 0 = left-to-right, 1 = top-to-bottom
+        # (rotated 90 cw OR WMode-1 vertical CJK), 2 = right-to-left
         # (upside down), 3 = bottom-to-top (90 ccw).
         ux, uy = asc[0] - desc[0], asc[1] - desc[1]
-        dx, dy = -uy, ux
+        dx, dy = xend[0] - orig[0], xend[1] - orig[1]
+        if dx * dx + dy * dy < 1e-12:
+            dx, dy = -uy, ux
         if abs(dx) >= abs(dy):
             ddir = 0 if dx >= 0 else 2
         else:
             ddir = 1 if dy >= 0 else 3
+        # upright glyphs advancing vertically (WMode 1): the quad's
+        # points share one x — widen by the glyph cell (v_x centres a
+        # full-width glyph on the origin, so half an em each side)
+        if (ddir in (1, 3)) == (abs(ux) <= abs(uy)):
+            half = 0.45 * fs_dev
+            un = max((ux * ux + uy * uy) ** 0.5, 1e-9)
+            ex, ey = -uy / un * half, ux / un * half
+            xs += [orig[0] - ex, orig[0] + ex]
+            ys += [orig[1] - ey, orig[1] + ey]
         # reading-order coordinates: 'along' grows with the advance,
         # 'cross' is the baseline position normal to it
         if ddir == 0:
@@ -358,7 +370,13 @@ def order_reading(lines):
     (columns, left to right) — so two-column pages read left column
     first instead of interleaving, while spanning titles stay on top."""
     def cut(items, depth):
+        # vertical-majority blocks (WMode-1 CJK) read columns right to
+        # left; each vertical line IS a column, so order by x desc
+        vert = sum(1 for ln in items if ln['dir'] == 1) > len(items) / 2
         if len(items) <= 1 or depth >= 6:
+            if vert:
+                return sorted(items, key=lambda ln: (-ln['bbox'][2],
+                                                     ln['bbox'][1]))
             return sorted(items, key=lambda ln: (ln['bbox'][1],
                                                  ln['bbox'][0]))
         ms = sorted(ln['x_size'] for ln in items)[len(items) // 2]
@@ -379,7 +397,7 @@ def order_reading(lines):
                 k = sum(1 for c in cuts if ln['bbox'][0] >= c)
                 cols[k].append(ln)
             out = []
-            for col in cols:
+            for col in (reversed(cols) if vert else cols):
                 out.extend(cut(col, depth + 1))
             return out
         if y_gaps:
@@ -392,6 +410,9 @@ def order_reading(lines):
             for band in bands:
                 out.extend(cut(band, depth + 1))
             return out
+        if vert:
+            return sorted(items, key=lambda ln: (-ln['bbox'][2],
+                                                 ln['bbox'][1]))
         return sorted(items, key=lambda ln: (ln['bbox'][1],
                                              ln['bbox'][0]))
 
