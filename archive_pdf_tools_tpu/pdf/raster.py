@@ -1141,8 +1141,12 @@ class Rasterizer:
                 from ..codecs.jbig2 import decode_jbig2
                 bits = decode_jbig2(stream.raw, w, h)
             elif str(filt) == 'CCITTFaxDecode':
-                from ..codecs.ccitt import decode_ccitt_g4
-                bits = np.asarray(decode_ccitt_g4(stream.raw, w, h))
+                from ..codecs.ccitt import decode_ccitt, \
+                    pdf_fax_params
+                k, ba, b1 = pdf_fax_params(r.resolve, d)
+                bits = np.asarray(decode_ccitt(
+                    stream.raw, w, h, k=k, byte_align=ba,
+                    black_is_1=b1))
             else:
                 stride = (w + 7) // 8
                 bits = np.unpackbits(
@@ -1198,11 +1202,31 @@ class Rasterizer:
                 self._paint_sampled(canvas, gs, arr, None)
                 return
             elif f == 'CCITTFaxDecode':
-                from ..codecs.ccitt import decode_ccitt_g4
-                bits = np.asarray(decode_ccitt_g4(bytes(data), w, h))
-                data = np.packbits(~bits, axis=-1).tobytes()
+                from ..codecs.ccitt import decode_ccitt
+                dp = p.get('DecodeParms')
+                if isinstance(dp, list):
+                    dp = dp[-1] if dp else None
+                if not isinstance(dp, dict):
+                    dp = {}
+                bits = np.asarray(decode_ccitt(
+                    bytes(data), w, h,
+                    k=int(dp.get('K', 0) or 0),
+                    byte_align=bool(dp.get('EncodedByteAlign')),
+                    black_is_1=bool(dp.get('BlackIs1'))))
+                data = np.packbits(bits, axis=-1).tobytes()
+            elif f == 'LZWDecode':
+                from .reader import lzw_decode
+                dp = p.get('DecodeParms')
+                if isinstance(dp, list):
+                    dp = dp[-1] if dp else None
+                early = dp.get('EarlyChange', 1) \
+                    if isinstance(dp, dict) else 1
+                data = lzw_decode(data, int(early))
+            elif f == 'RunLengthDecode':
+                from .reader import _rle_decode
+                data = _rle_decode(bytes(data))
             else:
-                return      # LZW/unknown: not emitted by our targets
+                return      # unknown filter: skip the image
         cs = p.get('ColorSpace')
         cs = _INLINE_CS.get(str(cs), str(cs) if cs else None)
         is_mask = p.get('ImageMask') is True

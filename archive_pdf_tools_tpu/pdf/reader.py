@@ -45,7 +45,8 @@ class PStream:
         self._doc = doc
 
     def decoded(self):
-        """Apply Flate/ASCIIHex/RL filters; pass others through raw."""
+        """Apply Flate/LZW/ASCIIHex/ASCII85/RL filters; pass others
+        (image codecs) through raw."""
         data = self.raw
         filters = self._doc.resolve(self.dict.get('Filter'))
         if filters is None:
@@ -60,9 +61,22 @@ class PStream:
             if filt == 'FlateDecode':
                 data = zlib.decompress(data)
                 data = _apply_predictor(data, self._doc.resolve(parm))
+            elif filt == 'LZWDecode':
+                pd = self._doc.resolve(parm)
+                early = 1
+                if isinstance(pd, dict):
+                    try:
+                        early = int(self._doc.resolve(
+                            pd.get('EarlyChange', 1)))
+                    except (TypeError, ValueError):
+                        early = 1
+                data = lzw_decode(data, early)
+                data = _apply_predictor(data, pd)
             elif filt == 'ASCIIHexDecode':
                 data = bytes.fromhex(
                     data.replace(b'>', b'').decode('ascii'))
+            elif filt == 'ASCII85Decode':
+                data = a85_decode(data)
             elif filt == 'RunLengthDecode':
                 data = _rle_decode(data)
             else:
@@ -110,6 +124,64 @@ def _apply_predictor(data, parms):
         out += row
         prev = row
     return bytes(out)
+
+
+def lzw_decode(data, early=1):
+    """PDF /LZWDecode (ISO 32000-1 7.4.4; the TIFF/GIF variant): MSB-
+    first codes of 9..12 bits, 256 = clear-table, 257 = EOD.  With
+    /EarlyChange 1 (the default) the code width grows one entry before
+    the table actually overflows the current width.  Old distilled and
+    TeX-produced PDFs use this for content streams and fonts; the
+    reference inherits support from MuPDF."""
+    out = bytearray()
+    table = [bytes([i]) for i in range(256)] + [b'', b'']
+    width = 9
+    prev = None
+    buf = 0
+    nbits = 0
+    for b in data:
+        buf = (buf << 8) | b
+        nbits += 8
+        while nbits >= width:
+            nbits -= width
+            code = (buf >> nbits) & ((1 << width) - 1)
+            if code == 256:
+                table = table[:258]
+                width = 9
+                prev = None
+                continue
+            if code == 257:
+                return bytes(out)
+            if prev is None:
+                if code >= len(table):
+                    raise PdfError('LZW: bad first code %d' % code)
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise PdfError('LZW: code %d beyond table' % code)
+            out += entry
+            prev = entry
+            if len(table) >= (1 << width) - early and width < 12:
+                width += 1
+    return bytes(out)
+
+
+def a85_decode(data):
+    """PDF /ASCII85Decode: whitespace-tolerant, optional '<~' prefix,
+    '~>' terminator, 'z' zero-group shorthand."""
+    import base64
+    s = bytes(data).translate(None, b' \t\r\n\x0c\x00')
+    if s.startswith(b'<~'):
+        s = s[2:]
+    end = s.find(b'~')
+    if end >= 0:
+        s = s[:end]
+    return base64.a85decode(s)
 
 
 def _rle_decode(data):

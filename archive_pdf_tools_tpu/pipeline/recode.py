@@ -172,8 +172,17 @@ def _decode_pdf_image(reader, stream):
             return Image.fromarray(bits)
         return Image.fromarray(~bits)
     if filt == 'CCITTFaxDecode':
-        from ..codecs.ccitt import decode_ccitt_g4
-        return Image.fromarray(decode_ccitt_g4(raw, w, h))
+        # sample bits per /K //EncodedByteAlign //BlackIs1 (foreign G3
+        # faxes and default-polarity G4 both appear in the wild; our
+        # own masks carry /BlackIs1 true so nothing changes for them)
+        from ..codecs.ccitt import decode_ccitt, pdf_fax_params
+        k, ba, b1 = pdf_fax_params(reader.resolve, stream.dict)
+        bits = decode_ccitt(raw, w, h, k=k, byte_align=ba,
+                            black_is_1=b1)
+        dec = reader.resolve(stream.dict.get('Decode'))
+        if dec and float(reader.resolve(dec[0])) == 1.0:
+            bits = ~bits
+        return Image.fromarray(bits)
     # FlateDecode or already-decoded raw samples
     data = stream.decoded()
     bpc = reader.resolve(stream.dict.get('BitsPerComponent')) or 8
