@@ -375,7 +375,8 @@ def _encode_block(lib, blk, orient_code, max_passes=-1, max_bytes=0):
 
 class _CodeBlock:
     __slots__ = ('data', 'nbps', 'npasses', 'rates', 'dists', 'arr',
-                 'orient_code', 'weight', 'chosen', 'chosen_bytes')
+                 'orient_code', 'weight', 'chosen', 'chosen_bytes',
+                 'capped')
 
     def __init__(self, arr, orient_code, weight):
         self.arr = arr
@@ -383,11 +384,12 @@ class _CodeBlock:
         self.weight = weight
         self.chosen = 0
         self.chosen_bytes = b''
+        self.capped = False
 
 
-def _allocate_rate(blocks, target_bytes, lib, workers):
-    """PCRD: convex-hull pass slopes, global threshold binary search,
-    then re-encode each block at its chosen pass count."""
+def _pcrd_choose(blocks, target_bytes):
+    """PCRD core: convex-hull pass slopes + global threshold binary
+    search; sets cb.chosen per block."""
     # candidate truncation points: convex hull of (rate, weighted dist)
     hulls = []
     for cb in blocks:
@@ -448,6 +450,38 @@ def _allocate_rate(blocks, target_bytes, lib, workers):
         best = [0] * len(blocks)
     for cb, pick in zip(blocks, best):
         cb.chosen = int(pick)
+
+
+def _allocate_rate(blocks, target_bytes, lib, workers):
+    """PCRD with starved-block recovery: blocks are T1-coded under a
+    work cap (_t1_all), so when the threshold search wants EVERY
+    recorded pass of a cap-cut block, its true optimum may lie beyond
+    the cap — re-encode just those uncapped and re-run the search.
+    Converges to the uncapped allocation while coding a fraction of
+    the passes (at ratio 750 the cap floor saves ~10x the pass work)."""
+    slack = int(os.environ.get('APT_T1_STARVE_SLACK', '3'))
+    kcap = max(48, len(blocks) // 32)
+
+    def tail_slope(cb):
+        if cb.npasses < 2:
+            return float('inf')
+        return (cb.dists[-1] - cb.dists[-2]) * cb.weight / \
+            max(1, int(cb.rates[-1]) - int(cb.rates[-2]))
+
+    for _round in range(4):
+        _pcrd_choose(blocks, target_bytes)
+        starved = [cb for cb in blocks
+                   if cb.capped and cb.chosen >= cb.npasses - slack]
+        if not starved or _round == 3:
+            break
+        if len(starved) > kcap:
+            # noise-like content: nearly every block sits at the cap
+            # and blocks are fungible (the threshold barely moves if a
+            # few stay truncated) — rescue only the highest-slope ones
+            # so re-encode work stays bounded
+            starved.sort(key=tail_slope, reverse=True)
+            starved = starved[:kcap]
+        _encode_blocks(starved, lib, workers, caps=None)
     _final_encode(blocks, lib, workers)
 
 
@@ -620,29 +654,40 @@ class _Band:
                     _ORIENT_CODE[orient], weight))
 
 
-def _t1_all(bands, lib, workers, target_bytes=None):
-    blocks = [cb for band in bands for cb in band.blocks]
-    # rate-aware work cap: when a byte target exists, no block's passes
-    # can all be included beyond ~4x its fair share of the budget, so
-    # stop its T1 encode there (big speedup at high ratios)
-    caps = {}
-    if target_bytes:
-        total_px = sum(cb.arr.size for cb in blocks) or 1
-        for cb in blocks:
-            caps[id(cb)] = max(512,
-                               4 * target_bytes * cb.arr.size // total_px)
-
+def _encode_blocks(blocks, lib, workers, caps=None):
+    """T1-encode blocks (optionally byte-capped), recording whether the
+    cap actually cut passes so the allocator can re-encode starved
+    blocks uncapped."""
     def run(cb):
+        cap = caps.get(id(cb), 0) if caps else 0
         (cb.data, cb.nbps, cb.npasses, cb.rates, cb.dists) = \
-            _encode_block(lib, cb.arr, cb.orient_code,
-                          max_bytes=caps.get(id(cb), 0))
+            _encode_block(lib, cb.arr, cb.orient_code, max_bytes=cap)
+        cb.capped = bool(cap) and cb.npasses < 3 * cb.nbps - 2
 
-    if workers > 1:
+    if workers > 1 and len(blocks) > 1:
         with ThreadPoolExecutor(max_workers=workers) as pool:
             list(pool.map(run, blocks))
     else:
         for cb in blocks:
             run(cb)
+
+
+def _t1_all(bands, lib, workers, target_bytes=None):
+    blocks = [cb for band in bands for cb in band.blocks]
+    # rate-aware work cap: when a byte target exists, almost no block's
+    # passes survive PCRD beyond ~4x its fair share of the budget, so
+    # stop its T1 encode there (the big speedup at high ratios).  The
+    # floor keeps enough recorded passes for PCRD to rank blocks; the
+    # allocator re-encodes the rare block it exhausts (see
+    # _allocate_rate), so a low floor costs quality nothing.
+    caps = {}
+    if target_bytes:
+        floor = int(os.environ.get('APT_T1_CAP_FLOOR', '96'))
+        total_px = sum(cb.arr.size for cb in blocks) or 1
+        for cb in blocks:
+            caps[id(cb)] = max(floor,
+                               4 * target_bytes * cb.arr.size // total_px)
+    _encode_blocks(blocks, lib, workers, caps)
     return blocks
 
 

@@ -253,3 +253,33 @@ class TestTruncationSafety:
             a = np.asarray(Image.open(io.BytesIO(d_tr)).convert('L'))
             b = np.asarray(Image.open(io.BytesIO(d_re)).convert('L'))
             assert (a == b).all(), (seed, shape, ratio)
+
+
+class TestWorkCapRescue:
+    def test_capped_pcrd_matches_uncapped_quality(self, monkeypatch):
+        """The T1 work cap (4x fair share, 96-byte floor) plus the
+        starved-block rescue in _allocate_rate must land within a
+        whisker of the UNCAPPED allocation's quality at the same byte
+        target — the cap is a speed lever, not a quality knob."""
+        rng = np.random.default_rng(5)
+        img = np.full((512, 640), 225, np.uint8)
+        for _ in range(60):                      # structured content
+            y, x = rng.integers(20, 470), rng.integers(20, 560)
+            img[y:y + 8, x:x + int(rng.integers(24, 70))] = 30
+        img = np.clip(img.astype(np.int16)
+                      + rng.normal(0, 6, img.shape).astype(np.int16),
+                      0, 255).astype(np.uint8)
+
+        def psnr(data):
+            dec = np.asarray(Image.open(io.BytesIO(data)).convert('L'),
+                             np.float64)
+            mse = ((dec - img.astype(np.float64)) ** 2).mean()
+            return 10 * np.log10(255.0 ** 2 / max(mse, 1e-9))
+
+        capped = J.encode_jp2_tpu(img, ratio=400, workers=1)
+        monkeypatch.setenv('APT_T1_CAP_FLOOR', str(10 ** 9))
+        uncapped = J.encode_jp2_tpu(img, ratio=400, workers=1)
+        # same byte budget (fixed marker/packet overhead aside) ...
+        assert abs(len(capped) - len(uncapped)) <= 0.05 * len(uncapped)
+        # ... and no material quality loss from the work cap
+        assert psnr(capped) >= psnr(uncapped) - 0.3
