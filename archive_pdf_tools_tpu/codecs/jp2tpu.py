@@ -376,7 +376,7 @@ def _encode_block(lib, blk, orient_code, max_passes=-1, max_bytes=0):
 class _CodeBlock:
     __slots__ = ('data', 'nbps', 'npasses', 'rates', 'dists', 'arr',
                  'orient_code', 'weight', 'chosen', 'chosen_bytes',
-                 'capped')
+                 'capped', 'hull_rows')
 
     def __init__(self, arr, orient_code, weight):
         self.arr = arr
@@ -385,50 +385,65 @@ class _CodeBlock:
         self.chosen = 0
         self.chosen_bytes = b''
         self.capped = False
+        self.hull_rows = None
+
+
+def _hull_rows(cb):
+    """Per-block PCRD candidate rows, cached on the block (rescue
+    rounds re-run the threshold search over thousands of unchanged
+    blocks — only re-encoded blocks rebuild their hull).
+
+    Returns (seg_slopes, pt_rates, pt_picks) lists: the convex hull of
+    (rate, weighted distortion) truncation points, as decreasing
+    segment slopes plus the realized byte cost / pass pick per hull
+    point (truncated picks cost the truncation margin too)."""
+    if cb.hull_rows is not None:
+        return cb.hull_rows
+    pts = [(0, 0.0)]
+    for i in range(cb.npasses):
+        pts.append((int(cb.rates[i]), cb.dists[i] * cb.weight))
+    hull = [0]
+    for i in range(1, len(pts)):
+        while len(hull) >= 2:
+            a, b = hull[-2], hull[-1]
+            s1 = (pts[b][1] - pts[a][1]) / max(1, pts[b][0] - pts[a][0])
+            s2 = (pts[i][1] - pts[b][1]) / max(1, pts[i][0] - pts[b][0])
+            if s2 >= s1:
+                hull.pop()
+            else:
+                break
+        hull.append(i)
+    slopes, rates_, picks = [], [0], [0]
+    for j in range(1, len(hull)):
+        a, b = hull[j - 1], hull[j]
+        slopes.append((pts[b][1] - pts[a][1]) /
+                      max(1, pts[b][0] - pts[a][0]))
+        rates_.append(pts[b][0] +
+                      (_TRUNC_MARGIN if hull[j] < cb.npasses else 0))
+        picks.append(hull[j])
+    cb.hull_rows = (slopes, rates_, picks)
+    return cb.hull_rows
 
 
 def _pcrd_choose(blocks, target_bytes):
     """PCRD core: convex-hull pass slopes + global threshold binary
-    search; sets cb.chosen per block."""
-    # candidate truncation points: convex hull of (rate, weighted dist)
-    hulls = []
-    for cb in blocks:
-        pts = [(0, 0.0)]
-        for i in range(cb.npasses):
-            pts.append((int(cb.rates[i]), cb.dists[i] * cb.weight))
-        hull = [0]
-        for i in range(1, len(pts)):
-            while len(hull) >= 2:
-                a, b = hull[-2], hull[-1]
-                s1 = (pts[b][1] - pts[a][1]) / max(1, pts[b][0] - pts[a][0])
-                s2 = (pts[i][1] - pts[b][1]) / max(1, pts[i][0] - pts[b][0])
-                if s2 >= s1:
-                    hull.pop()
-                else:
-                    break
-            hull.append(i)
-        hulls.append((pts, hull))
+    search; sets cb.chosen per block.
 
-    # vectorized threshold search: per block, hull-segment slopes are
-    # strictly decreasing, so the pick at threshold L is simply the
-    # count of leading slopes >= L — a padded 2D reduction instead of
-    # 48 Python walks over every hull
-    nb = len(hulls)
-    maxseg = max((len(hl) - 1 for (_p, hl) in hulls), default=0)
+    Vectorized threshold search: per block, hull-segment slopes are
+    strictly decreasing, so the pick at threshold L is simply the
+    count of leading slopes >= L — a padded 2D reduction instead of
+    48 Python walks over every hull."""
+    rows_data = [_hull_rows(cb) for cb in blocks]
+    nb = len(blocks)
+    maxseg = max((len(r[0]) for r in rows_data), default=0)
     seg_slopes = np.full((nb, max(maxseg, 1)), -np.inf)
     pt_rates = np.zeros((nb, max(maxseg, 1) + 1), np.int64)
     pt_picks = np.zeros((nb, max(maxseg, 1) + 1), np.int32)
-    for bi, (pts, hull) in enumerate(hulls):
-        npasses = blocks[bi].npasses
-        for j in range(1, len(hull)):
-            a, b = hull[j - 1], hull[j]
-            seg_slopes[bi, j - 1] = (pts[b][1] - pts[a][1]) / \
-                max(1, pts[b][0] - pts[a][0])
-            # truncated picks cost the truncation margin too, so the
-            # threshold search optimizes the REALIZED stream size
-            pt_rates[bi, j] = pts[b][0] + \
-                (_TRUNC_MARGIN if hull[j] < npasses else 0)
-            pt_picks[bi, j] = hull[j]
+    for bi, (slopes, rates_, picks) in enumerate(rows_data):
+        n = len(slopes)
+        seg_slopes[bi, :n] = slopes
+        pt_rates[bi, 1:n + 1] = rates_[1:]
+        pt_picks[bi, 1:n + 1] = picks[1:]
     rows = np.arange(nb)
 
     def passes_at(slope):
@@ -663,6 +678,7 @@ def _encode_blocks(blocks, lib, workers, caps=None):
         (cb.data, cb.nbps, cb.npasses, cb.rates, cb.dists) = \
             _encode_block(lib, cb.arr, cb.orient_code, max_bytes=cap)
         cb.capped = bool(cap) and cb.npasses < 3 * cb.nbps - 2
+        cb.hull_rows = None
 
     if workers > 1 and len(blocks) > 1:
         with ThreadPoolExecutor(max_workers=workers) as pool:
