@@ -145,19 +145,27 @@ def _bp_row_prefix(q0, q1, q2, wlo_ref, whi_ref, scat_ref, wp):
     out_w = (~ma & ~mb & Q[0]) | (~ma & mb & Q[1]) | (ma & ~mb & Q[2]) \
         | (ma & mb & Q[3])
 
-    # unpack: broadcast each word's 16-bit halves to its 32 lanes, then
-    # extract this lane's bit
-    lo_f = (out_w & 0xFFFF).astype(f32)
-    hi_f = ((out_w >> 16) & 0xFFFF).astype(f32)
-    b_lo = jax.lax.dot_general(lo_f, scat_ref[...], (((1,), (0,)),
-                                                     ((), ())),
-                               preferred_element_type=f32).astype(i32)
-    b_hi = jax.lax.dot_general(hi_f, scat_ref[...], (((1,), (0,)),
-                                                     ((), ())),
-                               preferred_element_type=f32).astype(i32)
-    lanes = jax.lax.broadcasted_iota(i32, b_lo.shape, b_lo.ndim - 1)
-    word16 = jnp.where((lanes % 32) < 16, b_lo, b_hi)
-    return (word16 >> (lanes % 16)) & 1
+    # unpack: broadcast each word's four BYTES to its 32 lanes, then
+    # extract this lane's bit.  Bytes, not 16-bit halves: the real
+    # chip's default-precision MXU truncates f32 operands to bf16
+    # (integers exact only up to 2^8), so values > 255 through the
+    # broadcast matmul silently corrupt — measured on v5e 2026-08-18;
+    # interpret mode (pure f32) cannot catch this.
+    def bcast(byte_vals):
+        return jax.lax.dot_general(byte_vals.astype(f32), scat_ref[...],
+                                   (((1,), (0,)), ((), ())),
+                                   preferred_element_type=f32).astype(i32)
+
+    b0 = bcast(out_w & 0xFF)
+    b1 = bcast((out_w >> 8) & 0xFF)
+    b2 = bcast((out_w >> 16) & 0xFF)
+    b3 = bcast((out_w >> 24) & 0xFF)
+    lanes = jax.lax.broadcasted_iota(i32, b0.shape, b0.ndim - 1)
+    bsel = (lanes % 32) >> 3
+    byte = jnp.where(bsel == 0, b0,
+                     jnp.where(bsel == 1, b1,
+                               jnp.where(bsel == 2, b2, b3)))
+    return (byte >> (lanes % 8)) & 1
 
 
 def _bp_matrices(wp):
