@@ -46,10 +46,12 @@ def mrc_full_step(images, line_id, boxes, use_plain, use_inv,
 
 @functools.partial(jax.jit,
                    static_argnames=('window', 'rgb', 'denoise', 'interpret',
-                                    'max_line_h', 'blur_radius'))
+                                    'max_line_h', 'blur_radius',
+                                    'despeckle_bitplane'))
 def mrc_full_step_pallas(images, boxes, pages, selector, window,
                          rgb=False, denoise=DENOISE_FAST, interpret=False,
-                         max_line_h=128, blur_radius=16, paste_plan=None):
+                         max_line_h=128, blur_radius=16, paste_plan=None,
+                         despeckle_bitplane=None):
     """The flagship step on the Pallas kernel path: line-band thresholds,
     fused blur+Sauvola, ordered crop pasting, exact despeckle, radiate
     fills — one jit, streamed row-walk kernels throughout.
@@ -79,7 +81,8 @@ def mrc_full_step_pallas(images, boxes, pages, selector, window,
         mask = D.paste_selected_crops(crops_t, crops_i, boxes, pages,
                                       selector, gmask, b, h)
     if denoise == DENOISE_FAST:
-        mask = fast_mask_denoise_pallas(mask, 4, 2, interpret=interpret)
+        mask = fast_mask_denoise_pallas(mask, 4, 2, interpret=interpret,
+                                        bitplane=despeckle_bitplane)
 
     fg = optimise_pallas(mask, images, 3, interpret=interpret)
     bg = optimise_pallas(jnp.logical_not(mask), images, 10,

@@ -23,6 +23,7 @@ on a sublane tile boundary.
 """
 
 import functools
+import os
 
 import numpy as np
 import jax
@@ -30,7 +31,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-PG = 4   # lines per grid step (sequential sub-pastes, same page)
+# lines per grid step (sequential sub-pastes, same page).  The measured
+# default is PG=4 with separate plain/inverse crop streams; the
+# APT_PASTE=combined8 opt-in (read at import) switches to PG=8 with both
+# polarities of a line riding ONE input stream — half the per-step DMA
+# issues for the same bytes (chip A/B pending, TODO.md).
+_COMBINED = os.environ.get('APT_PASTE', '') == 'combined8'
+PG = 8 if _COMBINED else 4
 
 
 def build_paste_plan(boxes, pages, selector, bsz, pg=PG):
@@ -87,12 +94,16 @@ def build_paste_plan(boxes, pages, selector, bsz, pg=PG):
             'sel': esel, 'gpage': gpage, 'gfirst': gfirst}
 
 
-def _make_kernel(mh8, hp8, wpp, pg):
+def _make_kernel(mh8, hp8, wpp, pg, combined):
     def kernel(li_ref, t_ref, b_ref, l_ref, r_ref, sel_ref,
                gpage_ref, gfirst_ref, *refs):
-        ct_refs = refs[0:pg]
-        ci_refs = refs[pg:2 * pg]
-        out_ref = refs[2 * pg + 1]        # refs[2*pg] is the aliased init
+        if combined:
+            crop_refs = refs[0:pg]        # (1, 2, mh8, 8, wpp) each:
+            out_ref = refs[pg + 1]        # both polarities, one stream;
+        else:                             # refs[pg] is the aliased init
+            ct_refs = refs[0:pg]
+            ci_refs = refs[pg:2 * pg]
+            out_ref = refs[2 * pg + 1]    # refs[2*pg] is the aliased init
         g = pl.program_id(0)
 
         @pl.when(gfirst_ref[g] == 1)
@@ -119,38 +130,63 @@ def _make_kernel(mh8, hp8, wpp, pg):
                 jnp.logical_and(rows >= off, rows < off + (bb - tt)),
                 jnp.logical_and(jnp.logical_and(lanes >= ll, lanes < rr),
                                 sel > 0))
-            chosen = jnp.where(sel == 1, ct_refs[j][0], ci_refs[j][0])
+            if combined:
+                chosen = jnp.where(sel == 1, crop_refs[j][0, 0],
+                                   crop_refs[j][0, 1])
+            else:
+                chosen = jnp.where(sel == 1, ct_refs[j][0], ci_refs[j][0])
             cur = out_ref[0, pl.ds(tal8, mh8)]
             out_ref[0, pl.ds(tal8, mh8)] = jnp.where(ok, chosen, cur)
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=('interpret',))
+@functools.partial(jax.jit, static_argnames=('interpret', 'combined'))
 def paste_crops_pallas(crops_t, crops_i, li, t, b, l, r, sel,
-                       gpage, gfirst, global_mask, interpret=False):
+                       gpage, gfirst, global_mask, interpret=False,
+                       combined=None):
     """crops_*: (n, max_h, Wp) uint8 8-aligned line crops; plan arrays
     from ``build_paste_plan``; global_mask: bool (B, H, W).  Returns
     bool (B, H, W): pasted crops (document order, last wins) OR the
-    global mask."""
+    global mask.  ``pg`` is inferred from the plan; ``combined``
+    selects the one-stream-both-polarities layout (default: the
+    module's APT_PASTE import-time choice)."""
+    if combined is None:
+        combined = _COMBINED
     bsz, h, w = global_mask.shape
     n, max_h, wpp = crops_t.shape
     assert max_h % 8 == 0
     mh8 = max_h // 8
     hp8 = -(-(h + max_h) // 8)
     cap = li.shape[0]
-    pg = PG
-    assert cap % pg == 0 and gpage.shape[0] == cap // pg
+    assert cap % gpage.shape[0] == 0
+    pg = cap // gpage.shape[0]
 
     ct4 = crops_t.reshape(n, mh8, 8, wpp)
     ci4 = crops_i.reshape(n, mh8, 8, wpp)
     init = jnp.zeros((bsz, hp8, 8, wpp), jnp.uint8)
 
-    def crop_spec(j):
-        jj = j % pg                      # same line feeds both polarities
-        def index_map(g, li_ref, *_scal):
-            return (li_ref[g * pg + jj], 0, 0, 0)
-        return pl.BlockSpec((1, mh8, 8, wpp), index_map)
+    if combined:
+        # both polarities of a line ride ONE input stream: half the
+        # per-step DMA issues of separate ct/ci streams (same bytes)
+        crops = jnp.stack((ct4, ci4), axis=1)
+
+        def crop_spec(j):
+            def index_map(g, li_ref, *_scal):
+                return (li_ref[g * pg + j], 0, 0, 0, 0)
+            return pl.BlockSpec((1, 2, mh8, 8, wpp), index_map)
+
+        n_streams = pg
+        crop_args = [crops] * pg
+    else:
+        def crop_spec(j):
+            jj = j % pg                  # same line feeds both polarities
+            def index_map(g, li_ref, *_scal):
+                return (li_ref[g * pg + jj], 0, 0, 0)
+            return pl.BlockSpec((1, mh8, 8, wpp), index_map)
+
+        n_streams = 2 * pg
+        crop_args = [ct4] * pg + [ci4] * pg
 
     def out_map(g, li_ref, t_ref, b_ref, l_ref, r_ref, sel_ref,
                 gpage_ref, gfirst_ref):
@@ -159,23 +195,22 @@ def paste_crops_pallas(crops_t, crops_i, li, t, b, l, r, sel,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=8,
         grid=(cap // pg,),
-        in_specs=[crop_spec(j) for j in range(2 * pg)]
+        in_specs=[crop_spec(j) for j in range(n_streams)]
         + [pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((1, hp8, 8, wpp), out_map),
     )
 
     out = pl.pallas_call(
-        _make_kernel(mh8, hp8, wpp, pg),
+        _make_kernel(mh8, hp8, wpp, pg, combined),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((bsz, hp8, 8, wpp), jnp.uint8),
         # alias the zeros buffer (last non-scalar input) to the output:
         # pages never visited by the grid keep their zero content
-        input_output_aliases={8 + 2 * pg: 0},
+        input_output_aliases={8 + n_streams: 0},
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(li, t, b, l, r, sel, gpage, gfirst,
-      *([ct4] * pg), *([ci4] * pg), init)
+    )(li, t, b, l, r, sel, gpage, gfirst, *crop_args, init)
 
     hocr = out.reshape(bsz, hp8 * 8, wpp)[:, :h, :w].astype(bool)
     return jnp.logical_or(hocr, global_mask)

@@ -212,6 +212,16 @@ class TestLinesPallas:
             jnp.asarray(gmask), interpret=True))
         assert (ref == got).all()
 
+        # the combined-stream PG=8 variant (APT_PASTE=combined8) pastes
+        # identically
+        plan8 = build_paste_plan(boxes, pages, selector, bsz, pg=8)
+        got8 = np.asarray(paste_crops_pallas(
+            th, ti,
+            *(jnp.asarray(plan8[k]) for k in
+              ('li', 't', 'b', 'l', 'r', 'sel', 'gpage', 'gfirst')),
+            jnp.asarray(gmask), interpret=True, combined=True))
+        assert (ref == got8).all()
+
     def test_paste_kernel_no_selected_lines(self):
         import jax.numpy as jnp
         from archive_pdf_tools_tpu.ops.paste_pallas import \
