@@ -289,11 +289,13 @@ def _make_kernel(n, mincnt, h, w, wp, nstates, mf, identity,
 
 
 def _use_bitplane(n):
-    # default 'tables' until the bit-plane path has a measured chip win
-    # (APT_DESPECKLE=bitplane opts in; interpret-mode bit-exactness is
-    # test-covered for both)
+    # default 'bitplane' since the 2026-08-18 chip A/Bs: standalone
+    # 101.8 vs 114.9 ms (-11%), fused 196.8 vs 191.0 pages/s
+    # (tools/despeckle_ab.py / tools/fused_ab.py, interleaved).
+    # APT_DESPECKLE=tables opts back into the packed-table prefix;
+    # interpret-mode bit-exactness is test-covered for both.
     import os
-    return n == 2 and os.environ.get('APT_DESPECKLE', 'tables') \
+    return n == 2 and os.environ.get('APT_DESPECKLE', 'bitplane') \
         == 'bitplane'
 
 
