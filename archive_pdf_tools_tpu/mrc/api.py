@@ -26,10 +26,22 @@ from . import decompose as D
 from .hocr_prep import prepare_lines, paint_line_ids
 
 
+# Largest per-batch line capacity before decompose_masks splits the
+# page batch (crop buffers are (n, line_h, W) — capacity bounds both
+# HBM and recompiles).  Module-level so tests can lower it.
+MAX_LINE_CAPACITY = 16384
+
+
 def _round_lines(n):
     """Static per-batch line capacity: multiples of 64 bound recompiles
-    without the padding waste of power-of-two rounding."""
-    return min(-(-(n + 1) // 64) * 64, 16384)
+    without the padding waste of power-of-two rounding.  A single page
+    with more than MAX_LINE_CAPACITY lines (degenerate hOCR) cannot be
+    split further: capacity then grows in 1024-line steps so no line is
+    ever dropped."""
+    n64 = -(-(n + 1) // 64) * 64
+    if n64 <= MAX_LINE_CAPACITY:
+        return n64
+    return -(-n64 // 1024) * 1024
 
 
 class TimingData:
@@ -57,6 +69,36 @@ def decompose_masks(np_images, word_datas, dpi=None, downsample=None,
     h, w = imgs.shape[1], imgs.shape[2]
     window = sauvola_window(dpi)
 
+    tl0 = _time.time()
+    page_boxes = [prepare_lines(wd, w, h, downsample=downsample)
+                  for wd in word_datas]
+    prep_dt = _time.time() - tl0
+
+    # Batches whose total line count would exceed the static capacity
+    # (e.g. batch 8 x 2k-line newspaper pages at 600 DPI) are split into
+    # page sub-batches and concatenated: capacity bounds the crop-buffer
+    # HBM footprint, so dropping lines (the pre-r3 behavior) is never an
+    # option.  Greedy page packing keeps each sub-batch under the cap.
+    if (len(np_images) > 1
+            and sum(len(bx) for bx in page_boxes) + 1 > MAX_LINE_CAPACITY):
+        cuts, acc = [0], 0
+        for p, bx in enumerate(page_boxes):
+            if p > cuts[-1] and acc + len(bx) + 1 > MAX_LINE_CAPACITY:
+                cuts.append(p)
+                acc = 0
+            acc += len(bx)
+        cuts.append(len(np_images))
+        masks, devs = [], []
+        for a, b in zip(cuts[:-1], cuts[1:]):
+            m, d = decompose_masks(
+                np_images[a:b], word_datas[a:b], dpi=dpi,
+                downsample=downsample, denoise_mask=denoise_mask,
+                exact_denoise=exact_denoise, timing_data=timing_data,
+                errors=errors)
+            masks.append(m)
+            devs.append(d)
+        return jnp.concatenate(masks), jnp.concatenate(devs)
+
     t0 = _time.time()
     dev_imgs = jnp.asarray(imgs)
     if rgb:
@@ -68,10 +110,9 @@ def decompose_masks(np_images, word_datas, dpi=None, downsample=None,
     from ..utils.backend import use_pallas
     from ..ops.lines_pallas import LINE_H_BUCKETS
 
-    # --- hOCR line thresholds ---
-    t0 = _time.time()
-    page_boxes = [prepare_lines(wd, w, h, downsample=downsample)
-                  for wd in word_datas]
+    # --- hOCR line thresholds (page_boxes prepared above; its time is
+    # folded into this stage to keep the reference's timing keys) ---
+    t0 = _time.time() - prep_dt
 
     # Lines taller than the largest Pallas bucket (rare display type)
     # take a host-oracle patch path instead of dropping the whole batch
@@ -133,9 +174,12 @@ def decompose_masks(np_images, word_datas, dpi=None, downsample=None,
         lid = 0
         for p, bx in enumerate(page_boxes):
             for (tt, bo, ll, rr) in bx:
-                lid += 1
-                if lid >= n_seg:
+                if lid + 1 >= n_seg:
+                    # unreachable: batch splitting above keeps
+                    # total + 1 <= capacity (defensive only — never
+                    # let n_lines outrun the crop buffers)
                     break
+                lid += 1
                 boxes[:, lid] = (tt, bo, ll, rr)
                 pages[lid] = p
                 _line_pages[lid] = p
