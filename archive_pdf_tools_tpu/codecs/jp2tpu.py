@@ -32,6 +32,19 @@ from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 
+# APT_T1_STATS=1: accumulate per-encode Tier-1 work counters (initial/
+# rescue/final phase wall time, block and byte counts) in T1_STATS for
+# perf attribution — the rescue rounds are the content-dependent part
+# of the encode cost and invisible to stage-level timing.
+T1_STATS = {}
+
+
+def _stat(key, dt=0.0, n=0):
+    if os.environ.get('APT_T1_STATS'):
+        t, c = T1_STATS.get(key, (0.0, 0))
+        T1_STATS[key] = (t + dt, c + n)
+
+
 # --- CDF 9/7 lifting constants (ITU-T T.800 Annex F) ---
 ALPHA = -1.586134342059924
 BETA = -0.052980118572961
@@ -475,6 +488,7 @@ def _allocate_rate(blocks, target_bytes, lib, workers):
     Converges to the uncapped allocation while coding a fraction of
     the passes (at ratio 750 the cap floor saves ~10x the pass work)."""
     slack = int(os.environ.get('APT_T1_STARVE_SLACK', '3'))
+    max_rounds = int(os.environ.get('APT_T1_MAX_RESCUE_ROUNDS', '3'))
     kcap = max(48, len(blocks) // 32)
 
     def tail_slope(cb):
@@ -483,11 +497,11 @@ def _allocate_rate(blocks, target_bytes, lib, workers):
         return (cb.dists[-1] - cb.dists[-2]) * cb.weight / \
             max(1, int(cb.rates[-1]) - int(cb.rates[-2]))
 
-    for _round in range(4):
+    for _round in range(max_rounds + 1):
         _pcrd_choose(blocks, target_bytes)
         starved = [cb for cb in blocks
                    if cb.capped and cb.chosen >= cb.npasses - slack]
-        if not starved or _round == 3:
+        if not starved or _round == max_rounds:
             break
         if len(starved) > kcap:
             # noise-like content: nearly every block sits at the cap
@@ -496,7 +510,10 @@ def _allocate_rate(blocks, target_bytes, lib, workers):
             # so re-encode work stays bounded
             starved.sort(key=tail_slope, reverse=True)
             starved = starved[:kcap]
+        import time as _t
+        _r0 = _t.time()
         _encode_blocks(starved, lib, workers, caps=None)
+        _stat('rescue', _t.time() - _r0, len(starved))
     _final_encode(blocks, lib, workers)
 
 
@@ -703,7 +720,10 @@ def _t1_all(bands, lib, workers, target_bytes=None):
         for cb in blocks:
             caps[id(cb)] = max(floor,
                                4 * target_bytes * cb.arr.size // total_px)
+    import time as _t
+    _i0 = _t.time()
     _encode_blocks(blocks, lib, workers, caps)
+    _stat('initial', _t.time() - _i0, len(blocks))
     return blocks
 
 
