@@ -29,21 +29,16 @@ _SOURCES = ('jbig2.cpp', 'crypto.cpp')
 
 
 def _build_native():
+    from ..utils.nativebuild import ensure_so
     srcs = [os.path.join(_NATIVE_DIR, f) for f in _SOURCES]
-    cmd = ['g++', '-O3', '-fPIC', '-std=c++17', '-shared',
-           '-o', _SO_PATH] + srcs
-    subprocess.check_call(cmd)
+    ensure_so(_SO_PATH, srcs, [['-O3', '-fPIC', '-std=c++17']])
 
 
 def _get_lib():
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_SO_PATH) or any(
-            os.path.getmtime(_SO_PATH)
-            < os.path.getmtime(os.path.join(_NATIVE_DIR, f))
-            for f in _SOURCES):
-        _build_native()
+    _build_native()
     lib = ctypes.CDLL(_SO_PATH)
     lib.jbig2tpu_encode.restype = ctypes.c_long
     lib.jbig2tpu_encode.argtypes = [

@@ -27,7 +27,7 @@ import functools
 import math
 import os
 import struct
-import subprocess
+
 from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
@@ -72,20 +72,14 @@ def _get_lib():
     if _lib is not None:
         return _lib
     src = os.path.join(_NATIVE_DIR, 'jp2t1.cpp')
-    if not os.path.exists(_SO_PATH) or \
-            os.path.getmtime(_SO_PATH) < os.path.getmtime(src):
-        # -ffp-contract=off: only the explicit fmaf calls in Lift1D may
-        # fuse, so the DWT numerics exactly mirror the jitted XLA-CPU
-        # path; -mfma makes those fmaf calls single instructions
-        # (fallback build without it still computes the same values via
-        # libm fmaf, just slower).
-        flags = ['-O3', '-fPIC', '-std=c++17', '-ffp-contract=off']
-        try:
-            subprocess.check_call(['g++'] + flags + ['-mfma', '-shared',
-                                   '-o', _SO_PATH, src])
-        except subprocess.CalledProcessError:
-            subprocess.check_call(['g++'] + flags + ['-shared',
-                                   '-o', _SO_PATH, src])
+    # -ffp-contract=off: only the explicit fmaf calls in Lift1D may
+    # fuse, so the DWT numerics exactly mirror the jitted XLA-CPU
+    # path; -mfma makes those fmaf calls single instructions
+    # (fallback build without it still computes the same values via
+    # libm fmaf, just slower).
+    from ..utils.nativebuild import ensure_so
+    flags = ['-O3', '-fPIC', '-std=c++17', '-ffp-contract=off']
+    ensure_so(_SO_PATH, [src], [flags + ['-mfma'], flags])
     lib = ctypes.CDLL(_SO_PATH)
     lib.jp2t1_encode_block.restype = ctypes.c_long
     lib.jp2t1_encode_block.argtypes = [
