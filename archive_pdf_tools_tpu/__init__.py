@@ -25,6 +25,13 @@ if _os.environ.get('APT_PLATFORM'):
     except Exception:
         pass
 
+# Persistent compile cache for EVERY entry point (conftest and the bin/
+# wrappers used to set this individually; ad-hoc imports paid the full
+# remote compile on each process).  Harmless when jax already
+# initialized — the env var is read at first compile.
+_os.environ.setdefault('JAX_COMPILATION_CACHE_DIR', '/tmp/jax_cache_apt')
+_os.environ.setdefault('JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS', '1')
+
 from .const import VERSION, PRODUCER, __version__  # noqa: F401
 
 

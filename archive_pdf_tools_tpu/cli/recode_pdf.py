@@ -98,7 +98,14 @@ def build_parser():
                            'page; lossy = correlation-classified glyph '
                            'classes (jbig2enc -s default behaviour); '
                            'refine = lossy classes made lossless again '
-                           'by an XOR-composited residue region')
+                           'by an XOR-composited generic residue region '
+                           '(NOT T.88 refinement coding: SDREFAGG/'
+                           'TPGRON streams cannot be verified without '
+                           'the spec or an external decoder, so this '
+                           'tool deliberately does not emit them; the '
+                           'XOR residue achieves the same lossless-'
+                           'with-shared-exemplars result with fully '
+                           'verified machinery)')
     misc.add_argument('--jbig2-bands', type=int, default=1,
                       help='Code each JBIG2 mask as N independent '
                            'horizontal region segments encoded on a '

@@ -27,6 +27,7 @@ import functools
 import math
 import os
 import struct
+import threading
 
 from concurrent.futures import ThreadPoolExecutor
 
@@ -895,25 +896,122 @@ def _host_encode(qbands, w, h, ncomp, levels, base_delta, ratio, rgb,
     return _jp2_wrap(stream, w, h, ncomp) if wrap_jp2 else stream
 
 
-def transform_jp2_batch(imgs, base_delta=1.0 / 64, levels=5):
+@functools.partial(jax.jit,
+                   static_argnames=('levels', 'rgb', 'base_delta'))
+def _device_transform_packed(arr, levels, rgb, base_delta):
+    """`_device_transform` plus an int16 copy of every band and a
+    per-band max|q| vector: the host fetches each band at the smallest
+    EXACT dtype (fine bands fit int16 on real content; only the few
+    tiny coarse bands exceed it, measured maxabs ~2.5e5 at LL vs ~1e4
+    at level 1).  On thin hosts the readback link, not the transform,
+    bounds the batched '-J tpu' path, so halving the bytes halves the
+    stage."""
+    import jax.numpy as jnp
+    q32 = _device_transform(arr, levels, rgb, base_delta)
+    q16 = tuple(tuple(b.astype(jnp.int16) for b in qb) for qb in q32)
+    mx = jnp.stack([jnp.max(jnp.abs(b)).astype(jnp.int32)
+                    for qb in q32 for b in qb])
+    return q32, q16, mx
+
+
+def _fetch_device_qbands(q32, q16, mx):
+    """Transfer every band at its minimal exact dtype (int16 when
+    max|q| <= 32767, else int32).  One small maxabs sync, then one
+    bulk transfer per band."""
+    mx = np.asarray(mx)
+    out, k = [], 0
+    for qb32, qb16 in zip(q32, q16):
+        comp = []
+        for b32, b16 in zip(qb32, qb16):
+            comp.append(np.asarray(b16 if int(mx[k]) <= 32767 else b32))
+            k += 1
+        out.append(comp)
+    return out
+
+
+def _transform_shape(imgs):
+    arr = np.stack(imgs) if isinstance(imgs, (list, tuple)) else imgs
+    rgb = arr.ndim == 4
+    b, h, w = (int(s) for s in arr.shape[:3])
+    return arr, rgb, b, h, w
+
+
+def transform_jp2_batch_async(imgs, base_delta=1.0 / 64, levels=5):
     """Stage 1 of a batched encode: DWT/ICT/quantize of a whole uint8
     (B, H, W) or (B, H, W, 3) stack as ONE device dispatch (pages ride
-    the leading axis through the lifting steps).  Returns
-    (per_page_qbands, meta) where per_page_qbands[i] feeds
-    encode_jp2_from_qbands — so the recode pipeline can run the host
-    Tier-1 of each page on its encode pool while the device transforms
-    the next batch."""
-    arr = np.asarray(imgs, np.uint8)
-    rgb = arr.ndim == 4
-    b, h, w = arr.shape[:3]
+    the leading axis through the lifting steps).  ``imgs`` may be a
+    numpy stack or a DEVICE array (e.g. fg/bg layers straight out of
+    ``decompose_layers(device=True)`` — they then never cross the link
+    as uint8 at all).
+
+    Returns (fetch, meta): ``fetch(i)`` blocks until page i's numpy
+    qbands are ready for ``encode_jp2_from_qbands``.  Band readbacks
+    run on a background thread at the smallest exact per-band dtype,
+    so the encode pool's mask/Tier-1 host work overlaps the link
+    transfer instead of waiting on it."""
+    arr, rgb, b, h, w = _transform_shape(imgs)
     ncomp = 3 if rgb else 1
     levels = max(1, min(levels,
                         max(1, int(math.floor(math.log2(min(h, w) / 4))))))
-    qbands = _run_device_transform(arr, levels, rgb, float(base_delta))
-    qbands = [[np.asarray(q) for q in qb] for qb in qbands]
-    pages = [[[q[i] for q in qb] for qb in qbands] for i in range(b)]
-    return pages, {'w': w, 'h': h, 'ncomp': ncomp, 'levels': levels,
-                   'rgb': rgb, 'base_delta': float(base_delta)}
+    meta = {'w': w, 'h': h, 'ncomp': ncomp, 'levels': levels,
+            'rgb': rgb, 'base_delta': float(base_delta)}
+
+    dev = os.environ.get('APT_JP2_DEVICE')
+    native = dev == 'native'
+    if not native and not dev:
+        try:
+            import jax
+            native = jax.devices()[0].platform == 'cpu'
+        except Exception:
+            native = True
+
+    if native:
+        host = np.asarray(arr).astype(np.uint8, copy=False)
+        qb = _native_transform(host, levels, rgb, float(base_delta))
+        pages = [[[q[i] for q in comp] for comp in qb] for i in range(b)]
+        return (lambda i: pages[i]), meta
+
+    import jax
+    if dev:
+        with jax.default_device(jax.local_devices(backend=dev)[0]):
+            packed = _device_transform_packed(arr, levels, rgb,
+                                              float(base_delta))
+    else:
+        packed = _device_transform_packed(arr, levels, rgb,
+                                          float(base_delta))
+
+    state = {'pages': None, 'err': None}
+    done = threading.Event()
+
+    def _drain():
+        try:
+            comps = _fetch_device_qbands(*packed)
+            state['pages'] = [[[q[i] for q in comp] for comp in comps]
+                              for i in range(b)]
+        except BaseException as exc:
+            state['err'] = exc
+        finally:
+            done.set()
+
+    threading.Thread(target=_drain, daemon=True,
+                     name='jp2-qband-fetch').start()
+
+    def fetch(i):
+        done.wait()
+        if state['err'] is not None:
+            raise state['err']
+        return state['pages'][i]
+
+    return fetch, meta
+
+
+def transform_jp2_batch(imgs, base_delta=1.0 / 64, levels=5):
+    """Synchronous wrapper of ``transform_jp2_batch_async``: returns
+    (per_page_qbands, meta)."""
+    _, _, b, _, _ = _transform_shape(imgs)
+    fetch, meta = transform_jp2_batch_async(imgs, base_delta=base_delta,
+                                            levels=levels)
+    return [fetch(i) for i in range(b)], meta
 
 
 def encode_jp2_from_qbands(page_qbands, meta, ratio=None, workers=None,

@@ -95,14 +95,28 @@ def encode_mrc_img(np_img, img_compression_flags, imgtype=None,
     jp2_qbands: optional (page_qbands, meta) from
     jp2tpu.transform_jp2_batch — the '-J tpu' batched path, where the
     whole page batch's DWT ran as one device dispatch and only the host
-    Tier-1 remains to be done here."""
+    Tier-1 remains to be done here.  page_qbands may also be a
+    zero-arg callable (transform_jp2_batch_async's fetch, bound to one
+    page): it is resolved AFTER the mask encode so the band readback
+    overlaps host work.  With qbands, np_img may be None — the layer
+    pixels then never cross the host link at all (geometry comes from
+    the transform meta)."""
     t = _time.time()
     if imgtype not in ('bg', 'fg'):
         raise ValueError("imgtype should be 'bg' or 'fg'")
-    arr = np.asarray(np_img)
-    gray = arr.ndim == 2
-    h, w = arr.shape[:2]
-    img = Image.fromarray(arr)
+    if np_img is None:
+        if jp2_qbands is None or jpeg2000_implementation != 'tpu' \
+                or mrc_image_format == COMPRESSOR_JPEG:
+            raise ValueError('np_img=None requires the tpu qbands path')
+        _, qmeta = jp2_qbands
+        gray = qmeta['ncomp'] == 1
+        h, w = qmeta['h'], qmeta['w']
+        img = None
+    else:
+        arr = np.asarray(np_img)
+        gray = arr.ndim == 2
+        h, w = arr.shape[:2]
+        img = Image.fromarray(arr)
 
     if mrc_image_format == COMPRESSOR_JPEG:
         data = jpeg_codec.encode_jpeg(img, img_compression_flags, debug=debug)
@@ -115,6 +129,8 @@ def encode_mrc_img(np_img, img_compression_flags, imgtype=None,
                 if img_compression_flags and img_compression_flags[0] else {}
             if jp2_qbands is not None:
                 page_q, meta = jp2_qbands
+                if callable(page_q):
+                    page_q = page_q()
                 data = encode_jp2_from_qbands(page_q, meta,
                                               ratio=kw.get('ratio'),
                                               workers=threads)

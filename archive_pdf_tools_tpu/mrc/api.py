@@ -57,11 +57,20 @@ class TimingData:
 
 def decompose_masks(np_images, word_datas, dpi=None, downsample=None,
                     denoise_mask=DENOISE_FAST, exact_denoise=True,
-                    timing_data=None, errors=None):
+                    timing_data=None, errors=None, mesh=None):
     """Mask phase for a uniform batch.
 
     np_images: list of uint8 arrays, all (H, W) gray or (H, W, 3) RGB of
     identical shape.  Returns bool (B, H, W) numpy mask array.
+
+    mesh: optional 1-D 'pages' jax Mesh — the batch is then sharded
+    over its devices (page-batch DP, SURVEY.md section 2.5): the XLA
+    ops partition via GSPMD, the Pallas kernels run per-shard under
+    shard_map with per-shard line arrays.  Results are byte-identical
+    with the single-device path (the blur-radius bucket is picked from
+    the global batch; per-line crops and the host selection heuristic
+    see identical values).  Batches not divisible by the mesh size (or
+    containing tall-line host patches) fall back to single-device.
     """
     td = TimingData(timing_data)
     imgs = np.stack(np_images)
@@ -99,20 +108,8 @@ def decompose_masks(np_images, word_datas, dpi=None, downsample=None,
             devs.append(d)
         return jnp.concatenate(masks), jnp.concatenate(devs)
 
-    t0 = _time.time()
-    dev_imgs = jnp.asarray(imgs)
-    if rgb:
-        gray = D.gray_601(dev_imgs)
-        td.add('grey_conversion', t0)
-    else:
-        gray = dev_imgs
-
     from ..utils.backend import use_pallas
     from ..ops.lines_pallas import LINE_H_BUCKETS
-
-    # --- hOCR line thresholds (page_boxes prepared above; its time is
-    # folded into this stage to keep the reference's timing keys) ---
-    t0 = _time.time() - prep_dt
 
     # Lines taller than the largest Pallas bucket (rare display type)
     # take a host-oracle patch path instead of dropping the whole batch
@@ -132,6 +129,27 @@ def decompose_masks(np_images, word_datas, dpi=None, downsample=None,
             short_boxes.append(keep)
         page_boxes = short_boxes
 
+    if mesh is not None and (len(np_images) < mesh.size
+                             or len(np_images) % mesh.size != 0
+                             or tall_lines):
+        mesh = None
+
+    t0 = _time.time()
+    if mesh is not None:
+        from ..parallel.mesh import shard_pages
+        dev_imgs = shard_pages(mesh, imgs)
+    else:
+        dev_imgs = jnp.asarray(imgs)
+    if rgb:
+        gray = D.gray_601(dev_imgs)
+        td.add('grey_conversion', t0)
+    else:
+        gray = dev_imgs
+
+    # --- hOCR line thresholds (page_boxes prepared above; its time is
+    # folded into this stage to keep the reference's timing keys) ---
+    t0 = _time.time() - prep_dt
+
     total = sum(len(bx) for bx in page_boxes)
     n_seg = _round_lines(total)
 
@@ -142,13 +160,30 @@ def decompose_masks(np_images, word_datas, dpi=None, downsample=None,
     line_bucket = next((b for b in LINE_H_BUCKETS if tallest <= b), None)
     pallas_lines = use_pallas() and line_bucket is not None
 
+    def _global_mask_pallas():
+        if mesh is not None:
+            from ..parallel.sharded import sharded_global_threshold
+            radius = D.pick_blur_radius(gray)
+            interp0 = jax.devices()[0].platform == 'cpu'
+            return sharded_global_threshold(mesh, window, radius,
+                                            interp0)(gray)
+        return D.global_threshold_fused(gray, window)
+
+    def _run_denoise(mask):
+        if (mesh is not None and denoise_mask == DENOISE_FAST
+                and exact_denoise and use_pallas()):
+            from ..parallel.sharded import sharded_denoise
+            interp0 = jax.devices()[0].platform == 'cpu'
+            return sharded_denoise(mesh, interp0)(mask)
+        return D.denoise_mask(mask, denoise_mask, exact_denoise)
+
     if total == 0:
         # no (short) hOCR lines at all: the mask is the global
         # threshold, plus any tall-line patches (+ denoise below)
         td.add('hocr_mask_gen', t0)
         t0 = _time.time()
         if use_pallas():
-            gmask, sigma_est = D.global_threshold_fused(gray, window)
+            gmask, sigma_est = _global_mask_pallas()
         else:
             blurred_u8, sigma_est = D.global_threshold_input(gray)
             gmask = D.global_threshold(blurred_u8, window)
@@ -159,37 +194,84 @@ def decompose_masks(np_images, word_datas, dpi=None, downsample=None,
                                       window)
         if denoise_mask is not None and denoise_mask != DENOISE_NONE:
             t0 = _time.time()
-            mask = D.denoise_mask(mask, denoise_mask, exact_denoise)
+            mask = _run_denoise(mask)
             td.add('fast_denoise'
                    if denoise_mask == DENOISE_FAST else 'denoise', t0)
         return mask, dev_imgs
 
     if pallas_lines:
-        # flat line arrays with a dummy slot 0 (select_lines convention)
-        boxes = np.zeros((4, n_seg), np.int32)
-        boxes[1, 0] = 1
-        boxes[3, 0] = 1
-        pages = np.zeros((n_seg,), np.int32)
-        _line_pages = {}
-        lid = 0
-        for p, bx in enumerate(page_boxes):
-            for (tt, bo, ll, rr) in bx:
-                if lid + 1 >= n_seg:
-                    # unreachable: batch splitting above keeps
-                    # total + 1 <= capacity (defensive only — never
-                    # let n_lines outrun the crop buffers)
-                    break
-                lid += 1
-                boxes[:, lid] = (tt, bo, ll, rr)
-                pages[lid] = p
-                _line_pages[lid] = p
-        n_lines = lid
-
-        from ..ops.lines_pallas import line_thresholds_pallas
         interp = jax.devices()[0].platform == 'cpu'
-        crops_t, crops_i, ones, ones_inv = line_thresholds_pallas(
-            gray, jnp.asarray(boxes), jnp.asarray(pages), window,
-            interpret=interp, max_line_h=line_bucket)
+        slots = None
+        if mesh is not None:
+            # per-shard line arrays with LOCAL page indices: each chip
+            # thresholds the lines of its own page shard under
+            # shard_map.  Global lids keep the single-device order so
+            # the host selection sees identical per-line values;
+            # ``slots`` maps lid -> flat slot in the concatenated
+            # per-shard output.
+            ds = mesh.size
+            per = len(np_images) // ds
+            shard_tot = [sum(len(page_boxes[p])
+                             for p in range(s * per, (s + 1) * per))
+                         for s in range(ds)]
+            n_seg_s = _round_lines(max(shard_tot))
+            sboxes = np.zeros((ds, 4, n_seg_s), np.int32)
+            sboxes[:, 1, 0] = 1
+            sboxes[:, 3, 0] = 1
+            spages = np.zeros((ds, n_seg_s), np.int32)
+            boxes = np.zeros((4, total + 1), np.int32)
+            boxes[1, 0] = 1
+            boxes[3, 0] = 1
+            slots = np.zeros(total + 1, np.int64)
+            _line_pages = {}
+            fill = [0] * ds
+            lid = 0
+            for p, bx in enumerate(page_boxes):
+                s = p // per
+                for (tt, bo, ll, rr) in bx:
+                    lid += 1
+                    j = fill[s] + 1
+                    fill[s] = j
+                    sboxes[s, :, j] = (tt, bo, ll, rr)
+                    spages[s, j] = p - s * per
+                    boxes[:, lid] = (tt, bo, ll, rr)
+                    slots[lid] = s * n_seg_s + j
+                    _line_pages[lid] = p
+            n_lines = lid
+
+            from ..parallel.sharded import sharded_line_thresholds
+            from ..parallel.mesh import shard_pages as _shard
+            crops_t, crops_i, ones_s, oinv_s = sharded_line_thresholds(
+                mesh, window, line_bucket, interp)(
+                gray, _shard(mesh, sboxes), _shard(mesh, spages))
+            ones = np.asarray(ones_s)[slots]
+            ones_inv = np.asarray(oinv_s)[slots]
+        else:
+            # flat line arrays with a dummy slot 0 (select_lines
+            # convention)
+            boxes = np.zeros((4, n_seg), np.int32)
+            boxes[1, 0] = 1
+            boxes[3, 0] = 1
+            pages = np.zeros((n_seg,), np.int32)
+            _line_pages = {}
+            lid = 0
+            for p, bx in enumerate(page_boxes):
+                for (tt, bo, ll, rr) in bx:
+                    if lid + 1 >= n_seg:
+                        # unreachable: batch splitting above keeps
+                        # total + 1 <= capacity (defensive only — never
+                        # let n_lines outrun the crop buffers)
+                        break
+                    lid += 1
+                    boxes[:, lid] = (tt, bo, ll, rr)
+                    pages[lid] = p
+                    _line_pages[lid] = p
+            n_lines = lid
+
+            from ..ops.lines_pallas import line_thresholds_pallas
+            crops_t, crops_i, ones, ones_inv = line_thresholds_pallas(
+                gray, jnp.asarray(boxes), jnp.asarray(pages), window,
+                interpret=interp, max_line_h=line_bucket)
         size = ((boxes[1] - boxes[0]) *
                 (boxes[3] - boxes[2])).astype(np.int64)
 
@@ -208,7 +290,8 @@ def decompose_masks(np_images, word_datas, dpi=None, downsample=None,
             & (np.arange(len(size_h)) <= n_lines))[0]
         _needy_cache = {}
         if len(needy):
-            idx = jnp.asarray(needy.astype(np.int32))
+            gather = slots[needy] if slots is not None else needy
+            idx = jnp.asarray(gather.astype(np.int32))
             # crops are 0/1: pack to bits on device so the transfer is
             # 8x smaller (the host link is the bottleneck of the
             # pipeline-level path on thin hosts)
@@ -270,7 +353,7 @@ def decompose_masks(np_images, word_datas, dpi=None, downsample=None,
     # --- global threshold with noise-adaptive pre-blur ---
     t0 = _time.time()
     if use_pallas():
-        gmask, sigma_est = D.global_threshold_fused(gray, window)
+        gmask, sigma_est = _global_mask_pallas()
         td.add('threshold', t0)
     else:
         blurred_u8, sigma_est = D.global_threshold_input(gray)
@@ -282,13 +365,30 @@ def decompose_masks(np_images, word_datas, dpi=None, downsample=None,
     if pallas_lines:
         selector = np.where(use_plain, 1,
                             np.where(use_inv, 2, 0)).astype(np.int32)
-        from ..ops.paste_pallas import build_paste_plan, paste_crops_pallas
-        plan = build_paste_plan(boxes, pages, selector, len(np_images))
-        mask = paste_crops_pallas(
-            crops_t, crops_i,
-            *(jnp.asarray(plan[kk]) for kk in
-              ('li', 't', 'b', 'l', 'r', 'sel', 'gpage', 'gfirst')),
-            gmask, interpret=interp)
+        if mesh is not None:
+            # selector back into per-shard slots, then per-shard paste
+            # plans pasted under shard_map
+            ssel = np.zeros((ds, n_seg_s), np.int32)
+            for glid in range(1, n_lines + 1):
+                s, j = divmod(int(slots[glid]), n_seg_s)
+                ssel[s, j] = selector[glid]
+            from ..parallel.sharded import sharded_paste, \
+                split_paste_plans
+            from ..parallel.mesh import shard_pages as _shard
+            plan = split_paste_plans(sboxes, spages, ssel, per)
+            mask = sharded_paste(mesh, interp)(
+                crops_t, crops_i, gmask,
+                *(_shard(mesh, a) for a in plan))
+        else:
+            from ..ops.paste_pallas import (build_paste_plan,
+                                            paste_crops_pallas)
+            plan = build_paste_plan(boxes, pages, selector,
+                                    len(np_images))
+            mask = paste_crops_pallas(
+                crops_t, crops_i,
+                *(jnp.asarray(plan[kk]) for kk in
+                  ('li', 't', 'b', 'l', 'r', 'sel', 'gpage', 'gfirst')),
+                gmask, interpret=interp)
     else:
         mask = D.compose_mask(thres, thres_inv, jnp.asarray(use_plain),
                               jnp.asarray(use_inv), jnp.asarray(id_map),
@@ -299,7 +399,7 @@ def decompose_masks(np_images, word_datas, dpi=None, downsample=None,
 
     if denoise_mask is not None and denoise_mask != DENOISE_NONE:
         t0 = _time.time()
-        mask = D.denoise_mask(mask, denoise_mask, exact_denoise)
+        mask = _run_denoise(mask)
         td.add('fast_denoise' if denoise_mask == DENOISE_FAST else 'denoise',
                t0)
 
@@ -378,16 +478,35 @@ def _tall_line_patches(mask, gmask, gray, tall_lines, window):
 
 
 def decompose_layers(mask, dev_imgs, bg_downsample=None, fg_downsample=None,
-                     timing_data=None, errors=None):
+                     timing_data=None, errors=None, device=False,
+                     mesh=None):
     """fg/bg phase: radiate fills + optional layer downsampling.
 
     mask: device bool (B, H, W); dev_imgs: device uint8 (B, H, W[, 3]).
-    Returns (fg, bg) numpy uint8 arrays (downsampled sizes if requested).
+    Returns (fg, bg) uint8 arrays (downsampled sizes if requested) —
+    numpy by default; with ``device=True`` they stay ON DEVICE so a
+    device consumer (the batched '-J tpu' JPEG2000 transform) can use
+    them without the uint8 layers ever crossing the host link.
+    With ``mesh``, the Pallas radiate fills run per page shard under
+    shard_map (page-batch DP; falls back when the batch does not
+    divide the mesh).
     """
     td = TimingData(timing_data)
+    from ..utils.backend import use_pallas
+    if mesh is not None and (mask.shape[0] < mesh.size
+                             or mask.shape[0] % mesh.size != 0
+                             or not use_pallas()):
+        mesh = None
+    if mesh is not None:
+        from ..parallel.sharded import sharded_optimise
+        interp = jax.devices()[0].platform == 'cpu'
+        fg_fn = sharded_optimise(mesh, 3, False, interp)
+        bg_fn = sharded_optimise(mesh, 10, True, interp)
+    else:
+        fg_fn, bg_fn = D.fg_layer, D.bg_layer
 
     t0 = _time.time()
-    fg = D.fg_layer(mask, dev_imgs)
+    fg = fg_fn(mask, dev_imgs)
     fg.block_until_ready()
     td.add('fg_partial_blur', t0)
     if fg_downsample:
@@ -396,7 +515,7 @@ def decompose_layers(mask, dev_imgs, bg_downsample=None, fg_downsample=None,
         td.add('fg_downsample', t0)
 
     t0 = _time.time()
-    bg = D.bg_layer(mask, dev_imgs)
+    bg = bg_fn(mask, dev_imgs)
     bg.block_until_ready()
     td.add('bg_partial_blur', t0)
     if bg_downsample:
@@ -404,6 +523,8 @@ def decompose_layers(mask, dev_imgs, bg_downsample=None, fg_downsample=None,
         bg, ok = _downsample(bg, bg_downsample, errors)
         td.add('bg_downsample', t0)
 
+    if device:
+        return fg, bg
     return np.asarray(fg), np.asarray(bg)
 
 

@@ -51,6 +51,100 @@ def sharded_mrc_step(mesh, window, rgb=False, denoise='fast',
         check_vma=False)
 
 
+_PHASE_CACHE = {}
+
+
+def _cached(key, build):
+    fn = _PHASE_CACHE.get(key)
+    if fn is None:
+        fn = _PHASE_CACHE[key] = build()
+    return fn
+
+
+def sharded_line_thresholds(mesh, window, max_line_h, interpret):
+    """shard_map of the Pallas line-threshold kernel: each chip
+    thresholds the lines of its local page shard.  Inputs: gray
+    (B, H, W) page-sharded; boxes (D, 4, n)/pages (D, n) stacked
+    per-shard with LOCAL page indices.  Outputs concatenate the
+    per-shard line slots on the leading axis (global slot =
+    shard * n + local slot)."""
+    from ..ops.lines_pallas import line_thresholds_pallas
+
+    def build():
+        def local(gray, boxes, pages):
+            return line_thresholds_pallas(
+                gray, boxes[0], pages[0], window, interpret=interpret,
+                max_line_h=max_line_h)
+        return jax.jit(shard_map(
+            local, mesh=mesh,
+            in_specs=(P('pages'),) * 3,
+            out_specs=(P('pages'),) * 4, check_vma=False))
+    return _cached(('lines', mesh, window, max_line_h, interpret), build)
+
+
+def sharded_global_threshold(mesh, window, radius, interpret):
+    """shard_map of the fused blur+Sauvola kernel.  The blur-radius
+    bucket must be picked from the GLOBAL batch (mrc.decompose.
+    pick_blur_radius) so every shard compiles the identical kernel the
+    single-device path would — byte-identical masks."""
+    from ..mrc.decompose import global_threshold_fused_static
+
+    def build():
+        def local(gray):
+            return global_threshold_fused_static(gray, window, radius,
+                                                 interpret=interpret)
+        return jax.jit(shard_map(
+            local, mesh=mesh, in_specs=(P('pages'),),
+            out_specs=(P('pages'), P('pages')), check_vma=False))
+    return _cached(('gthresh', mesh, window, radius, interpret), build)
+
+
+def sharded_paste(mesh, interpret):
+    """shard_map of the Pallas crop-paste kernel over per-shard plans
+    (leading shard dim on every plan array)."""
+    from ..ops.paste_pallas import paste_crops_pallas
+
+    def build():
+        def local(crops_t, crops_i, gmask, *plan):
+            return paste_crops_pallas(
+                crops_t, crops_i, *(a[0] for a in plan), gmask,
+                interpret=interpret)
+        return jax.jit(shard_map(
+            local, mesh=mesh, in_specs=(P('pages'),) * 11,
+            out_specs=P('pages'), check_vma=False))
+    return _cached(('paste', mesh, interpret), build)
+
+
+def sharded_denoise(mesh, interpret):
+    """shard_map of the exact despeckle kernel."""
+    from ..ops.denoise_pallas import fast_mask_denoise_pallas
+
+    def build():
+        def local(mask):
+            return fast_mask_denoise_pallas(mask, 4, 2,
+                                            interpret=interpret)
+        return jax.jit(shard_map(
+            local, mesh=mesh, in_specs=(P('pages'),),
+            out_specs=P('pages'), check_vma=False))
+    return _cached(('denoise', mesh, interpret), build)
+
+
+def sharded_optimise(mesh, n, invert, interpret):
+    """shard_map of the radiate fill (fg n=3, bg n=10 on the inverted
+    mask)."""
+    from ..ops.optimise_pallas import optimise_pallas
+    import jax.numpy as jnp
+
+    def build():
+        def local(mask, img):
+            m = jnp.logical_not(mask) if invert else mask
+            return optimise_pallas(m, img, n, interpret=interpret)
+        return jax.jit(shard_map(
+            local, mesh=mesh, in_specs=(P('pages'), P('pages')),
+            out_specs=P('pages'), check_vma=False))
+    return _cached(('optimise', mesh, n, invert, interpret), build)
+
+
 def split_lines_per_shard(boxes, pages, selector, batch, n_shards):
     """Host helper: scatter global line arrays into per-shard arrays
     with local page indices (page p -> shard p // (batch/n_shards))."""

@@ -8,6 +8,8 @@ pre-compressed image streams in pass 2 (no re-encode, the moral
 equivalent of ``fast_insert_image``, ``pdfhacks.py:106-177``).
 """
 
+import os
+import struct
 from datetime import datetime, timezone
 from xml.sax.saxutils import escape as xmlescape
 
@@ -21,6 +23,12 @@ from .pagenumbers import parse_series, series_to_pagelabels
 
 
 def _now():
+    # reproducible-builds.org convention: SOURCE_DATE_EPOCH pins every
+    # emitted timestamp (also what the byte-identity tests use to
+    # compare single-device vs mesh-sharded pipeline output)
+    sde = os.environ.get('SOURCE_DATE_EPOCH')
+    if sde:
+        return datetime.fromtimestamp(int(sde), timezone.utc)
     return datetime.now(timezone.utc)
 
 
@@ -31,9 +39,17 @@ def _pdf_date(dt=None):
 def srgb_icc_bytes():
     """An sRGB ICC profile for the PDF/A OutputIntent; generated with
     littleCMS via Pillow instead of shipping a binary blob
-    (reference ships data/tmp.icc, used at ``pdfhacks.py:189``)."""
+    (reference ships data/tmp.icc, used at ``pdfhacks.py:189``).
+    littleCMS stamps the profile header's dateTimeNumber (bytes 24-35)
+    with the build time; we pin it to _now() (SOURCE_DATE_EPOCH-aware)
+    so identical runs emit identical files."""
     from PIL import ImageCms
-    return ImageCms.ImageCmsProfile(ImageCms.createProfile('sRGB')).tobytes()
+    icc = bytearray(
+        ImageCms.ImageCmsProfile(ImageCms.createProfile('sRGB')).tobytes())
+    dt = _now()
+    icc[24:36] = struct.pack('>6H', dt.year, dt.month, dt.day,
+                             dt.hour, dt.minute, dt.second)
+    return bytes(icc)
 
 
 class PageState:

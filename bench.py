@@ -169,6 +169,48 @@ def main():
         print('pipeline-level bench failed: %r' % (exc,),
               file=sys.stderr)
 
+    # --- pinned end-to-end metric (VERDICT r2 weak #1: the RESULTS e2e
+    # claim rotted silently because no harness re-measured it).  The
+    # full recode() on the 8-page 400-DPI book from tools/e2e_bench.py,
+    # '-J tpu', cold then warm; the warm number is what RESULTS.md may
+    # cite.  Also written to BENCH_E2E.json so the driver captures it
+    # every round.  APT_BENCH_E2E=0 skips (e.g. kernel-only A/B runs).
+    e2e = None
+    try:
+      if os.environ.get('APT_BENCH_E2E', '1') != '0':
+        import tempfile
+        from tools.e2e_bench import make_book
+        from archive_pdf_tools_tpu.pipeline.recode import recode
+        tmp = tempfile.mkdtemp(prefix='bench_e2e_')
+        glob_pat, hocr = make_book(tmp)
+
+        def e2e_run(tag):
+            t0 = time.perf_counter()
+            res = recode(
+                from_imagestack=glob_pat, hocr_file=hocr,
+                out_pdf=os.path.join(tmp, 'out.pdf'), dpi=400,
+                jbig2=True, bg_downsample=3,
+                jpeg2000_implementation='tpu',
+                bg_compression_flags=['ratio:500'],
+                fg_compression_flags=['ratio:750'])
+            return ((time.perf_counter() - t0) / 8.0,
+                    res.get('compression_ratio', -1.0))
+
+        e2e_run('cold')
+        warm_spp, ratio = e2e_run('warm')
+        e2e = {'metric': 'e2e_recode_warm_s_per_page_tpu_8p400dpi',
+               'value': round(warm_spp, 3), 'unit': 's/page',
+               'vs_baseline': round(1.16 / warm_spp, 2),
+               'compression_ratio': round(float(ratio), 1),
+               'harness': 'bench.py e2e (= tools/e2e_bench.py tpu, warm)',
+               'date': time.strftime('%Y-%m-%d')}
+        with open(os.path.join(os.path.dirname(
+                os.path.abspath(__file__)), 'BENCH_E2E.json'), 'w') as fp:
+            json.dump(e2e, fp)
+            fp.write('\n')
+    except Exception as exc:   # never lose the primary metric
+        print('e2e bench failed: %r' % (exc,), file=sys.stderr)
+
     metric = '%ddpi_%sfull_mrc_decompose_pages_per_sec_per_chip' \
         % (dpi, 'rgb_' if rgb else '')
     out = {
@@ -185,6 +227,10 @@ def main():
         out['pipeline_pages_per_sec'] = round(pipe_pages_per_sec, 3)
         out['pipeline_vs_baseline'] = round(
             pipe_pages_per_sec / baseline_pages_per_sec, 2)
+    if e2e is not None:
+        out['e2e_warm_s_per_page'] = e2e['value']
+        out['e2e_vs_baseline'] = e2e['vs_baseline']
+        out['e2e_compression_ratio'] = e2e['compression_ratio']
     print(json.dumps(out))
 
 

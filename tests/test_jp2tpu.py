@@ -190,6 +190,29 @@ class TestBatchedPipelineWiring:
                for p in pages]
         assert out == J.encode_jp2_tpu_batch(imgs, ratio=20)
 
+    def test_minimal_dtype_fetch_exact(self, monkeypatch):
+        # the device path reads each band back at the smallest EXACT
+        # dtype (int16 for fine bands, int32 for the coarse ones whose
+        # quantized magnitudes exceed 32767); both branches must fire
+        # on this fixture and the values must equal the native path's
+        rng = np.random.default_rng(9)
+        # bright flat paper + noise: the DC-shifted LL then quantizes
+        # to ~1e5 (int32 branch) while the detail bands stay int16
+        imgs = np.clip(np.full((2, 160, 128), 235.0)
+                       + rng.normal(0, 12, (2, 160, 128)),
+                       0, 255).astype(np.uint8)
+        monkeypatch.setenv('APT_JP2_DEVICE', 'cpu')
+        pages, meta = J.transform_jp2_batch(imgs)
+        monkeypatch.setenv('APT_JP2_DEVICE', 'native')
+        pages_n, meta_n = J.transform_jp2_batch(imgs)
+        assert meta == meta_n
+        dtypes = set()
+        for p, pn in zip(pages, pages_n):
+            for q, qn in zip(p[0], pn[0]):
+                dtypes.add(q.dtype.name)
+                assert np.array_equal(np.asarray(q, np.int32), qn)
+        assert 'int16' in dtypes and 'int32' in dtypes
+
     def test_recode_uses_batched_transform(self, tmp_path, monkeypatch):
         # e2e: -J tpu over a 3-page batch goes through the one-dispatch
         # transform (timing key present) and the output still passes the
