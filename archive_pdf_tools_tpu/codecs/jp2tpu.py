@@ -856,10 +856,25 @@ def encode_jp2_tpu(img, ratio=None, base_delta=1.0 / 64, levels=5,
 
 
 def _host_encode(qbands, w, h, ncomp, levels, base_delta, ratio, rgb,
-                 lib, workers, wrap_jp2):
+                 lib, workers, wrap_jp2, shifts=None):
     """Tier-1 + rate allocation + Tier-2 for one image's quantized
     subbands (numpy)."""
     layout = band_layout(levels, base_delta)
+    if shifts is not None:
+        # pack8 rate-adaptive quantization: band b was requantized with
+        # step 2^s * delta_b (exact trunc-shift on device/host), so its
+        # QCD exponent drops by s — a plain standard coarser quantizer,
+        # nothing custom on the decode side
+        adj = []
+        for (orient, level, gain, eps, mu, step), s in zip(layout,
+                                                           shifts):
+            s = int(s)
+            if s and eps - s < 0:
+                raise ValueError('pack8 shift %d exceeds eps %d'
+                                 % (s, eps))
+            adj.append((orient, level, gain, eps - s, mu,
+                        step * (1 << s)))
+        layout = adj
     comp_bands = [[_Band(*m, q) for m, q in zip(layout, qb)]
                   for qb in qbands]
 
@@ -914,6 +929,87 @@ def _device_transform_packed(arr, levels, rgb, base_delta):
     return q32, q16, mx
 
 
+@functools.partial(jax.jit,
+                   static_argnames=('levels', 'rgb', 'base_delta',
+                                    'fine_levels'))
+def _device_transform_packed8(arr, levels, rgb, base_delta,
+                              fine_levels=2):
+    """Rate-adaptive variant of `_device_transform_packed`: the FINE
+    bands (finest `fine_levels` resolutions — ~94% of all
+    coefficients) are requantized ON DEVICE to fit int8 and cross the
+    link at 1 byte/coeff.
+
+    The requantize is an exact trunc-shift: q' = sign(q)*(|q| >> s)
+    equals trunc(x / (2^s * delta)), i.e. the band simply uses the
+    coarser standard quantizer step 2^s*delta (eps_b -= s in the QCD)
+    — the stream stays fully conformant T.800.  The shift s is the
+    smallest making max|q'| <= 127, shared across components so the
+    single QCD stays valid.  Intended for rate-targeted encodes
+    (ratio >= ~200) where PCRD discards those low planes anyway; the
+    win is link bytes AND Tier-1 bit-plane work.  Coarse bands keep
+    full precision (int32; they are <2% of the bytes and carry the
+    structure).  Returns (bands, shifts) where fine bands are int8."""
+    import jax.numpy as jnp
+    q32 = _device_transform(arr, levels, rgb, base_delta)
+    nb = len(q32[0])
+    n_fine = 3 * min(fine_levels, levels)
+    thresholds = 128 << jnp.arange(24, dtype=jnp.int32)  # monotone
+    out = []
+    shifts = []
+    for k in range(nb):
+        m = q32[0][k]
+        mx = jnp.max(jnp.abs(m))
+        for qb in q32[1:]:
+            mx = jnp.maximum(mx, jnp.max(jnp.abs(qb[k])))
+        if k >= nb - n_fine:
+            s = jnp.sum((mx >= thresholds).astype(jnp.int32))
+            shifts.append(s)
+        else:
+            shifts.append(jnp.zeros((), jnp.int32))
+    for qb in q32:
+        comp = []
+        for k, q in enumerate(qb):
+            if k >= nb - n_fine:
+                s = shifts[k]
+                comp.append((jnp.sign(q) *
+                             (jnp.abs(q) >> s)).astype(jnp.int8))
+            else:
+                comp.append(q)
+        out.append(tuple(comp))
+    return tuple(out), jnp.stack(shifts)
+
+
+def _pack8_shifts_np(qbands, n_fine):
+    """Host-side twin of the device shift choice (native-transform
+    path): same maxabs -> same shifts -> identical streams."""
+    nb = len(qbands[0])
+    shifts = np.zeros(nb, np.int32)
+    for k in range(nb - n_fine, nb):
+        mx = max(int(np.abs(qb[k]).max()) if qb[k].size else 0
+                 for qb in qbands)
+        s = 0
+        while (mx >> s) > 127:
+            s += 1
+        shifts[k] = s
+    return shifts
+
+
+def _pack8_apply_np(qbands, shifts, n_fine):
+    nb = len(qbands[0])
+    out = []
+    for qb in qbands:
+        comp = []
+        for k, q in enumerate(qb):
+            if k >= nb - n_fine:
+                s = int(shifts[k])
+                comp.append((np.sign(q) *
+                             (np.abs(q) >> s)).astype(np.int8))
+            else:
+                comp.append(np.asarray(q))
+        out.append(comp)
+    return out
+
+
 def _fetch_device_qbands(q32, q16, mx):
     """Transfer every band at its minimal exact dtype (int16 when
     max|q| <= 32767, else int32).  One small maxabs sync, then one
@@ -936,7 +1032,8 @@ def _transform_shape(imgs):
     return arr, rgb, b, h, w
 
 
-def transform_jp2_batch_async(imgs, base_delta=1.0 / 64, levels=5):
+def transform_jp2_batch_async(imgs, base_delta=1.0 / 64, levels=5,
+                              pack8=False):
     """Stage 1 of a batched encode: DWT/ICT/quantize of a whole uint8
     (B, H, W) or (B, H, W, 3) stack as ONE device dispatch (pages ride
     the leading axis through the lifting steps).  ``imgs`` may be a
@@ -953,8 +1050,10 @@ def transform_jp2_batch_async(imgs, base_delta=1.0 / 64, levels=5):
     ncomp = 3 if rgb else 1
     levels = max(1, min(levels,
                         max(1, int(math.floor(math.log2(min(h, w) / 4))))))
+    n_fine = 3 * min(2, levels) if pack8 else 0
     meta = {'w': w, 'h': h, 'ncomp': ncomp, 'levels': levels,
-            'rgb': rgb, 'base_delta': float(base_delta)}
+            'rgb': rgb, 'base_delta': float(base_delta),
+            'shifts': None}
 
     dev = os.environ.get('APT_JP2_DEVICE')
     native = dev == 'native'
@@ -968,24 +1067,39 @@ def transform_jp2_batch_async(imgs, base_delta=1.0 / 64, levels=5):
     if native:
         host = np.asarray(arr).astype(np.uint8, copy=False)
         qb = _native_transform(host, levels, rgb, float(base_delta))
+        if pack8:
+            shifts = _pack8_shifts_np(qb, n_fine)
+            qb = _pack8_apply_np(qb, shifts, n_fine)
+            meta['shifts'] = shifts.tolist()
         pages = [[[q[i] for q in comp] for comp in qb] for i in range(b)]
         return (lambda i: pages[i]), meta
 
     import jax
     if dev:
         with jax.default_device(jax.local_devices(backend=dev)[0]):
-            packed = _device_transform_packed(arr, levels, rgb,
-                                              float(base_delta))
+            packed = (_device_transform_packed8(arr, levels, rgb,
+                                                float(base_delta))
+                      if pack8 else
+                      _device_transform_packed(arr, levels, rgb,
+                                               float(base_delta)))
     else:
-        packed = _device_transform_packed(arr, levels, rgb,
-                                          float(base_delta))
+        packed = (_device_transform_packed8(arr, levels, rgb,
+                                            float(base_delta))
+                  if pack8 else
+                  _device_transform_packed(arr, levels, rgb,
+                                           float(base_delta)))
 
     state = {'pages': None, 'err': None}
     done = threading.Event()
 
     def _drain():
         try:
-            comps = _fetch_device_qbands(*packed)
+            if pack8:
+                bands, shifts = packed
+                meta['shifts'] = np.asarray(shifts).tolist()
+                comps = [[np.asarray(q) for q in qb] for qb in bands]
+            else:
+                comps = _fetch_device_qbands(*packed)
             state['pages'] = [[[q[i] for q in comp] for comp in comps]
                               for i in range(b)]
         except BaseException as exc:
@@ -1005,12 +1119,13 @@ def transform_jp2_batch_async(imgs, base_delta=1.0 / 64, levels=5):
     return fetch, meta
 
 
-def transform_jp2_batch(imgs, base_delta=1.0 / 64, levels=5):
+def transform_jp2_batch(imgs, base_delta=1.0 / 64, levels=5,
+                        pack8=False):
     """Synchronous wrapper of ``transform_jp2_batch_async``: returns
     (per_page_qbands, meta)."""
     _, _, b, _, _ = _transform_shape(imgs)
     fetch, meta = transform_jp2_batch_async(imgs, base_delta=base_delta,
-                                            levels=levels)
+                                            levels=levels, pack8=pack8)
     return [fetch(i) for i in range(b)], meta
 
 
@@ -1024,16 +1139,17 @@ def encode_jp2_from_qbands(page_qbands, meta, ratio=None, workers=None,
     return _host_encode(page_qbands, meta['w'], meta['h'],
                         meta['ncomp'], meta['levels'],
                         meta['base_delta'], ratio, meta['rgb'], lib,
-                        workers, wrap_jp2)
+                        workers, wrap_jp2,
+                        shifts=meta.get('shifts'))
 
 
 def encode_jp2_tpu_batch(imgs, ratio=None, base_delta=1.0 / 64, levels=5,
-                         workers=None, wrap_jp2=True):
+                         workers=None, wrap_jp2=True, pack8=False):
     """Batched encode: uint8 (B, H, W) or (B, H, W, 3) -> list of .jp2
     byte strings.  One device dispatch for the whole batch's transform,
     then per-page host Tier-1 (see transform_jp2_batch)."""
     pages, meta = transform_jp2_batch(imgs, base_delta=base_delta,
-                                      levels=levels)
+                                      levels=levels, pack8=pack8)
     return [encode_jp2_from_qbands(p, meta, ratio=ratio,
                                    workers=workers, wrap_jp2=wrap_jp2)
             for p in pages]

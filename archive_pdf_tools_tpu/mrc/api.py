@@ -73,7 +73,16 @@ def decompose_masks(np_images, word_datas, dpi=None, downsample=None,
     containing tall-line host patches) fall back to single-device.
     """
     td = TimingData(timing_data)
-    imgs = np.stack(np_images)
+    # pages may arrive pre-uploaded (jax arrays from the pipeline's
+    # loader thread: the host->device transfer then overlapped the
+    # previous batch's encode work); stack them on device
+    on_device = any(isinstance(im, jax.Array) for im in np_images)
+    if on_device and mesh is not None:
+        # mesh placement happens below via shard_pages on host arrays
+        np_images = [np.asarray(im) for im in np_images]
+        on_device = False
+    imgs = (jnp.stack(np_images) if on_device
+            else np.stack(np_images))
     rgb = imgs.ndim == 4
     h, w = imgs.shape[1], imgs.shape[2]
     window = sauvola_window(dpi)

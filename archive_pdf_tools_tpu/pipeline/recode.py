@@ -463,10 +463,14 @@ def insert_images_mrc(builder, hocr_file, in_pdf=None, image_files=None,
         timing_data.append(('page_image_insertion', time() - t))
 
     # group jobs into batches of equal image shape/mode/dpi-window
-    def process_batch(batch_jobs, batch_images):
+    def process_batch(batch_jobs, batch_images, batch_devs=None):
         nonlocal reporting_page_count, last_time, timing_data
         mode = batch_images[0].mode
         arrs = [np.asarray(im) for im in batch_images]
+        devs = None
+        if batch_devs is not None and mode != '1' \
+                and all(d is not None for d in batch_devs):
+            devs = batch_devs
 
         if mode == '1':
             # bitonal source: mask-only page (``recode.py:376-396``)
@@ -489,7 +493,8 @@ def insert_images_mrc(builder, hocr_file, in_pdf=None, image_files=None,
 
         dpi0 = batch_jobs[0].dpi
         mask_dev, dev_imgs = decompose_masks(
-            arrs, [j.word_data for j in batch_jobs], dpi=dpi0,
+            devs if devs is not None else arrs,
+            [j.word_data for j in batch_jobs], dpi=dpi0,
             downsample=downsample, denoise_mask=denoise_mask,
             exact_denoise=exact_denoise,
             timing_data=timing_data, errors=errors, mesh=mesh)
@@ -565,12 +570,25 @@ def insert_images_mrc(builder, hocr_file, in_pdf=None, image_files=None,
                     idx = jnp.asarray(np.array(plain, np.int32))
                     fstack = jnp.take(fg_np, idx, axis=0)
                     bstack = jnp.take(bg_np, idx, axis=0)
+                # rate-adaptive int8 fine bands: at ratio >= 200 the
+                # PCRD truncation discards the low planes anyway, so
+                # requantizing them on device (exact coarser standard
+                # step) halves the coefficient readback AND the
+                # Tier-1 plane work.  APT_JP2_PACK8=0/1 forces.
+                def _pack8(kw):
+                    env = os.environ.get('APT_JP2_PACK8')
+                    if env is not None:
+                        return env != '0'
+                    r = kw.get('ratio')
+                    return bool(r) and float(r) >= 200
                 ffetch, fmeta = transform_jp2_batch_async(
                     fstack, base_delta=fkw.get('delta', 1.0 / 64),
-                    levels=int(fkw.get('levels', 5)))
+                    levels=int(fkw.get('levels', 5)),
+                    pack8=_pack8(fkw))
                 bfetch, bmeta = transform_jp2_batch_async(
                     bstack, base_delta=bkw.get('delta', 1.0 / 64),
-                    levels=int(bkw.get('levels', 5)))
+                    levels=int(bkw.get('levels', 5)),
+                    pack8=_pack8(bkw))
                 fg_qb = {i: ((lambda k=k, f=ffetch: f(k)), fmeta)
                          for k, i in enumerate(plain)}
                 bg_qb = {i: ((lambda k=k, f=bfetch: f(k)), bmeta)
@@ -603,8 +621,18 @@ def insert_images_mrc(builder, hocr_file, in_pdf=None, image_files=None,
     batch_queue = queue.Queue(maxsize=2)
     load_error = []
 
+    # pre-upload decoded pages from the loader thread so the
+    # host->device transfer of batch k+1 overlaps batch k's encode
+    # work (and, for the first batch, pass 1 / warm-up).  Off with a
+    # mesh (shard placement happens inside decompose_masks), for
+    # bitonal pages, and for grayscale conversion (host-side first).
+    preload_dev = mesh is None and not grayscale_pdf \
+        and not force_1bit_output \
+        and os.environ.get('APT_PRELOAD_DEV', '1') != '0'
+
     def loader():
-        batch_jobs, batch_images, batch_key = [], [], None
+        batch_jobs, batch_images, batch_devs, batch_key = \
+            [], [], [], None
         try:
             for job in jobs:
                 image = _load_page_image(
@@ -620,13 +648,23 @@ def insert_images_mrc(builder, hocr_file, in_pdf=None, image_files=None,
                 if batch_key is not None and (key != batch_key
                                               or len(batch_jobs)
                                               >= batch_pages):
-                    batch_queue.put((batch_jobs, batch_images))
-                    batch_jobs, batch_images = [], []
+                    batch_queue.put((batch_jobs, batch_images,
+                                     batch_devs))
+                    batch_jobs, batch_images, batch_devs = [], [], []
                 batch_key = key
                 batch_jobs.append(job)
                 batch_images.append(image)
+                if preload_dev and image.mode != '1':
+                    try:
+                        import jax
+                        batch_devs.append(
+                            jax.device_put(np.asarray(image)))
+                    except Exception:
+                        batch_devs.append(None)
+                else:
+                    batch_devs.append(None)
             if batch_jobs:
-                batch_queue.put((batch_jobs, batch_images))
+                batch_queue.put((batch_jobs, batch_images, batch_devs))
         except BaseException as exc:  # surfaced in the consumer
             load_error.append(exc)
         finally:
@@ -640,8 +678,8 @@ def insert_images_mrc(builder, hocr_file, in_pdf=None, image_files=None,
         item = batch_queue.get()
         if item is None:
             break
-        batch_jobs, batch_images = item
-        process_batch(batch_jobs, batch_images)
+        batch_jobs, batch_images, batch_devs = item
+        process_batch(batch_jobs, batch_images, batch_devs)
         processed += len(batch_jobs)
         reporting_page_count += len(batch_jobs)
         if report_every is not None and reporting_page_count >= report_every:

@@ -213,6 +213,51 @@ class TestBatchedPipelineWiring:
                 assert np.array_equal(np.asarray(q, np.int32), qn)
         assert 'int16' in dtypes and 'int32' in dtypes
 
+    def test_pack8_stream_valid_and_close(self, monkeypatch):
+        # rate-adaptive int8 fine bands: the stream must stay fully
+        # conformant (strict packet walk + Pillow decode) and land
+        # within a fraction of a dB of the full-precision encode at
+        # the same rate target (PCRD discards those planes anyway)
+        import io
+        from PIL import Image
+        from archive_pdf_tools_tpu.validators.jp2_check import \
+            validate_jp2
+        monkeypatch.setenv('APT_JP2_DEVICE', 'native')
+        rng = np.random.default_rng(13)
+        img = np.clip(np.full((256, 192), 225.0)
+                      + rng.normal(0, 10, (256, 192)), 0, 255) \
+            .astype(np.uint8)
+        img[40:44, 10:180] = 30
+        img[90:94, 10:180] = 30
+        base = J.encode_jp2_tpu_batch(img[None], ratio=300)[0]
+        packed = J.encode_jp2_tpu_batch(img[None], ratio=300,
+                                        pack8=True)[0]
+        facts = validate_jp2(packed)
+        assert facts['packet_walk']
+        d0 = np.asarray(Image.open(io.BytesIO(base)).convert('L'),
+                        np.float64)
+        d1 = np.asarray(Image.open(io.BytesIO(packed)).convert('L'),
+                        np.float64)
+
+        def psnr(a):
+            mse = np.mean((a - img.astype(np.float64)) ** 2)
+            return 10 * np.log10(255.0 ** 2 / max(mse, 1e-12))
+
+        assert abs(psnr(d0) - psnr(d1)) < 0.5, (psnr(d0), psnr(d1))
+        # both hit the rate target
+        assert len(packed) <= len(base) * 1.1
+
+    def test_pack8_device_matches_native(self, monkeypatch):
+        rng = np.random.default_rng(14)
+        imgs = np.clip(np.full((2, 128, 96), 230.0)
+                       + rng.normal(0, 9, (2, 128, 96)), 0,
+                       255).astype(np.uint8)
+        monkeypatch.setenv('APT_JP2_DEVICE', 'native')
+        nat = J.encode_jp2_tpu_batch(imgs, ratio=250, pack8=True)
+        monkeypatch.setenv('APT_JP2_DEVICE', 'cpu')
+        dev = J.encode_jp2_tpu_batch(imgs, ratio=250, pack8=True)
+        assert nat == dev
+
     def test_recode_uses_batched_transform(self, tmp_path, monkeypatch):
         # e2e: -J tpu over a 3-page batch goes through the one-dispatch
         # transform (timing key present) and the output still passes the

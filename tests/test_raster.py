@@ -391,6 +391,140 @@ class TestInlineImagesAndShadings:
         assert page_colour_mode(r, 0) == 'RGB'
 
 
+class TestMeshShadings(TestInlineImagesAndShadings):
+    @staticmethod
+    def _bits(values):
+        """Pack (value, nbits) pairs MSB-first into bytes."""
+        out = bytearray()
+        acc = 0
+        nb = 0
+        for v, n in values:
+            acc = (acc << n) | (v & ((1 << n) - 1))
+            nb += n
+            while nb >= 8:
+                nb -= 8
+                out.append((acc >> nb) & 0xFF)
+        if nb:
+            out.append((acc << (8 - nb)) & 0xFF)
+        return bytes(out)
+
+    def _mesh_doc(self, shading_dict, payload, fn_stream=None):
+        from archive_pdf_tools_tpu.pdf.writer import (PdfWriter, Name,
+                                                      Stream)
+        wr = PdfWriter()
+        cat = wr.reserve()
+        pages = wr.reserve()
+        if fn_stream is not None:
+            shading_dict[Name('Function')] = wr.add(fn_stream)
+        sref = wr.add(Stream(shading_dict, payload))
+        cref = wr.add(Stream({}, b'/Sh0 sh'))
+        page = wr.add({Name('Type'): Name('Page'),
+                       Name('Parent'): pages,
+                       Name('MediaBox'): [0, 0, 200, 150],
+                       Name('Contents'): cref,
+                       Name('Resources'): {
+                           Name('Shading'): {Name('Sh0'): sref}}})
+        wr.set(pages, {Name('Type'): Name('Pages'),
+                       Name('Kids'): [page], Name('Count'): 1})
+        wr.set(cat, {Name('Type'): Name('Catalog'),
+                     Name('Pages'): pages})
+        buf = io.BytesIO()
+        wr.save(buf, cat, None, b'0123456789abcdef')
+        return PdfReader(buf.getvalue())
+
+    def test_freeform_triangle_gouraud(self):
+        from archive_pdf_tools_tpu.pdf.writer import Name
+        # bpc=16 coords in Decode [0,200]/[0,150]; bpcomp=8 rgb
+        def vx(flag, x, y, rgb):
+            return [(flag, 8),
+                    (int(x / 200 * 65535), 16),
+                    (int(y / 150 * 65535), 16)] + \
+                   [(c, 8) for c in rgb]
+        payload = self._bits(
+            vx(0, 10, 10, (255, 0, 0)) + vx(0, 190, 10, (0, 255, 0))
+            + vx(0, 100, 140, (0, 0, 255)))
+        sh = {Name('ShadingType'): 4,
+              Name('ColorSpace'): Name('DeviceRGB'),
+              Name('BitsPerCoordinate'): 16,
+              Name('BitsPerComponent'): 8,
+              Name('BitsPerFlag'): 8,
+              Name('Decode'): [0, 200, 0, 150, 0, 1, 0, 1, 0, 1]}
+        r = self._mesh_doc(sh, payload)
+        a = Rasterizer(r).render_page(0)
+        # near the red vertex (user 20,15 -> row 150-15)
+        p = a[150 - 15, 22]
+        assert p[0] > 150 and p[2] < 110, p
+        # near the blue vertex
+        p = a[150 - 130, 100]
+        assert p[2] > 150 and p[0] < 110, p
+        # outside the triangle stays white
+        assert a[150 - 140, 5, 0] > 240
+
+    def test_lattice_with_sampled_function(self):
+        from archive_pdf_tools_tpu.pdf.writer import Name, Stream
+        # 2x2 lattice, single parametric value per vertex mapped
+        # through a FunctionType 0 sampled ramp red->blue
+        def vx(x, y, t):
+            return [(int(x / 200 * 65535), 16),
+                    (int(y / 150 * 65535), 16), (t, 8)]
+        payload = self._bits(
+            vx(0, 0, 0) + vx(200, 0, 255)
+            + vx(0, 150, 0) + vx(200, 150, 255))
+        fn = Stream({Name('FunctionType'): 0,
+                     Name('Domain'): [0, 1],
+                     Name('Range'): [0, 1, 0, 1, 0, 1],
+                     Name('Size'): [2],
+                     Name('BitsPerSample'): 8},
+                    bytes([255, 0, 0, 0, 0, 255]))
+        sh = {Name('ShadingType'): 5,
+              Name('ColorSpace'): Name('DeviceRGB'),
+              Name('BitsPerCoordinate'): 16,
+              Name('BitsPerComponent'): 8,
+              Name('VerticesPerRow'): 2,
+              Name('Decode'): [0, 200, 0, 150, 0, 1]}
+        r = self._mesh_doc(sh, payload, fn_stream=fn)
+        a = Rasterizer(r).render_page(0)
+        assert a[75, 4, 0] > 180 and a[75, 4, 2] < 80     # left red
+        assert a[75, 195, 2] > 180 and a[75, 195, 0] < 80  # right blue
+
+    def test_coons_patch_corner_colours(self):
+        from archive_pdf_tools_tpu.pdf.writer import Name
+        # one square patch, straight edges, distinct corner colours
+        corners = [(0, 0), (200, 0), (200, 150), (0, 150)]
+
+        def third(p, q, k):
+            return (p[0] + (q[0] - p[0]) * k / 3.0,
+                    p[1] + (q[1] - p[1]) * k / 3.0)
+        p = [corners[0], third(corners[0], corners[1], 1),
+             third(corners[0], corners[1], 2), corners[1],
+             third(corners[1], corners[2], 1),
+             third(corners[1], corners[2], 2), corners[2],
+             third(corners[2], corners[3], 1),
+             third(corners[2], corners[3], 2), corners[3],
+             third(corners[3], corners[0], 1),
+             third(corners[3], corners[0], 2)]
+        cols = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 0)]
+        vals = [(0, 8)]
+        for (x, y) in p:
+            vals += [(int(x / 200 * 65535), 16),
+                     (int(y / 150 * 65535), 16)]
+        for c in cols:
+            vals += [(ch, 8) for ch in c]
+        sh = {Name('ShadingType'): 6,
+              Name('ColorSpace'): Name('DeviceRGB'),
+              Name('BitsPerCoordinate'): 16,
+              Name('BitsPerComponent'): 8,
+              Name('BitsPerFlag'): 8,
+              Name('Decode'): [0, 200, 0, 150, 0, 1, 0, 1, 0, 1]}
+        r = self._mesh_doc(sh, self._bits(vals))
+        a = Rasterizer(r).render_page(0)
+        assert a[150 - 6, 6, 0] > 170                 # c1 red @ p1
+        assert a[150 - 6, 193, 1] > 170               # c2 green @ p4
+        assert a[150 - 144, 193, 2] > 170             # c3 blue @ p7
+        p4c = a[150 - 144, 6]
+        assert p4c[0] > 170 and p4c[1] > 170          # c4 yellow @ p10
+
+
 class TestFormXObjectImages:
     def test_metadata_sees_form_wrapped_image(self, tmp_path):
         # a scan image drawn only inside a Form XObject must still be
