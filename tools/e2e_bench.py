@@ -54,6 +54,7 @@ def make_book(tmp, n_pages=8, w=2550, h=3300, dpi=400):
 def main():
     impl = sys.argv[1] if len(sys.argv) > 1 else 'pillow'
     sym = sys.argv[2] if len(sys.argv) > 2 else 'off'
+    n_warm = int(os.environ.get('E2E_WARM_RUNS', '2'))
     from archive_pdf_tools_tpu.pipeline.recode import recode
 
     tmp = tempfile.mkdtemp(prefix='e2e_bench_')
@@ -64,7 +65,7 @@ def main():
                         'quality_mode:"rates";quality_layers:[750]'),
              'tpu': ('ratio:500', 'ratio:750')}[impl]
 
-    def run(tag):
+    def run(tag, verbose):
         t0 = time.time()
         res = recode(
             from_imagestack=glob_pat, hocr_file=hocr_path,
@@ -75,14 +76,20 @@ def main():
             fg_compression_flags=flags[1].split(' '),
             jbig2_symbol_mode={'off': False, 'on': True, 'auto': 'auto',
                                'lossy': 'lossy', 'refine': 'refine'}[sym],
-            verbose=False)
+            verbose=verbose)
         dt = time.time() - t0
         print('%s: %.1fs total, %.2f s/page, ratio %.1f'
               % (tag, dt, dt / 8.0, res.get('compression_ratio', -1)),
               flush=True)
+        return dt / 8.0
 
-    run('cold')
-    run('warm')
+    # multiple warm runs: the box's tunnel throughput drifts on
+    # ~10-minute scales, so report each warm run plus the best
+    run('cold', False)
+    warms = [run('warm%d' % (i + 1), True) for i in range(n_warm)]
+    print('best warm: %.2f s/page over %d runs' % (min(warms),
+                                                   len(warms)),
+          flush=True)
 
 
 if __name__ == '__main__':
