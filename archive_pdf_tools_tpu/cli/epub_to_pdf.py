@@ -114,6 +114,41 @@ def _parse_inline_style(s):
     return out
 
 
+def _strip_at_rules(css):
+    """Unwrap conditional-group at-rules (@media/@supports) so their
+    nested rules parse like top-level ones, and drop all other at-rules
+    (@import;  @font-face/@page/@keyframes blocks).  Brace-aware scan —
+    the rule-extraction regex below cannot see through nesting."""
+    out = []
+    i, n = 0, len(css)
+    while i < n:
+        if css[i] != '@':
+            out.append(css[i])
+            i += 1
+            continue
+        j = i
+        while j < n and css[j] not in '{;':
+            j += 1
+        if j >= n:
+            break
+        if css[j] == ';':          # statement at-rule (@import ...)
+            i = j + 1
+            continue
+        depth, k = 1, j + 1        # block at-rule: find matching brace
+        while k < n and depth:
+            if css[k] == '{':
+                depth += 1
+            elif css[k] == '}':
+                depth -= 1
+            k += 1
+        head = css[i + 1:j].strip()
+        name = head.split('(')[0].split()[0].lower() if head else ''
+        if name in ('media', 'supports'):
+            out.append(_strip_at_rules(css[j + 1:k - 1]))
+        i = k
+    return ''.join(out)
+
+
 def _parse_doc_css(root):
     """Minimal CSS subset from <style> blocks: single simple selectors
     (#id, .class, tag) -> property dict.  Fixed-layout generators
@@ -124,6 +159,7 @@ def _parse_doc_css(root):
                 (etree.QName(st).localname or '') == 'style':
             css = ' '.join(st.itertext())
             css = re.sub(r'/\*.*?\*/', ' ', css, flags=re.S)
+            css = _strip_at_rules(css)
             for m in re.finditer(r'([^{}]+)\{([^}]*)\}', css):
                 decls = _parse_inline_style(m.group(2))
                 for sel in m.group(1).split(','):
@@ -471,7 +507,11 @@ def main(argv=None):
 
         items = []
 
-        def walk(el, positioned_ancestor):
+        def walk(el, ox, oy, text_done):
+            # (ox, oy): accumulated offset of positioned ancestors, so
+            # an image inside <div style="position:absolute;left:..">
+            # paints at the container's coordinates, not the origin.
+            # text_done: an ancestor already emitted this subtree's text.
             nonlocal title
             if not isinstance(el.tag, str):
                 return
@@ -489,25 +529,25 @@ def main(argv=None):
                     eh = _css_len(style.get('height')) or \
                         _css_len(el.get('height')) or float(hpx)
                     items.append(('img', ref,
-                                  _css_len(style.get('left'), 0.0),
-                                  _css_len(style.get('top'), 0.0),
+                                  ox + _css_len(style.get('left'), 0.0),
+                                  oy + _css_len(style.get('top'), 0.0),
                                   ew, eh))
                 return
-            here_positioned = style.get('position') in ('absolute',
-                                                        'fixed')
-            if here_positioned and not positioned_ancestor:
-                text = re.sub(r'\s+', ' ',
-                              ' '.join(el.itertext())).strip()
-                if text:
-                    items.append((
-                        'text', text,
-                        _css_len(style.get('left'), 0.0),
-                        _css_len(style.get('top'), 0.0),
-                        _css_len(style.get('font-size')) or 16.0))
+            if style.get('position') in ('absolute', 'fixed'):
+                ox = ox + _css_len(style.get('left'), 0.0)
+                oy = oy + _css_len(style.get('top'), 0.0)
+                if not text_done:
+                    text = re.sub(r'\s+', ' ',
+                                  ' '.join(el.itertext())).strip()
+                    if text:
+                        items.append((
+                            'text', text, ox, oy,
+                            _css_len(style.get('font-size')) or 16.0))
+                    text_done = True
             for ch in el:
-                walk(ch, positioned_ancestor or here_positioned)
+                walk(ch, ox, oy, text_done)
 
-        walk(root, False)
+        walk(root, 0.0, 0.0, False)
 
         if vp:
             page_w, page_h = vp[0] * _PX_TO_PT, vp[1] * _PX_TO_PT

@@ -38,12 +38,16 @@ import numpy as np
 # perf attribution — the rescue rounds are the content-dependent part
 # of the encode cost and invisible to stage-level timing.
 T1_STATS = {}
+_T1_STATS_LOCK = threading.Lock()
 
 
 def _stat(key, dt=0.0, n=0):
+    # Pages encode concurrently on the pipeline's thread pool; the
+    # read-modify-write must be atomic or counter updates are lost.
     if os.environ.get('APT_T1_STATS'):
-        t, c = T1_STATS.get(key, (0.0, 0))
-        T1_STATS[key] = (t + dt, c + n)
+        with _T1_STATS_LOCK:
+            t, c = T1_STATS.get(key, (0.0, 0))
+            T1_STATS[key] = (t + dt, c + n)
 
 
 # --- CDF 9/7 lifting constants (ITU-T T.800 Annex F) ---

@@ -1399,15 +1399,18 @@ class Rasterizer:
 
         bits = np.unpackbits(np.frombuffer(data, np.uint8))
         pos = [0]
+        # widths are spec-capped at 32 (BitsPerCoordinate), so an int64
+        # weight dot is exact; the old per-bit Python loop cost ~nbits
+        # interpreter ops per field
+        _pow2 = (np.int64(1) << np.arange(31, -1, -1)).astype(np.int64)
 
         def take(nbits):
-            if pos[0] + nbits > len(bits):
+            j = pos[0]
+            if j + nbits > len(bits):
                 raise IndexError('mesh stream exhausted')
-            v = 0
-            for bb in bits[pos[0]:pos[0] + nbits]:
-                v = (v << 1) | int(bb)
-            pos[0] += nbits
-            return v
+            pos[0] = j + nbits
+            return int(bits[j:j + nbits].astype(np.int64)
+                       @ _pow2[32 - nbits:])
 
         def dmap(v, nbits, lo, hi):
             return lo + (hi - lo) * (v / float((1 << nbits) - 1))
@@ -1420,21 +1423,68 @@ class Rasterizer:
                         dec[5 + 2 * k]) for k in range(ncol)]
             return flag, (x, y), col
 
+        def bulk_vertices(flagged):
+            """Decode every vertex record at once when all field widths
+            are byte-aligned (the 8/16/32-bit defaults): a 1e5-vertex
+            lattice through the bit-level path is minutes of single-core
+            Python; fixed-width byte slicing is milliseconds.  Returns
+            (flags|None, P[n,2], C[n,ncol]) or None for odd widths."""
+            if bpc % 8 or bpcomp % 8 or (flagged and bpf % 8):
+                return None
+            rb = ((bpf if flagged else 0) + 2 * bpc + ncol * bpcomp) // 8
+            n = len(data) // rb
+            if not n:
+                return None
+            buf = np.frombuffer(data, np.uint8,
+                                count=n * rb).reshape(n, rb)
+            off = [0]
+
+            def field(width):
+                v = np.zeros(n, np.int64)
+                for b in range(width // 8):
+                    v = (v << 8) | buf[:, off[0] + b].astype(np.int64)
+                off[0] += width // 8
+                return v
+
+            flags = field(bpf) if flagged else None
+            x = dmap(field(bpc), bpc, dec[0], dec[1])
+            y = dmap(field(bpc), bpc, dec[2], dec[3])
+            cols = np.stack(
+                [dmap(field(bpcomp), bpcomp, dec[4 + 2 * k],
+                      dec[5 + 2 * k]) for k in range(ncol)], axis=1) \
+                if ncol else np.zeros((n, 0))
+            return flags, np.stack([x, y], axis=1), cols
+
         tris = []      # ((p0, p1, p2), (c0, c1, c2)) user-space
         try:
             if stype == 4:
+                bulk = bulk_vertices(True)
+                if bulk is not None:
+                    flags, P, C = bulk
+                    verts = [(tuple(P[i]), list(C[i]))
+                             for i in range(len(P))]
+                else:
+                    flags, verts = [], []
+                    while pos[0] + bpf + 2 * bpc + ncol * bpcomp \
+                            <= len(bits):
+                        flag, p, c = read_vertex(True)
+                        flags.append(flag)
+                        verts.append((p, c))
                 va = vb = vc = None
-                while pos[0] + bpf + 2 * bpc + ncol * bpcomp \
-                        <= len(bits):
-                    flag, p, c = read_vertex(True)
+                i = 0
+                while i < len(verts):
+                    flag = int(flags[i])
                     if flag == 0:
-                        _f1, p1, c1 = read_vertex(True)
-                        _f2, p2, c2 = read_vertex(True)
-                        va, vb, vc = (p, c), (p1, c1), (p2, c2)
+                        if i + 2 >= len(verts):
+                            break
+                        va, vb, vc = verts[i], verts[i + 1], verts[i + 2]
+                        i += 3
                     elif flag == 1 and vc is not None:
-                        va, vb, vc = vb, vc, (p, c)
+                        va, vb, vc = vb, vc, verts[i]
+                        i += 1
                     elif flag == 2 and vc is not None:
-                        va, vb, vc = va, vc, (p, c)
+                        va, vb, vc = va, vc, verts[i]
+                        i += 1
                     else:
                         break
                     tris.append(((va[0], vb[0], vc[0]),
@@ -1443,11 +1493,19 @@ class Rasterizer:
                 vpr = int(r.resolve(d.get('VerticesPerRow') or 0))
                 if vpr < 2:
                     return False
-                rows = []
-                while pos[0] + 2 * bpc + ncol * bpcomp <= len(bits):
-                    row = [read_vertex(False)[1:]
-                           for _ in range(vpr)]
-                    rows.append(row)
+                bulk = bulk_vertices(False)
+                if bulk is not None:
+                    _f, P, C = bulk
+                    rows = [[(tuple(P[r * vpr + j]),
+                              list(C[r * vpr + j]))
+                             for j in range(vpr)]
+                            for r in range(len(P) // vpr)]
+                else:
+                    rows = []
+                    while pos[0] + 2 * bpc + ncol * bpcomp <= len(bits):
+                        row = [read_vertex(False)[1:]
+                               for _ in range(vpr)]
+                        rows.append(row)
                 for i in range(len(rows) - 1):
                     for j in range(vpr - 1):
                         p00, c00 = rows[i][j]

@@ -466,11 +466,15 @@ def insert_images_mrc(builder, hocr_file, in_pdf=None, image_files=None,
     def process_batch(batch_jobs, batch_images, batch_devs=None):
         nonlocal reporting_page_count, last_time, timing_data
         mode = batch_images[0].mode
-        arrs = [np.asarray(im) for im in batch_images]
         devs = None
         if batch_devs is not None and mode != '1' \
                 and all(d is not None for d in batch_devs):
             devs = batch_devs
+        # host copies only when actually consumed: on the preloaded-
+        # device path every branch below reads the device arrays, and
+        # the loader already paid the one np.asarray per page
+        arrs = None if devs is not None \
+            else [np.asarray(im) for im in batch_images]
 
         if mode == '1':
             # bitonal source: mask-only page (``recode.py:376-396``)

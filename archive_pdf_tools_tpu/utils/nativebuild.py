@@ -49,17 +49,23 @@ def ensure_so(so_path, srcs, flag_sets):
                     return so_path
                 tmp = '%s.tmp.%d' % (so_path, os.getpid())
                 last = None
-                for flags in flag_sets:
-                    try:
-                        subprocess.check_call(
-                            ['g++'] + list(flags) + ['-shared', '-o', tmp]
-                            + list(srcs))
-                        break
-                    except subprocess.CalledProcessError as exc:
-                        last = exc
-                else:
-                    raise last
-                os.replace(tmp, so_path)
+                try:
+                    for flags in flag_sets:
+                        try:
+                            subprocess.check_call(
+                                ['g++'] + list(flags)
+                                + ['-shared', '-o', tmp] + list(srcs))
+                            break
+                        except subprocess.CalledProcessError as exc:
+                            last = exc
+                    else:
+                        raise last if last is not None else \
+                            RuntimeError('ensure_so: empty flag_sets for %s'
+                                         % so_path)
+                    os.replace(tmp, so_path)
+                finally:
+                    if os.path.exists(tmp):   # failed build leftovers
+                        os.unlink(tmp)
             finally:
                 fcntl.flock(lk, fcntl.LOCK_UN)
     return so_path

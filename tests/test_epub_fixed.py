@@ -89,6 +89,51 @@ def test_itemref_override(tmp_path):
     assert r.page_size(0) == (300.0, 450.0)
 
 
+def test_container_positioned_image_and_media_css(tmp_path):
+    # The InDesign/comic-generator shape: the image has no position of
+    # its own, an absolutely-positioned ancestor carries the offset —
+    # and the rules live inside an @media block.
+    epub = str(tmp_path / 'c.epub')
+    with zipfile.ZipFile(epub, 'w') as zf:
+        zf.writestr('mimetype', 'application/epub+zip')
+        zf.writestr('META-INF/container.xml', CONTAINER)
+        zf.writestr('content.opf', '''<?xml version="1.0"?>
+<package xmlns="http://www.idpf.org/2007/opf" version="3.0">
+ <metadata xmlns:dc="http://purl.org/dc/elements/1.1/">
+  <dc:title>Panels</dc:title>
+  <meta property="rendition:layout">pre-paginated</meta></metadata>
+ <manifest><item id="c1" href="p1.xhtml"
+   media-type="application/xhtml+xml"/>
+  <item id="i1" href="art.jpg" media-type="image/jpeg"/></manifest>
+ <spine><itemref idref="c1"/></spine></package>''')
+        zf.writestr('p1.xhtml', '''<?xml version="1.0"?>
+<html xmlns="http://www.w3.org/1999/xhtml"><head>
+ <meta name="viewport" content="width=400, height=600"/>
+ <style>@import url(other.css);
+   @media screen {
+     .panel { position: absolute; left: 100px; top: 200px; }
+     .inner { position: absolute; left: 20px; top: 10px;
+              font-size: 20px; }
+   }
+   @font-face { font-family: X; src: url(x.otf); }</style></head>
+<body>
+ <div class="panel">
+   <img src="art.jpg" style="width:200px;height:300px"/>
+   <div class="inner">NESTED</div>
+ </div>
+</body></html>''')
+        zf.writestr('art.jpg', _jpeg_bytes())
+    out = str(tmp_path / 'out.pdf')
+    assert main([epub, out]) == 0
+    r = PdfReader(out)
+    content = r.page_contents(0)
+    # image: 200x300 px at container (100, 200)
+    # -> cm [150 0 0 225 75 450-(500*0.75)=75]
+    assert b'150 0 0 225 75 75 cm' in content
+    # outer positioned div emits the subtree text at (100, 200)
+    assert b'(NESTED) Tj' in content
+    assert b'75 288 Td (NESTED)' in content  # 100px->75; 600-200-...
+
 def test_reflow_unchanged(tmp_path):
     # without the pre-paginated declaration the book still re-flows
     # (letter pages, image scaled into the column)

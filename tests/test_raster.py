@@ -460,6 +460,32 @@ class TestMeshShadings(TestInlineImagesAndShadings):
         # outside the triangle stays white
         assert a[150 - 140, 5, 0] > 240
 
+    def test_freeform_odd_bitwidth(self):
+        from archive_pdf_tools_tpu.pdf.writer import Name
+        # bpc=12 is NOT byte-aligned: exercises the bit-level take()
+        # fallback (the bulk record decoder handles only 8/16/32)
+        def vx(flag, x, y, rgb):
+            return [(flag, 8),
+                    (int(x / 200 * 4095), 12),
+                    (int(y / 150 * 4095), 12)] + \
+                   [(c, 8) for c in rgb]
+        payload = self._bits(
+            vx(0, 10, 10, (255, 0, 0)) + vx(0, 190, 10, (0, 255, 0))
+            + vx(0, 100, 140, (0, 0, 255)))
+        sh = {Name('ShadingType'): 4,
+              Name('ColorSpace'): Name('DeviceRGB'),
+              Name('BitsPerCoordinate'): 12,
+              Name('BitsPerComponent'): 8,
+              Name('BitsPerFlag'): 8,
+              Name('Decode'): [0, 200, 0, 150, 0, 1, 0, 1, 0, 1]}
+        r = self._mesh_doc(sh, payload)
+        a = Rasterizer(r).render_page(0)
+        p = a[150 - 15, 22]
+        assert p[0] > 150 and p[2] < 110, p
+        p = a[150 - 130, 100]
+        assert p[2] > 150 and p[0] < 110, p
+        assert a[150 - 140, 5, 0] > 240
+
     def test_lattice_with_sampled_function(self):
         from archive_pdf_tools_tpu.pdf.writer import Name, Stream
         # 2x2 lattice, single parametric value per vertex mapped
