@@ -28,11 +28,16 @@ need:
   * Form XObjects (Matrix + BBox clip, recursive), inline images
     (BI/ID/EI), axial/radial shadings with Type 0/2/3 functions,
     Gouraud mesh shadings (types 4/5 exact triangles, 6/7 Coons/
-    tensor patches tessellated on a parameter grid).
+    tensor patches tessellated on a parameter grid);
+  * ExtGState: constant alpha (ca/CA), the full blend-mode table
+    (separable + non-separable, ISO 32000-1 11.3.5), transfer
+    functions (TR/TR2) applied to source device values at paint time,
+    and soft-mask groups (/SMask luminosity and alpha subtypes,
+    rendered to a device-space alpha at gs-set time).
 
-Deliberately out of scope: halftones/transfer functions, blend modes
-(unknown shading/function forms still paint 50% gray, colour-mode
-conservative)."""
+Deliberately out of scope: halftone screens (/HT — identity, as in
+any continuous-tone preview renderer; unknown shading/function forms
+still paint 50% gray, colour-mode conservative)."""
 
 import io
 import re
@@ -70,6 +75,79 @@ def _mat_inv(m):
     return (ia, ib, ic, id_, ie, if_)
 
 
+def _lum(c):
+    return 0.3 * c[..., 0] + 0.59 * c[..., 1] + 0.11 * c[..., 2]
+
+
+def _clip_color(c):
+    l = _lum(c)[..., None]
+    mn = c.min(-1, keepdims=True)
+    mx = c.max(-1, keepdims=True)
+    c = np.where(mn < 0, l + (c - l) * l / np.maximum(l - mn, 1e-9), c)
+    c = np.where(mx > 1,
+                 l + (c - l) * (1 - l) / np.maximum(mx - l, 1e-9), c)
+    return c
+
+
+def _set_lum(c, l):
+    return _clip_color(c + (l - _lum(c))[..., None])
+
+
+def _set_sat(c, s):
+    mn = c.min(-1, keepdims=True)
+    mx = c.max(-1, keepdims=True)
+    out = (c - mn) * s[..., None] / np.maximum(mx - mn, 1e-9)
+    return np.where(mx > mn, out, 0.0)
+
+
+def _blend_arr(cb, cs, mode):
+    """B(backdrop, source) on float arrays in [0,1] — the full ISO
+    32000-1 11.3.5 table (separable 136 + non-separable 137).  Unknown
+    modes render as Normal, as the spec requires."""
+    if mode == 'Multiply':
+        return cb * cs
+    if mode == 'Screen':
+        return cb + cs - cb * cs
+    if mode == 'Overlay':
+        return _blend_arr(cs, cb, 'HardLight')
+    if mode == 'Darken':
+        return np.minimum(cb, cs)
+    if mode == 'Lighten':
+        return np.maximum(cb, cs)
+    if mode == 'ColorDodge':
+        return np.where(cs >= 1, 1.0,
+                        np.minimum(1.0, cb / np.maximum(1 - cs, 1e-9)))
+    if mode == 'ColorBurn':
+        return np.where(cs <= 0, 0.0,
+                        1 - np.minimum(1.0,
+                                       (1 - cb) / np.maximum(cs, 1e-9)))
+    if mode == 'HardLight':
+        d = 2 * cs - 1
+        return np.where(cs <= 0.5, cb * 2 * cs, cb + d - cb * d)
+    if mode == 'SoftLight':
+        d = np.where(cb <= 0.25, ((16 * cb - 12) * cb + 4) * cb,
+                     np.sqrt(np.maximum(cb, 0.0)))
+        return np.where(cs <= 0.5, cb - (1 - 2 * cs) * cb * (1 - cb),
+                        cb + (2 * cs - 1) * (d - cb))
+    if mode == 'Difference':
+        return np.abs(cb - cs)
+    if mode == 'Exclusion':
+        return cb + cs - 2 * cb * cs
+    if mode == 'Hue':
+        return _set_lum(_set_sat(cs, _sat(cb)), _lum(cb))
+    if mode == 'Saturation':
+        return _set_lum(_set_sat(cb, _sat(cs)), _lum(cb))
+    if mode == 'Color':
+        return _set_lum(cs, _lum(cb))
+    if mode == 'Luminosity':
+        return _set_lum(cb, _lum(cs))
+    return cs            # Normal / Compatible / unrecognized
+
+
+def _sat(c):
+    return c.max(-1) - c.min(-1)
+
+
 def _cmyk_to_rgb(c, m, y, k):
     return (max(0.0, 1.0 - min(1.0, c + k)),
             max(0.0, 1.0 - min(1.0, m + k)),
@@ -86,7 +164,7 @@ class _GState:
     __slots__ = ('ctm', 'fill', 'stroke', 'lw', 'clip',
                  'fill_n', 'stroke_n', 'char_spc', 'word_spc',
                  'hscale', 'leading', 'font', 'fsize', 'render_mode',
-                 'rise')
+                 'rise', 'fill_a', 'stroke_a', 'blend', 'tr', 'smask')
 
     def __init__(self):
         self.ctm = _ID
@@ -96,6 +174,11 @@ class _GState:
         self.clip = None            # None = unclipped, else bool mask
         self.fill_n = 1
         self.stroke_n = 1
+        self.fill_a = 1.0           # ExtGState ca
+        self.stroke_a = 1.0         # ExtGState CA
+        self.blend = 'Normal'       # ExtGState BM
+        self.tr = None              # ExtGState TR/TR2 (fn | fn-tuple)
+        self.smask = None           # ExtGState SMask: page (H, W) alpha
         self.char_spc = 0.0
         self.word_spc = 0.0
         self.hscale = 1.0
@@ -407,6 +490,7 @@ class Rasterizer:
         self._text_run = 0         # increments per shown string
         self._glyph_sources = {}
         self._font_metrics_cache = {}
+        self._in_smask = False     # nested-SMask recursion guard
 
     def _glyph_source(self, font):
         """Per-document GlyphSource cache (font dicts are cached by the
@@ -518,7 +602,8 @@ class Rasterizer:
                 elif op in ('J', 'j', 'M', 'd', 'ri', 'i'):
                     pass
                 elif op == 'gs':
-                    pass     # ExtGState: alpha/blend out of scope
+                    self._set_extgstate(gs, resources, stack[-1],
+                                        (H, W))
                 # ---- path construction ----
                 elif op == 'm':
                     if cur:
@@ -775,7 +860,155 @@ class Rasterizer:
                             mask[yi, a:b] = True
         return mask
 
-    def _fill(self, canvas, polys, gs, rule, colour=None):
+    def _write(self, region, sel, src, gs, stroking=False, alpha=None,
+               org=(0, 0)):
+        """Every painted pixel funnels through here.  Applies the
+        ExtGState constant alpha (ca/CA), soft mask (SMask), separable
+        + non-separable blend modes (BM) and transfer functions
+        (TR/TR2) to ``src`` before storing.  src: (3,) colour or
+        region-shaped (h, w, 3) array, float 0..255; sel: bool mask
+        over region; alpha: optional per-pixel (h, w) float in [0,1]
+        (image SMask); org: region's (y, x) page offset, used to slice
+        the page-sized ExtGState soft mask."""
+        a = gs.stroke_a if stroking else gs.fill_a
+        if gs.tr is None and gs.blend == 'Normal' and a >= 1.0 \
+                and alpha is None and gs.smask is None:
+            region[sel] = src if np.ndim(src) == 1 else src[sel]
+            return
+        if not np.count_nonzero(sel):
+            return
+        if gs.smask is not None:
+            y0, x0 = org
+            h, w = region.shape[:2]
+            smr = gs.smask[y0:y0 + h, x0:x0 + w]
+            alpha = smr if alpha is None else alpha * smr
+        cs = np.asarray(src, np.float32) / 255.0
+        cs = np.broadcast_to(cs, region.shape)[sel] if cs.ndim == 1 \
+            else cs[sel]
+        if gs.tr is not None:
+            cs = self._apply_transfer(cs, gs.tr)
+        cb = region[sel] / 255.0
+        out = np.clip(_blend_arr(cb, cs, gs.blend), 0.0, 1.0)
+        aeff = a if alpha is None else (a * alpha[sel])[..., None]
+        out = cb * (1.0 - aeff) + out * aeff
+        region[sel] = np.clip(out, 0.0, 1.0) * 255.0
+
+    def _apply_transfer(self, cs, tr):
+        """cs: (n, 3) in [0,1].  tr: one 1-in/1-out function applied to
+        every component, or a tuple of per-component functions (None =
+        Identity).  Transfer maps the source's device values at paint
+        time — the continuous-tone interpretation; halftone screens
+        (/HT) stay identity by design, like any RGB preview renderer."""
+        fns = tr if isinstance(tr, tuple) else (tr, tr, tr)
+        out = cs.copy()
+        for k in range(3):
+            f = fns[k] if k < len(fns) else None
+            if f is None:
+                continue
+            vals = self._eval_function(f, out[:, k].astype(np.float64))
+            if vals is not None and vals.shape[-1] >= 1:
+                out[:, k] = np.clip(vals[:, 0], 0.0, 1.0)
+        return out
+
+    def _set_extgstate(self, gs, resources, name, shape):
+        r = self.reader
+        egs = r.resolve((r.resolve(resources.get('ExtGState'))
+                         or {}).get(str(name)))
+        if not isinstance(egs, dict):
+            return
+        if 'LW' in egs:
+            gs.lw = float(r.resolve(egs['LW']))
+        if 'CA' in egs:
+            gs.stroke_a = float(r.resolve(egs['CA']))
+        if 'ca' in egs:
+            gs.fill_a = float(r.resolve(egs['ca']))
+        if 'BM' in egs:
+            bm = r.resolve(egs['BM'])
+            if isinstance(bm, list):
+                bm = r.resolve(bm[0]) if bm else 'Normal'
+            gs.blend = 'Normal' if str(bm) == 'Compatible' else str(bm)
+        for key in ('TR2', 'TR'):
+            if key not in egs:
+                continue
+            tr = r.resolve(egs[key])
+            if isinstance(tr, list):
+                fns = tuple(None if str(r.resolve(f)) in
+                            ('Identity', 'Default') else r.resolve(f)
+                            for f in tr[:3])
+                gs.tr = None if all(f is None for f in fns) else fns
+            elif str(tr) in ('Identity', 'Default'):
+                gs.tr = None
+            else:
+                gs.tr = tr
+            break            # TR2 wins over TR when both present
+        if 'SMask' in egs:
+            sm = r.resolve(egs['SMask'])
+            if not isinstance(sm, dict):          # /None
+                gs.smask = None
+            elif not getattr(self, '_in_smask', False):
+                try:
+                    gs.smask = self._render_soft_mask(gs, sm, shape)
+                except Exception:
+                    gs.smask = None
+        # /HT (halftone screens) stays identity by design:
+        # continuous-tone preview rendering
+
+    def _render_soft_mask(self, gs, sm, shape):
+        """Render an ExtGState soft-mask group (ISO 32000-1 11.6.5) to
+        a page-sized alpha array, fixed in device space at gs-set time.
+        Luminosity: composite the group over its backdrop (BC, default
+        black) and take the luminosity.  Alpha: recover per-pixel alpha
+        from two composites (over black and over white: a = 1-(Cw-Cb)),
+        exact for the painted-opaque case this renderer produces."""
+        r = self.reader
+        g = r.resolve(sm.get('G'))
+        if not isinstance(g, PStream):
+            return None
+        stype = str(r.resolve(sm.get('S')) or 'Alpha')
+        H, W = shape
+        sub_gs = _GState()
+        sub_gs.ctm = gs.ctm
+        mtx = r.resolve(g.dict.get('Matrix'))
+        if mtx:
+            sub_gs.ctm = _mat_mul(tuple(float(r.resolve(v))
+                                        for v in mtx), gs.ctm)
+        bbox = [float(r.resolve(v))
+                for v in (r.resolve(g.dict.get('BBox')) or [])]
+        if len(bbox) == 4:
+            quad = [_mat_apply(sub_gs.ctm, x, y)
+                    for (x, y) in ((bbox[0], bbox[1]), (bbox[2], bbox[1]),
+                                   (bbox[2], bbox[3]), (bbox[0], bbox[3]))]
+            sub_gs.clip = self._poly_mask((H, W), [quad], 'nonzero')
+        res = r.resolve(g.dict.get('Resources')) or {}
+        content = g.decoded()
+        self._in_smask = True
+        try:
+            if stype == 'Luminosity':
+                bc = [float(r.resolve(v))
+                      for v in (r.resolve(sm.get('BC')) or [])]
+                bg = float(bc[0]) * 255.0 if bc else 0.0
+                mcanvas = np.full((H, W, 3), bg, np.float32)
+                self._execute(content, res, mcanvas, sub_gs.copy(),
+                              depth=1)
+                mask = _lum(np.clip(mcanvas, 0, 255) / 255.0)
+            else:
+                cb_ = np.zeros((H, W, 3), np.float32)
+                cw_ = np.full((H, W, 3), 255.0, np.float32)
+                self._execute(content, res, cb_, sub_gs.copy(), depth=1)
+                self._execute(content, res, cw_, sub_gs.copy(), depth=1)
+                mask = 1.0 - _lum(np.clip(cw_ - cb_, 0, 255) / 255.0)
+        finally:
+            self._in_smask = False
+        tr = r.resolve(sm.get('TR'))
+        if tr is not None and not (isinstance(tr, PName)
+                                   and str(tr) == 'Identity'):
+            vals = self._eval_function(tr, mask.ravel().astype(np.float64))
+            if vals is not None and vals.shape[-1] >= 1:
+                mask = np.clip(vals[:, 0], 0, 1).reshape(H, W)
+        return mask.astype(np.float32)
+
+    def _fill(self, canvas, polys, gs, rule, colour=None,
+              stroking=False):
         """Bbox-localized scanline fill (full-page masks per glyph/path
         would dominate at print resolutions)."""
         H, W = canvas.shape[:2]
@@ -795,14 +1028,14 @@ class Rasterizer:
             mask &= gs.clip[y0:y1, x0:x1]
         col = np.array(colour if colour is not None else gs.fill,
                        np.float32) * 255.0
-        canvas[y0:y1, x0:x1][mask] = col
+        self._write(canvas[y0:y1, x0:x1], mask, col, gs,
+                    stroking=stroking, org=(y0, x0))
 
     def _fill_clip(self, canvas, gs, colour):
         col = np.array(colour, np.float32) * 255.0
-        if gs.clip is not None:
-            canvas[gs.clip] = col
-        else:
-            canvas[:, :] = col
+        sel = gs.clip if gs.clip is not None \
+            else np.ones(canvas.shape[:2], bool)
+        self._write(canvas, sel, col, gs)
 
     def _stroke(self, canvas, path, gs):
         # device-space line width (geometric mean of the axis scales)
@@ -825,7 +1058,8 @@ class Rasterizer:
                               (x1 - nx, y1 - ny), (x0 - nx, y0 - ny)])
         if not quads:
             return
-        self._fill(canvas, quads, gs, 'nonzero', colour=gs.stroke)
+        self._fill(canvas, quads, gs, 'nonzero', colour=gs.stroke,
+                   stroking=True)
 
     # ---- text ----------------------------------------------------------
 
@@ -1658,8 +1892,8 @@ class Rasterizer:
             col = (l0[..., None] * rgb[0] + l1[..., None] * rgb[1]
                    + l2[..., None] * rgb[2])
             col = np.clip(col, 0.0, 1.0) * 255.0
-            region = canvas[y0:y1, x0:x1]
-            region[inside] = col[inside]
+            self._write(canvas[y0:y1, x0:x1], inside, col, gs,
+                        org=(y0, x0))
         return True
 
     def _draw_shading(self, canvas, gs, resources, name):
@@ -1743,11 +1977,9 @@ class Rasterizer:
             img = np.clip(rgbv.reshape(y1c - y0c, cx1 - cx0, 3),
                           0, 1).astype(np.float32) * 255.0
             region = canvas[y0c:y1c, cx0:cx1]
-            if gs.clip is not None:
-                sel = gs.clip[y0c:y1c, cx0:cx1]
-                region[sel] = img[sel]
-            else:
-                region[:, :] = img
+            sel = gs.clip[y0c:y1c, cx0:cx1] if gs.clip is not None \
+                else np.ones(region.shape[:2], bool)
+            self._write(region, sel, img, gs, org=(y0c, cx0))
 
     def _paint_sampled(self, canvas, gs, arr, stencil_alpha,
                        blend_alpha=None):
@@ -1782,16 +2014,16 @@ class Rasterizer:
             sx = np.clip((u * iw).astype(np.int64), 0, iw - 1)
             sy = np.clip(((1 - v) * ih).astype(np.int64), 0, ih - 1)
             paint = inside & stencil_alpha[sy, sx]
-            region[paint] = np.array(gs.fill, np.float32) * 255.0
+            self._write(region, paint,
+                        np.array(gs.fill, np.float32) * 255.0, gs,
+                        org=(y0, x0))
             return
         ih, iw = arr.shape[:2]
         sx = np.clip((u * iw).astype(np.int64), 0, iw - 1)
         sy = np.clip(((1 - v) * ih).astype(np.int64), 0, ih - 1)
         src = arr[sy, sx] * 255.0
-        if blend_alpha is not None:
-            av = blend_alpha[sy, sx][..., None]
-            src = av * src + (1 - av) * region
-        region[inside] = src[inside]
+        av = blend_alpha[sy, sx] if blend_alpha is not None else None
+        self._write(region, inside, src, gs, alpha=av, org=(y0, x0))
 
     def _draw_image(self, canvas, gs, stream):
         try:

@@ -599,3 +599,191 @@ class TestFormXObjectImages:
         # placed at (10, 20)-(90, 120) PDF coords -> top-left origin
         assert abs(im['bbox'][0] - 10) < 0.01
         assert abs(im['bbox'][2] - 90) < 0.01
+
+
+class TestExtGState:
+    """ExtGState alpha / blend modes / transfer functions
+    (VERDICT r2 missing #5: the rasterizer used to ignore /gs)."""
+
+    def _doc(self, content, egs):
+        from archive_pdf_tools_tpu.pdf.writer import (PdfWriter, Name,
+                                                      Stream)
+        wr = PdfWriter()
+        cat = wr.reserve()
+        pages = wr.reserve()
+
+        def conv(v):
+            if isinstance(v, Stream):
+                return wr.add(v)
+            if isinstance(v, dict):
+                return {k: conv(x) for k, x in v.items()}
+            if isinstance(v, list):
+                return [conv(x) for x in v]
+            return v
+
+        cref = wr.add(Stream({}, content))
+        page = wr.add({Name('Type'): Name('Page'),
+                       Name('Parent'): pages,
+                       Name('MediaBox'): [0, 0, 200, 150],
+                       Name('Contents'): cref,
+                       Name('Resources'): {
+                           Name('ExtGState'): {Name('GS0'): conv(egs)}}})
+        wr.set(pages, {Name('Type'): Name('Pages'),
+                       Name('Kids'): [page], Name('Count'): 1})
+        wr.set(cat, {Name('Type'): Name('Catalog'),
+                     Name('Pages'): pages})
+        buf = io.BytesIO()
+        wr.save(buf, cat, None, b'0123456789abcdef')
+        return PdfReader(buf.getvalue())
+
+    def test_constant_fill_alpha(self):
+        from archive_pdf_tools_tpu.pdf.writer import Name
+        r = self._doc(b'/GS0 gs 1 0 0 rg 0 0 200 150 re f',
+                      {Name('ca'): 0.5})
+        a = Rasterizer(r).render_page(0)
+        # red at 0.5 over white: (255, 127, 127)
+        assert abs(int(a[75, 100, 0]) - 255) <= 1
+        assert abs(int(a[75, 100, 1]) - 127) <= 2
+        assert abs(int(a[75, 100, 2]) - 127) <= 2
+
+    def test_multiply_blend(self):
+        from archive_pdf_tools_tpu.pdf.writer import Name
+        r = self._doc(b'1 1 0 rg 0 0 200 150 re f '
+                      b'/GS0 gs 0 1 1 rg 50 50 60 60 re f',
+                      {Name('BM'): Name('Multiply')})
+        a = Rasterizer(r).render_page(0)
+        # yellow * cyan = green inside the overlap
+        p = a[150 - 80, 80]
+        assert p[0] < 5 and p[1] > 250 and p[2] < 5, p
+        # outside stays yellow
+        p = a[150 - 20, 20]
+        assert p[0] > 250 and p[1] > 250 and p[2] < 5, p
+
+    def test_unknown_blend_is_normal(self):
+        from archive_pdf_tools_tpu.pdf.writer import Name
+        r = self._doc(b'1 1 0 rg 0 0 200 150 re f '
+                      b'/GS0 gs 0 1 1 rg 50 50 60 60 re f',
+                      {Name('BM'): Name('NotAMode')})
+        a = Rasterizer(r).render_page(0)
+        p = a[150 - 80, 80]
+        assert p[0] < 5 and p[1] > 250 and p[2] > 250, p   # plain cyan
+
+    def test_luminosity_blend(self):
+        from archive_pdf_tools_tpu.pdf.writer import Name
+        r = self._doc(b'1 0 0 rg 0 0 200 150 re f '
+                      b'/GS0 gs 0.5 g 0 0 200 150 re f',
+                      {Name('BM'): Name('Luminosity')})
+        a = Rasterizer(r).render_page(0)
+        # SetLum(red, 0.5): (1, 0.2857, 0.2857) after ClipColor
+        p = a[75, 100]
+        assert p[0] > 250 and abs(int(p[1]) - 73) <= 3 \
+            and abs(int(p[2]) - 73) <= 3, p
+
+    def test_transfer_inversion(self):
+        from archive_pdf_tools_tpu.pdf.writer import Name
+        # TR = 1 - t (Type 2 exponential, C0=1, C1=0): painting 0.25
+        # gray lands as 0.75 gray
+        r = self._doc(b'/GS0 gs 0.25 g 0 0 200 150 re f',
+                      {Name('TR'): {Name('FunctionType'): 2,
+                                    Name('Domain'): [0, 1],
+                                    Name('C0'): [1.0], Name('C1'): [0.0],
+                                    Name('N'): 1}})
+        a = Rasterizer(r).render_page(0)
+        assert all(abs(int(a[75, 100, k]) - 191) <= 2 for k in range(3))
+
+    def test_alpha_restored_by_Q(self):
+        from archive_pdf_tools_tpu.pdf.writer import Name
+        r = self._doc(b'q /GS0 gs Q 1 0 0 rg 0 0 200 150 re f',
+                      {Name('ca'): 0.2})
+        a = Rasterizer(r).render_page(0)
+        p = a[75, 100]
+        assert p[0] > 250 and p[1] < 5 and p[2] < 5, p   # opaque red
+
+    def _smask_doc(self, content, smask_dict, group_content,
+                   extra_egs=None):
+        from archive_pdf_tools_tpu.pdf.writer import (PdfWriter, Name,
+                                                      Stream)
+        wr = PdfWriter()
+        cat = wr.reserve()
+        pages = wr.reserve()
+        gref = wr.add(Stream({Name('Type'): Name('XObject'),
+                              Name('Subtype'): Name('Form'),
+                              Name('BBox'): [0, 0, 200, 150],
+                              Name('Group'): {
+                                  Name('S'): Name('Transparency'),
+                                  Name('CS'): Name('DeviceGray')}},
+                             group_content))
+        egs = {Name('SMask'): dict(smask_dict, **{Name('G'): gref})}
+        egs.update(extra_egs or {})
+        cref = wr.add(Stream({}, content))
+        page = wr.add({Name('Type'): Name('Page'),
+                       Name('Parent'): pages,
+                       Name('MediaBox'): [0, 0, 200, 150],
+                       Name('Contents'): cref,
+                       Name('Resources'): {
+                           Name('ExtGState'): {Name('GS0'): egs}}})
+        wr.set(pages, {Name('Type'): Name('Pages'),
+                       Name('Kids'): [page], Name('Count'): 1})
+        wr.set(cat, {Name('Type'): Name('Catalog'),
+                     Name('Pages'): pages})
+        buf = io.BytesIO()
+        wr.save(buf, cat, None, b'0123456789abcdef')
+        return PdfReader(buf.getvalue())
+
+    def test_luminosity_soft_mask(self):
+        from archive_pdf_tools_tpu.pdf.writer import Name
+        # mask group paints a white (lum=1) rect on the default black
+        # backdrop: the red fill only lands inside that rect
+        r = self._smask_doc(
+            b'/GS0 gs 1 0 0 rg 0 0 200 150 re f',
+            {Name('S'): Name('Luminosity')},
+            b'1 g 40 40 80 60 re f')
+        a = Rasterizer(r).render_page(0)
+        p = a[150 - 70, 80]               # inside the mask rect
+        assert p[0] > 250 and p[1] < 5, p
+        p = a[150 - 20, 10]               # outside: untouched white
+        assert (p > 250).all(), p
+
+    def test_alpha_soft_mask_and_none_reset(self):
+        from archive_pdf_tools_tpu.pdf.writer import Name
+        # alpha subtype: painted group area = alpha 1, rest 0; a later
+        # /SMask /None ExtGState must clear it.  The second ExtGState
+        # has no G, so build it inline.
+        from archive_pdf_tools_tpu.pdf.writer import PdfWriter, Stream
+        wr = PdfWriter()
+        cat = wr.reserve()
+        pages = wr.reserve()
+        gref = wr.add(Stream({Name('Type'): Name('XObject'),
+                              Name('Subtype'): Name('Form'),
+                              Name('BBox'): [0, 0, 200, 150]},
+                             b'0 g 0 75 200 75 re f'))
+        cref = wr.add(Stream({}, b'/GS0 gs 0 0 1 rg 0 0 200 150 re f '
+                             b'/GS1 gs 0 1 0 rg 0 0 100 40 re f'))
+        page = wr.add({Name('Type'): Name('Page'),
+                       Name('Parent'): pages,
+                       Name('MediaBox'): [0, 0, 200, 150],
+                       Name('Contents'): cref,
+                       Name('Resources'): {Name('ExtGState'): {
+                           Name('GS0'): {Name('SMask'): {
+                               Name('S'): Name('Alpha'),
+                               Name('G'): gref}},
+                           Name('GS1'): {Name('SMask'): Name('None')}}}})
+        wr.set(pages, {Name('Type'): Name('Pages'),
+                       Name('Kids'): [page], Name('Count'): 1})
+        wr.set(cat, {Name('Type'): Name('Catalog'),
+                     Name('Pages'): pages})
+        buf = io.BytesIO()
+        wr.save(buf, cat, None, b'0123456789abcdef')
+        r = PdfReader(buf.getvalue())
+        a = Rasterizer(r).render_page(0)
+        # top half (user y>=75 -> device rows <75): group painted ->
+        # blue shows
+        p = a[30, 150]
+        assert p[2] > 250 and p[0] < 5, p
+        # bottom half outside the group's painted area: stays white
+        p = a[150 - 30, 150]
+        assert (p > 250).all(), p
+        # the /None reset: green rect paints opaquely (user 0..40 y ->
+        # device rows 110..150)
+        p = a[150 - 20, 50]
+        assert p[1] > 250 and p[0] < 5 and p[2] < 5, p
