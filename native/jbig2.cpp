@@ -16,6 +16,7 @@
 #include <algorithm>
 #include <cmath>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <vector>
 
@@ -67,6 +68,31 @@ class MQEncoder {
       if (q.sw) cx->mps ^= 1;
       cx->i = q.nlps;
       Renorm();
+    }
+  }
+
+  // Encode n consecutive MPS symbols for one context in O(renorms):
+  // between renormalizations the MPS path is just a_ -= qe; c_ += qe,
+  // so all symbols until the next renorm collapse into one multiply.
+  // Bit-exact vs n serial Encode(cx, mps) calls by construction — the
+  // renorming symbol replays the serial conditional-exchange branch.
+  void EncodeMPSRun(Ctx* cx, long n) {
+    while (n > 0) {
+      const QeEntry& q = kQe[cx->i];
+      if (a_ >= 0x8000u + q.qe) {
+        uint32_t k = (a_ - 0x8000u) / q.qe;   // >= 1 here
+        if (static_cast<long>(k) > n) k = static_cast<uint32_t>(n);
+        a_ -= k * q.qe;
+        c_ += k * q.qe;
+        n -= k;
+        if (n == 0) break;
+      }
+      // this symbol renormalizes (a_ - qe < 0x8000)
+      a_ -= q.qe;
+      if (a_ < q.qe) a_ = q.qe; else c_ += q.qe;
+      cx->i = q.nmps;
+      Renorm();
+      --n;
     }
   }
 
@@ -342,8 +368,27 @@ inline int Context0(const uint8_t* img, int w, int h, int x, int y) {
 // the just-coded pixel at bit 0.
 constexpr int kShiftMask = 0xF7EE;
 
+// Length of the prefix of p[0..n) whose pixel values (&1) all equal v.
+// Word-compares 8 canonical 0/1 bytes at a time; a non-canonical byte
+// (e.g. 2) just breaks the word match and the byte loop takes over
+// with the &1 semantics the serial coder uses.
+inline long SameRun(const uint8_t* p, long n, uint8_t v) {
+  long i = 0;
+  const uint64_t pat = v ? 0x0101010101010101ull : 0ull;
+  for (; i + 8 <= n; i += 8) {
+    uint64_t wd;
+    std::memcpy(&wd, p + i, 8);
+    if (wd != pat) break;
+  }
+  for (; i < n; ++i)
+    if ((p[i] & 1) != v) break;
+  return i;
+}
+
 void EncodeGenericRegion(const uint8_t* img, int w, int h, bool tpgdon,
                          std::vector<uint8_t>* out) {
+  // re-read per region so tests can toggle the serial path in-process
+  const bool no_runopt = std::getenv("JBIG2_NO_RUNOPT") != nullptr;
   std::vector<Ctx> ctx(1 << 16);
   MQEncoder enc(out);
   bool ltp = false;
@@ -382,14 +427,36 @@ void EncodeGenericRegion(const uint8_t* img, int w, int h, bool tpgdon,
           | (static_cast<int>(r2[2]) << 11)
           | (static_cast<int>(r1[0]) << 7) | (static_cast<int>(r1[1]) << 6)
           | (static_cast<int>(r1[2]) << 5) | (static_cast<int>(r1[3]) << 4);
-    for (int x = 0; x < w; ++x) {
+    for (int x = 0; x < w; ) {
       const int bit = src[x] & 1;
+      // Constant-context run fast path: the all-white (c=0, bit 0) and
+      // solid-ink (c=0xFFFF, bit 1) neighbourhoods are fixed points of
+      // the shift update, so a run whose source pixels AND entering
+      // template pixels all match codes as one batched MPS run.  Text
+      // masks are mostly margins/ink blocks, so this covers the bulk
+      // of the pixels.  JBIG2_NO_RUNOPT=1 forces the serial path (the
+      // byte-identity test in tests/test_jbig2.py A/Bs the two).
+      if (!no_runopt &&
+          ((c == 0 && bit == 0 && ctx[0].mps == 0) ||
+           (c == 0xFFFF && bit == 1 && ctx[0xFFFF].mps == 1))) {
+        const uint8_t v = static_cast<uint8_t>(bit);
+        long rl = SameRun(src + x, w - x, v);
+        rl = std::min(rl, SameRun(r2 + x + 3, static_cast<long>(w) - x, v));
+        rl = std::min(rl, SameRun(r1 + x + 4, static_cast<long>(w) - x, v));
+        if (rl >= 8) {
+          enc.EncodeMPSRun(&ctx[c], rl);
+          std::memset(r0 + x, v, rl);
+          x += static_cast<int>(rl);
+          continue;                       // context unchanged (fixed point)
+        }
+      }
       enc.Encode(&ctx[c], bit);
       r0[x] = static_cast<uint8_t>(bit);
       c = ((c << 1) & kShiftMask)
         | (static_cast<int>(r2[x + 3]) << 11)
         | (static_cast<int>(r1[x + 4]) << 4)
         | bit;
+      ++x;
     }
     uint8_t* tmp = r2; r2 = r1; r1 = r0; r0 = tmp;
   }

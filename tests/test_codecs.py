@@ -69,6 +69,38 @@ class TestJBIG2:
         data = encode_jbig2(m, bands=8)
         assert (decode_jbig2(data, 320, 160) == m).all()
 
+    def test_run_fastpath_byte_identical(self):
+        # The batched-MPS run fast path (native/jbig2.cpp SameRun +
+        # EncodeMPSRun) must produce byte-identical streams to the
+        # serial per-pixel coder (JBIG2_NO_RUNOPT=1).  Shapes chosen to
+        # hit every branch: white margins, solid ink blocks, dithered
+        # noise (no runs), alternating columns, run ends at row edges.
+        import os
+        rng = np.random.default_rng(7)
+        masks = [
+            np.zeros((64, 200), bool),                    # all white
+            np.ones((64, 200), bool),                     # all ink
+            text_mask(seed=3),                            # sparse text
+            rng.random((96, 256)) < 0.5,                  # dense noise
+            np.tile(np.arange(256) % 2 == 0, (40, 1)),    # alternating
+        ]
+        big = np.zeros((400, 520), bool)                  # page-like:
+        big[60:100, 40:480] = True                        # ink band
+        big[200:240, 40:200] = True
+        big[200:240, 300:480] = True                      # word gap
+        masks.append(big)
+        for tp in (True, False):
+            for i, m in enumerate(masks):
+                fast = encode_jbig2(m, tpgdon=tp)
+                os.environ['JBIG2_NO_RUNOPT'] = '1'
+                try:
+                    serial = encode_jbig2(m, tpgdon=tp)
+                finally:
+                    del os.environ['JBIG2_NO_RUNOPT']
+                assert fast == serial, (i, tp)
+                assert (decode_jbig2(fast, m.shape[1],
+                                     m.shape[0]) == m).all()
+
 
 def glyph_mask(h=400, w=520, seed=1):
     """Text-like page reusing a small set of exact glyph bitmaps."""
