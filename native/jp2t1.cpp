@@ -76,6 +76,32 @@ class MQEncoder {
     }
   }
 
+  // Encode n consecutive MPS symbols for one context in O(renorms):
+  // between renormalizations the MPS path is just a_ -= qe; c_ += qe.
+  // Bit-exact vs n serial Encode(cx, mps) calls by construction — the
+  // renorming symbol replays the serial conditional-exchange branch.
+  // Used for runs of insignificant stripe columns on the RL context
+  // in the cleanup pass, where the MQ call (not the magnitude loads)
+  // dominates the sparse fine bit planes of MRC fg layers.
+  void EncodeMPSRun(Ctx* cx, long n) {
+    while (n > 0) {
+      const QeEntry& q = kQe[cx->i];
+      if (a_ >= 0x8000u + q.qe) {
+        uint32_t k = (a_ - 0x8000u) / q.qe;   // symbols with no renorm
+        if (static_cast<long>(k) > n) k = static_cast<uint32_t>(n);
+        a_ -= k * q.qe;
+        c_ += k * q.qe;
+        n -= k;
+        if (n == 0) break;
+      }
+      a_ -= q.qe;                             // this symbol renormalizes
+      if (a_ < q.qe) a_ = q.qe; else c_ += q.qe;
+      cx->i = q.nmps;
+      Renorm();
+      --n;
+    }
+  }
+
   // T.800 C.2.9 FLUSH: set as many 1 bits in C as possible, push out,
   // drop a trailing 0xFF.
   void Flush() {
@@ -490,11 +516,13 @@ struct StripeCoder {
   std::vector<uint32_t> words;   // (nstripes + 2) x (w + 2)
   Ctx cx[kNumCtx];
   MQEncoder* enc;
+  bool no_runopt;                // JP2T1_NO_RUNOPT=1: serial RL (perf A/B)
 
   StripeCoder(const int32_t* m, const uint8_t* s, int w_, int h_, int o)
       : w(w_), h(h_), orient(o), nstripes((h_ + 3) / 4), stride(w_ + 2),
         mag(m), sgn(s),
-        words(static_cast<size_t>((h_ + 3) / 4 + 2) * (w_ + 2), 0) {
+        words(static_cast<size_t>((h_ + 3) / 4 + 2) * (w_ + 2), 0),
+        no_runopt(getenv("JP2T1_NO_RUNOPT") != nullptr) {
     cx[0].i = 4;
     cx[kCtxRL].i = 3;
     cx[kCtxUni].i = 46;
@@ -620,6 +648,27 @@ struct StripeCoder {
             if ((mag[(4 * s + k) * w + x] >> p) & 1) { first = k; break; }
           }
           if (first < 0) {
+            // batched run: consecutive all-zero RL columns each code
+            // one MPS 0 on the same context, and nothing they code
+            // changes any state word — so scan ahead and collapse the
+            // whole run into one EncodeMPSRun (bit-exact; the
+            // BlockCoder double-entry below stays serial and the
+            // identity test covers this path)
+            if (cx[kCtxRL].mps == 0 && !no_runopt) {
+              const int32_t* m0 = mag + static_cast<long>(4 * s) * w;
+              long n = 1;
+              while (x + n < w &&
+                     !(row[x + n] & (kSigmaMask | kVisitMask))) {
+                const long xx = x + n;
+                if (((m0[xx] | m0[w + xx] | m0[2 * w + xx]
+                      | m0[3 * w + xx]) >> p) & 1)
+                  break;
+                ++n;
+              }
+              enc->EncodeMPSRun(&cx[kCtxRL], n);
+              x += static_cast<int>(n) - 1;
+              continue;
+            }
             enc->Encode(&cx[kCtxRL], 0);
             continue;
           }
@@ -693,10 +742,10 @@ long jp2t1_encode_block(const int32_t* coeffs, int w, int h, int orient,
   // APT_T1_IMPL=ref selects the per-pixel-flags coder — outputs are
   // byte-identical (tested), the ref coder exists for that test and as
   // readable documentation of the pass semantics
-  static const bool use_ref = [] {
-    const char* e = getenv("APT_T1_IMPL");
-    return e && strcmp(e, "ref") == 0;
-  }();
+  // re-read per block so the identity test can toggle impls in-process
+  // (a getenv per 64x64 block is noise next to its thousands of MQ ops)
+  const char* impl_env = getenv("APT_T1_IMPL");
+  const bool use_ref = impl_env && strcmp(impl_env, "ref") == 0;
   // construct only the selected coder (each allocates its full
   // per-block state)
   std::unique_ptr<BlockCoder> bc;

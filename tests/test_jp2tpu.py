@@ -167,6 +167,38 @@ class TestFacade:
         assert J.encode_jp2_tpu(img, ratio=25, workers=4) == \
             J.encode_jp2_tpu(img, ratio=25, workers=1)
 
+    def test_stripe_coder_matches_ref_coder(self, monkeypatch):
+        # The production StripeCoder (packed per-column state words +
+        # batched RL runs in the cleanup pass) must be byte-identical
+        # to the per-pixel-flags BlockCoder, which keeps the serial
+        # textbook pass semantics (native/jp2t1.cpp APT_T1_IMPL=ref).
+        # Sparse blocks exercise long RL-zero runs; dense ones the
+        # per-pixel paths; tiny/odd sizes the jmax<4 tails.
+        lib = J._get_lib()
+        rng = np.random.default_rng(11)
+        blocks = [
+            np.zeros((64, 64)),                                # empty-ish
+            rng.normal(0, 300, (64, 64)) *
+            (rng.random((64, 64)) < 0.02),                     # sparse
+            rng.normal(0, 2000, (64, 64)),                     # dense
+            rng.normal(0, 50, (13, 64)),                       # short
+            rng.normal(0, 50, (64, 7)),                        # narrow
+            rng.normal(0, 800, (30, 33)) *
+            (rng.random((30, 33)) < 0.1),                      # odd sparse
+        ]
+        for bi, blk in enumerate(blocks):
+            blk = blk.astype(np.int32)
+            for oc in (0, 1, 2):
+                for cap in (0, 200):
+                    monkeypatch.delenv('APT_T1_IMPL', raising=False)
+                    fast = J._encode_block(lib, blk, oc, max_bytes=cap)
+                    monkeypatch.setenv('APT_T1_IMPL', 'ref')
+                    ref = J._encode_block(lib, blk, oc, max_bytes=cap)
+                    assert fast[0] == ref[0], (bi, oc, cap)   # bytes
+                    assert fast[1:3] == ref[1:3], (bi, oc, cap)
+                    assert np.array_equal(fast[3], ref[3])
+                    assert np.array_equal(fast[4], ref[4])
+
 
 class TestBatchedPipelineWiring:
     def test_batch_equals_single_page(self, monkeypatch):
