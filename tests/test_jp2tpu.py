@@ -290,6 +290,39 @@ class TestBatchedPipelineWiring:
         dev = J.encode_jp2_tpu_batch(imgs, ratio=250, pack8=True)
         assert nat == dev
 
+    def test_sparse_fetch_matches_dense(self, monkeypatch):
+        # sparse fine-band readback (significance bitmap + compacted
+        # values) must reproduce the dense int8 bands exactly, across
+        # sparse fg-like pages (text on smooth fill -> bitmap path),
+        # dense noise (falls back to the dense transfer) and an
+        # all-flat page (count == 0), gray and RGB.
+        rng = np.random.default_rng(15)
+        fg = np.full((2, 160, 128), 180, np.uint8)
+        fg[:, 40:48, 10:110] = 50
+        fg[:, 90:98, 30:90] = 60
+        noisy = np.clip(np.full((2, 160, 128), 200.0)
+                        + rng.normal(0, 40, (2, 160, 128)), 0,
+                        255).astype(np.uint8)
+        flat = np.full((1, 96, 96), 128, np.uint8)
+        rgb = np.stack([fg[0]] * 3, -1)[None].copy()
+        rgb[..., 1] = np.roll(rgb[..., 1], 7, axis=1)
+        for imgs in (fg, noisy, flat, rgb):
+            monkeypatch.setenv('APT_JP2_DEVICE', 'cpu')
+            monkeypatch.setenv('APT_JP2_SPARSE', '0')
+            dense, md = J.transform_jp2_batch(imgs, pack8=True)
+            monkeypatch.setenv('APT_JP2_SPARSE', '1')
+            sparse, ms = J.transform_jp2_batch(imgs, pack8=True)
+            assert md['shifts'] == ms['shifts']
+            for pd, ps in zip(dense, sparse):
+                for cd, cs in zip(pd, ps):
+                    for qd, qs in zip(cd, cs):
+                        assert qd.dtype == qs.dtype
+                        assert np.array_equal(qd, qs)
+            # and the full encode round-trips identically
+            assert J.encode_jp2_tpu_batch(imgs, ratio=200, pack8=True) \
+                == [J.encode_jp2_from_qbands(p, ms, ratio=200)
+                    for p in sparse]
+
     def test_recode_uses_batched_transform(self, tmp_path, monkeypatch):
         # e2e: -J tpu over a 3-page batch goes through the one-dispatch
         # transform (timing key present) and the output still passes the
