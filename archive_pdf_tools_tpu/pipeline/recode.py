@@ -48,7 +48,7 @@ PDFA_MAX_UNITS = 14400
 
 Image.MAX_IMAGE_PIXELS = 625000000
 
-DEFAULT_BATCH_PAGES = 8
+DEFAULT_BATCH_PAGES = int(os.environ.get('APT_BATCH_PAGES', '8'))
 
 
 def guess_dpi(w, h, expected_format=(8.27, 11.69),
@@ -536,8 +536,13 @@ def insert_images_mrc(builder, hocr_file, in_pdf=None, image_files=None,
             mesh=mesh)
         # HQ pages keep full-res layers: recompute individually if the
         # batch is mixed (rare; HQ is typically first/last pages)
+        t = time()
         masks = unpack_mask_bits(pack_mask_bits(mask_dev),
                                  mask_dev.shape[-1])
+        # this np.asarray is where the whole async decompose dispatch
+        # chain actually synchronizes: it times the device compute +
+        # the packed-mask link transfer, not just the unpack
+        timing_data.append(('mask_fetch', time() - t))
         hq_layers = {}
         if any_hq and not all_hq and (bg_downsample or fg_downsample):
             # ONE batched call for every HQ page (a mixed batch used
@@ -667,8 +672,11 @@ def insert_images_mrc(builder, hocr_file, in_pdf=None, image_files=None,
                 if preload_dev and image.mode != '1':
                     try:
                         import jax
+                        t = time()
                         batch_devs.append(
                             jax.device_put(np.asarray(image)))
+                        timing_data.append(('preload_upload',
+                                            time() - t))
                     except Exception:
                         batch_devs.append(None)
                 else:
@@ -685,7 +693,9 @@ def insert_images_mrc(builder, hocr_file, in_pdf=None, image_files=None,
 
     processed = 0
     while True:
+        t = time()
         item = batch_queue.get()
+        timing_data.append(('batch_wait', time() - t))
         if item is None:
             break
         batch_jobs, batch_images, batch_devs = item
@@ -819,6 +829,7 @@ def recode(from_pdf=None, from_imagestack=None, dpi=None, hocr_file=None,
 
     if verbose:
         print('Creating text only PDF')
+    t_pass1 = time()
     create_text_pages(builder, hocr_file, in_pdf=in_pdf,
                       image_files=image_files, dpi=dpi,
                       skip_pages=skip_pages, dpi_pages=dpi_pages,
@@ -835,8 +846,10 @@ def recode(from_pdf=None, from_imagestack=None, dpi=None, hocr_file=None,
                 continue   # silently ignore out of range (recode.py:666-672)
             hq[i] = True
 
+    t_pass2 = time()
     if verbose:
-        print('Converting with image mode:', image_mode)
+        print('Converting with image mode: %s (pass 1 took %.2fs)'
+              % (image_mode, t_pass2 - t_pass1))
     if image_mode == IMAGE_MODE_MRC:
         insert_images_mrc(
             builder, hocr_file, in_pdf=in_pdf, image_files=image_files,
@@ -903,10 +916,13 @@ def recode(from_pdf=None, from_imagestack=None, dpi=None, hocr_file=None,
                            from_docinfo=from_docinfo, from_xmp=from_xmp)
 
     if verbose:
-        print('Saving PDF now')
+        print('Saving PDF now (pass 2 + finalize took %.2fs)'
+              % (time() - t_pass2))
     t = time()
     builder.save(out_pdf, deflate=True)
     save_time_ms = int((time() - t) * 1000)
+    if verbose:
+        print('PDF save took %.2fs' % (save_time_ms / 1000.0))
     reporter.send({'time_to_save': {'time': save_time_ms}})
 
     end_time = time()
