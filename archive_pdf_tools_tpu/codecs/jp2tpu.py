@@ -662,7 +662,16 @@ def _npasses_code(bw, n):
 
 
 class _Band:
-    """One subband of one component: quantized array + code blocks."""
+    """One subband of one component: quantized array + code blocks.
+
+    plane_budget: planes the transfer shipped for this band (pack4),
+    None for full-precision bands.  Plane-budgeted blocks have at most
+    3K-2 passes, so the T1 byte cap saves nothing on them and its
+    starved-block rescue would fire on every ordinary fully-coded
+    block (measured: a 1287-block rescue storm on one 8-page batch) —
+    _t1_all skips caps for them."""
+
+    plane_budget = None
 
     def __init__(self, orient, level, gain, eps, mu, step, arr):
         self.orient = orient
@@ -679,10 +688,12 @@ class _Band:
         weight = (step * _band_norm(level, orient)) ** 2
         for by in range(self.ny):
             for bx in range(self.nx):
+                # store the VIEW; _encode_block makes the contiguous
+                # int32 copy only for blocks that actually encode (on
+                # pack4 fg layers most fine-band blocks are all-zero)
                 blk = arr[by * CB:(by + 1) * CB, bx * CB:(bx + 1) * CB]
                 self.blocks.append(_CodeBlock(
-                    np.ascontiguousarray(blk, np.int32),
-                    _ORIENT_CODE[orient], weight))
+                    blk, _ORIENT_CODE[orient], weight))
 
 
 def _encode_blocks(blocks, lib, workers, caps=None):
@@ -690,6 +701,16 @@ def _encode_blocks(blocks, lib, workers, caps=None):
     cap actually cut passes so the allocator can re-encode starved
     blocks uncapped."""
     def run(cb):
+        if not cb.arr.any():
+            # all-zero block: no planes, no passes, no bytes — skip the
+            # int32 copy and the native call (the common case for fine
+            # bands of pack4 MRC layers)
+            cb.data, cb.nbps, cb.npasses = b'', 0, 0
+            cb.rates = np.zeros(0, np.int64)
+            cb.dists = np.zeros(0, np.float64)
+            cb.capped = False
+            cb.hull_rows = None
+            return
         cap = caps.get(id(cb), 0) if caps else 0
         (cb.data, cb.nbps, cb.npasses, cb.rates, cb.dists) = \
             _encode_block(lib, cb.arr, cb.orient_code, max_bytes=cap)
@@ -713,12 +734,35 @@ def _t1_all(bands, lib, workers, target_bytes=None):
     # allocator re-encodes the rare block it exhausts (see
     # _allocate_rate), so a low floor costs quality nothing.
     caps = {}
-    if target_bytes:
+    # APT_T1_CAPS: auto (default policy below) | all (cap every band,
+    # the r3 behavior) | off — the A/B knob for tools/t1_cap_ab.py
+    cap_mode = os.environ.get('APT_T1_CAPS', 'auto')
+    if target_bytes and cap_mode != 'off':
         floor = int(os.environ.get('APT_T1_CAP_FLOOR', '96'))
         total_px = sum(cb.arr.size for cb in blocks) or 1
-        for cb in blocks:
-            caps[id(cb)] = max(floor,
-                               4 * target_bytes * cb.arr.size // total_px)
+        for band in bands:
+            if cap_mode == 'all':
+                for cb in band.blocks:
+                    caps[id(cb)] = max(
+                        floor, 4 * target_bytes * cb.arr.size // total_px)
+                continue
+            # pack4 plane-budgeted bands have <= 7 cheap passes: a byte
+            # cap saves almost no T1 work there but its starved-block
+            # rescue re-encodes ordinary fully-coded blocks (measured:
+            # a 1287-block rescue storm on one 8-page batch).
+            if band.plane_budget is not None and band.plane_budget <= 4:
+                continue
+            # small (coarse) full-precision bands: the 4x-fair-share
+            # formula starves them structurally — at high ratios the
+            # byte budget CONCENTRATES in the few coarse blocks (an LL
+            # block takes ~target/16, its pixel share says ~96 B), so
+            # the cap + rescue was re-encoding nearly every one, every
+            # page.  Their total deep-plane work is tiny; leave uncapped.
+            if band.arr.dtype != np.int8 and len(band.blocks) <= 64:
+                continue
+            for cb in band.blocks:
+                caps[id(cb)] = max(
+                    floor, 4 * target_bytes * cb.arr.size // total_px)
     import time as _t
     _i0 = _t.time()
     _encode_blocks(blocks, lib, workers, caps)
@@ -860,39 +904,90 @@ def encode_jp2_tpu(img, ratio=None, base_delta=1.0 / 64, levels=5,
 
 
 def _host_encode(qbands, w, h, ncomp, levels, base_delta, ratio, rgb,
-                 lib, workers, wrap_jp2, shifts=None):
+                 lib, workers, wrap_jp2, shifts=None, kplanes=None,
+                 refetch=None, page_idx=None):
     """Tier-1 + rate allocation + Tier-2 for one image's quantized
-    subbands (numpy)."""
-    layout = band_layout(levels, base_delta)
-    if shifts is not None:
-        # pack8 rate-adaptive quantization: band b was requantized with
-        # step 2^s * delta_b (exact trunc-shift on device/host), so its
-        # QCD exponent drops by s — a plain standard coarser quantizer,
-        # nothing custom on the decode side
-        adj = []
-        for (orient, level, gain, eps, mu, step), s in zip(layout,
-                                                           shifts):
-            s = int(s)
-            if s and eps - s < 0:
-                raise ValueError('pack8 shift %d exceeds eps %d'
-                                 % (s, eps))
-            adj.append((orient, level, gain, eps - s, mu,
-                        step * (1 << s)))
-        layout = adj
-    comp_bands = [[_Band(*m, q) for m, q in zip(layout, qb)]
-                  for qb in qbands]
+    subbands (numpy).
 
-    all_bands = [band for bands in comp_bands for band in bands]
+    kplanes/refetch/page_idx: pack4 plane-budget support — kplanes maps
+    band index -> planes shipped; when rate allocation exhausts a
+    band's shipped planes (a block coded all 3K-2 available passes and
+    the threshold still wanted it whole), ``refetch(k)`` pulls that
+    band at int8 from the device and the band is re-encoded at its
+    smaller shift before assembly.  The budget is a transfer
+    optimization, never a quality ceiling."""
+    base_layout = band_layout(levels, base_delta)
+    shifts = [int(s) for s in shifts] if shifts is not None \
+        else [0] * len(base_layout)
+
+    def adjusted(k):
+        # requantized band k uses step 2^s * delta_b (exact trunc-shift
+        # on device/host), so its QCD exponent drops by s — a plain
+        # standard coarser quantizer, nothing custom on the decode side
+        orient, level, gain, eps, mu, step = base_layout[k]
+        s = shifts[k]
+        if s and eps - s < 0:
+            raise ValueError('pack shift %d exceeds eps %d' % (s, eps))
+        return (orient, level, gain, eps - s, mu, step * (1 << s))
+
+    comp_bands = [[_Band(*adjusted(k), q) for k, q in enumerate(qb)]
+                  for qb in qbands]
+    if kplanes:
+        for bands in comp_bands:
+            for k, K in kplanes.items():
+                bands[k].plane_budget = K
+
     target = None
     if ratio is not None and ratio > 1:
         target = int(h * w * ncomp / float(ratio))
-    blocks = _t1_all(all_bands, lib, workers, target_bytes=target)
+    all_bands = [band for bands in comp_bands for band in bands]
+    _t1_all(all_bands, lib, workers, target_bytes=target)
+
+    for _round in range(2):
+        blocks = [cb for bands in comp_bands
+                  for band in bands for cb in band.blocks]
+        if target is not None:
+            _allocate_rate(blocks, target, lib, workers)
+        else:
+            for cb in blocks:
+                cb.chosen = cb.npasses
+                cb.chosen_bytes = cb.data
+
+        if _round or target is None or refetch is None or not kplanes:
+            break
+        # pack4 starvation check: a band whose shipped planes the
+        # allocator fully consumed may have wanted deeper data
+        starved = []
+        for k, K in sorted(kplanes.items()):
+            if shifts[k] <= 0:
+                continue
+            hungry = any(
+                cb.nbps >= K and cb.npasses
+                and cb.chosen >= cb.npasses
+                and cb.npasses >= 3 * cb.nbps - 2
+                for bands in comp_bands for cb in bands[k].blocks)
+            if hungry:
+                starved.append(k)
+        if not starved:
+            break
+        for k in starved:
+            vals, s8 = refetch(k)
+            shifts[k] = s8
+            for c in range(ncomp):
+                q = vals[c] if page_idx is None else vals[c][page_idx]
+                comp_bands[c][k] = _Band(*adjusted(k),
+                                         np.asarray(q, np.int32))
+            _stat('pack4_refetch', 0.0, 1)
+            newblocks = [cb for c in range(ncomp)
+                         for cb in comp_bands[c][k].blocks]
+            _encode_blocks(newblocks, lib, workers, caps=None)
 
     # guard bits: Mb = guard + eps - 1 must cover every block's planes
     guard = 2
-    for band in all_bands:
-        for cb in band.blocks:
-            guard = max(guard, cb.nbps - band.eps + 1)
+    for bands in comp_bands:
+        for band in bands:
+            for cb in band.blocks:
+                guard = max(guard, cb.nbps - band.eps + 1)
     if guard > 7:
         # A silent clamp here would make Mb undercount the coded planes
         # and desync the decoder into a corrupt block; unreachable for
@@ -901,15 +996,8 @@ def _host_encode(qbands, w, h, ncomp, levels, base_delta, ratio, rgb,
         raise ValueError(
             'jp2tpu: required guard bits %d > 7 (eps too small for a '
             'block with %d bitplanes); renormalize base_delta' % (
-                guard, max(cb.nbps for b in all_bands
-                           for cb in b.blocks)))
-
-    if target is not None:
-        _allocate_rate(blocks, target, lib, workers)
-    else:
-        for cb in blocks:
-            cb.chosen = cb.npasses
-            cb.chosen_bytes = cb.data
+                guard, max(cb.nbps for bands in comp_bands
+                           for b in bands for cb in b.blocks)))
 
     stream = _assemble(w, h, ncomp, levels, guard, comp_bands, rgb)
     return _jp2_wrap(stream, w, h, ncomp) if wrap_jp2 else stream
@@ -955,6 +1043,7 @@ def _device_transform_packed8(arr, levels, rgb, base_delta,
     structure).  Returns (bands, shifts) where fine bands are int8."""
     import jax.numpy as jnp
     q32 = _device_transform(arr, levels, rgb, base_delta)
+    layout = band_layout(levels, base_delta)
     nb = len(q32[0])
     n_fine = 3 * min(fine_levels, levels)
     thresholds = 128 << jnp.arange(24, dtype=jnp.int32)  # monotone
@@ -967,6 +1056,11 @@ def _device_transform_packed8(arr, levels, rgb, base_delta,
             mx = jnp.maximum(mx, jnp.max(jnp.abs(qb[k])))
         if k >= nb - n_fine:
             s = jnp.sum((mx >= thresholds).astype(jnp.int32))
+            # eps - s must stay >= 0 in the QCD: clamp to the band's
+            # exponent (content-dependent extreme coefficients then
+            # clip to int8 range via the saturating cast below, instead
+            # of aborting the whole page encode)
+            s = jnp.minimum(s, jnp.int32(layout[k][3]))
             shifts.append(s)
         else:
             shifts.append(jnp.zeros((), jnp.int32))
@@ -976,7 +1070,8 @@ def _device_transform_packed8(arr, levels, rgb, base_delta,
             if k >= nb - n_fine:
                 s = shifts[k]
                 comp.append((jnp.sign(q) *
-                             (jnp.abs(q) >> s)).astype(jnp.int8))
+                             jnp.minimum(jnp.abs(q) >> s, 127)
+                             ).astype(jnp.int8))
             else:
                 comp.append(q)
         out.append(tuple(comp))
@@ -1046,6 +1141,148 @@ def _device_transform_packed8_sparse(arr, levels, rgb, base_delta,
     return bands, shifts, tuple(sparse)
 
 
+# --- pack4: kept-planes budgets at high rate targets --------------------
+#
+# Evidence (tools/jp2_plane_stats.py on the e2e corpus): at ratio 750
+# the PCRD-chosen stream codes ZERO planes of the level-1 bands, <= 2
+# planes of level 2 and <= 1 plane of level 3 — while the pack8 int8
+# form still ships 7 magnitude planes for ~94% of all coefficients, and
+# the untouched level-3 bands ship full int32.  pack4 requantizes the
+# finest two resolutions to _PACK4_K_FINE planes (nibble-packed: 2
+# coefficients/byte, or bitmap+values when sparser) and level 3 to int8.
+# Like pack8 this is an exact coarser standard quantizer step (eps_b
+# drops by the shift), so the stream stays plain T.800.  A band whose
+# blocks exhaust the shipped planes during rate allocation is REFETCHED
+# from device at int8 and re-encoded (see _host_encode) — the plane
+# budget is a transfer optimization, never a quality ceiling.
+
+_PACK4_K_FINE = 3
+
+
+def _pack4_sets(nb, levels):
+    """Band-index sets for the pack4 plane budgets: (k3, k7) = finest
+    two resolutions (K=_PACK4_K_FINE, nibble) and the third-finest
+    (K=7, int8)."""
+    n3 = 3 * min(2, levels)
+    n7 = 3 * min(1, max(0, levels - 2))
+    return (list(range(nb - n3, nb)),
+            list(range(nb - n3 - n7, nb - n3)))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=('levels', 'rgb', 'base_delta',
+                                    'k_fine'))
+def _device_transform_pack4(arr, levels, rgb, base_delta,
+                            k_fine=_PACK4_K_FINE):
+    """Transform + per-band plane-budget requantize + transfer forms.
+
+    Returns (shipped, shifts, shifts8, re8, extras):
+      shipped  per-comp band tuples — coarse bands int32, budgeted
+               bands int8 holding q >> shift clipped to 2^K - 1
+      shifts   int32[nb] total shift per band (QCD eps_b -= shift)
+      shifts8  int32[nb] the int8-budget shift (refetch target)
+      re8      per k3-band per-comp int8 arrays at shifts8 (stay in
+               HBM; fetched only if rate allocation starves a band)
+      extras   per k3-band (nibble, bits, comp, count) transfer forms
+               over the comp-concatenated flattened band
+    """
+    import jax.numpy as jnp
+    q32 = _device_transform(arr, levels, rgb, base_delta)
+    layout = band_layout(levels, base_delta)
+    nb = len(q32[0])
+    k3, k7 = _pack4_sets(nb, levels)
+    kmap = {k: k_fine for k in k3}
+    kmap.update({k: 7 for k in k7})
+
+    def shift_for(mx, K, eps):
+        thr = (jnp.int32(1) << K) << jnp.arange(24, dtype=jnp.int32)
+        s = jnp.sum((mx >= thr).astype(jnp.int32))
+        return jnp.minimum(s, jnp.int32(eps))
+
+    shifts, shifts8 = [], []
+    for k in range(nb):
+        mx = jnp.max(jnp.abs(q32[0][k]))
+        for qb in q32[1:]:
+            mx = jnp.maximum(mx, jnp.max(jnp.abs(qb[k])))
+        eps = layout[k][3]
+        if k in kmap:
+            shifts.append(shift_for(mx, kmap[k], eps))
+            shifts8.append(shift_for(mx, 7, eps))
+        else:
+            shifts.append(jnp.zeros((), jnp.int32))
+            shifts8.append(jnp.zeros((), jnp.int32))
+
+    def requant(q, s, K):
+        return (jnp.sign(q) *
+                jnp.minimum(jnp.abs(q) >> s, (1 << K) - 1)
+                ).astype(jnp.int8)
+
+    shipped = []
+    for qb in q32:
+        comp = []
+        for k, q in enumerate(qb):
+            comp.append(requant(q, shifts[k], kmap[k])
+                        if k in kmap else q)
+        shipped.append(tuple(comp))
+    shipped = tuple(shipped)
+
+    re8 = tuple(tuple(requant(qb[k], shifts8[k], 7) for qb in q32)
+                for k in k3)
+
+    extras = []
+    for k in k3:
+        flat = jnp.concatenate([qb[k].reshape(-1) for qb in shipped])
+        bits, comp, count = _sparse_pack_band(flat)
+        n = flat.shape[0]
+        npad = -(-n // 2) * 2
+        u = jnp.pad((flat.astype(jnp.int32) + 8).astype(jnp.uint8),
+                    (0, npad - n))
+        nib = (u[0::2] | (u[1::2] << 4)).astype(jnp.uint8)
+        extras.append((nib, bits, comp, count))
+    return (shipped, jnp.stack(shifts), jnp.stack(shifts8), re8,
+            tuple(extras))
+
+
+def _unpack_nibbles(u, n):
+    """Invert the device nibble packing: uint8 pairs -> int8 values."""
+    flat = np.empty(u.shape[0] * 2, np.int8)
+    flat[0::2] = (u & 15).astype(np.int8) - 8
+    flat[1::2] = (u >> 4).astype(np.int8) - 8
+    return flat[:n]
+
+
+def _packK_shifts_np(qbands, layout, kmap):
+    """Host twin of the pack4 shift choice: per-band smallest shift
+    making max|q| >> s <= 2^K - 1, clamped to the band's eps."""
+    nb = len(qbands[0])
+    shifts = np.zeros(nb, np.int32)
+    for k, K in kmap.items():
+        mx = max(int(np.abs(qb[k]).max()) if qb[k].size else 0
+                 for qb in qbands)
+        s = 0
+        while (mx >> s) > (1 << K) - 1:
+            s += 1
+        shifts[k] = min(s, int(layout[k][3]))
+    return shifts
+
+
+def _packK_apply_np(qbands, shifts, kmap):
+    out = []
+    for qb in qbands:
+        comp = []
+        for k, q in enumerate(qb):
+            K = kmap.get(k)
+            if K is None:
+                comp.append(np.asarray(q))
+            else:
+                s = int(shifts[k])
+                comp.append((np.sign(q) *
+                             np.minimum(np.abs(q) >> s, (1 << K) - 1)
+                             ).astype(np.int8))
+        out.append(comp)
+    return out
+
+
 def _fetch_sparse_band(bits_dev, comp_dev, count, dense_dev, shape,
                        ncomp):
     """Host side of `_sparse_pack_band`: fetch bitmap + just-enough
@@ -1068,9 +1305,10 @@ def _fetch_sparse_band(bits_dev, comp_dev, count, dense_dev, shape,
             for c in range(ncomp)]
 
 
-def _pack8_shifts_np(qbands, n_fine):
+def _pack8_shifts_np(qbands, n_fine, layout):
     """Host-side twin of the device shift choice (native-transform
-    path): same maxabs -> same shifts -> identical streams."""
+    path): same maxabs -> same shifts (incl. the eps clamp) ->
+    identical streams."""
     nb = len(qbands[0])
     shifts = np.zeros(nb, np.int32)
     for k in range(nb - n_fine, nb):
@@ -1079,7 +1317,7 @@ def _pack8_shifts_np(qbands, n_fine):
         s = 0
         while (mx >> s) > 127:
             s += 1
-        shifts[k] = s
+        shifts[k] = min(s, int(layout[k][3]))
     return shifts
 
 
@@ -1092,7 +1330,8 @@ def _pack8_apply_np(qbands, shifts, n_fine):
             if k >= nb - n_fine:
                 s = int(shifts[k])
                 comp.append((np.sign(q) *
-                             (np.abs(q) >> s)).astype(np.int8))
+                             np.minimum(np.abs(q) >> s, 127)
+                             ).astype(np.int8))
             else:
                 comp.append(np.asarray(q))
         out.append(comp)
@@ -1121,14 +1360,41 @@ def _transform_shape(imgs):
     return arr, rgb, b, h, w
 
 
+class _AsyncMeta(dict):
+    """Transform meta whose 'shifts' entry is populated by the
+    background drain thread: reading it blocks until the drain ran.
+    Every in-tree consumer calls fetch() (which waits) before touching
+    meta, but a future caller reading meta['shifts'] first would
+    otherwise see None and emit a stream whose QCD exponents don't
+    match the pack8-requantized bands (ADVICE r3)."""
+
+    _event = None
+
+    def __getitem__(self, k):
+        if k == 'shifts' and self._event is not None:
+            self._event.wait()
+        return dict.__getitem__(self, k)
+
+    def get(self, k, default=None):
+        if k == 'shifts' and self._event is not None:
+            self._event.wait()
+        return dict.get(self, k, default)
+
+
 def transform_jp2_batch_async(imgs, base_delta=1.0 / 64, levels=5,
-                              pack8=False):
+                              pack8=False, ratio=None):
     """Stage 1 of a batched encode: DWT/ICT/quantize of a whole uint8
     (B, H, W) or (B, H, W, 3) stack as ONE device dispatch (pages ride
     the leading axis through the lifting steps).  ``imgs`` may be a
     numpy stack or a DEVICE array (e.g. fg/bg layers straight out of
     ``decompose_layers(device=True)`` — they then never cross the link
     as uint8 at all).
+
+    ratio: the rate target the pages will be encoded at.  At
+    ratio >= 400 the pack4 plane-budget transfer kicks in (fine bands
+    at _PACK4_K_FINE planes, nibble/sparse packed; level 3 at int8)
+    with band-level int8 refetch as the starvation escape hatch —
+    APT_JP2_PACK4=0/1 forces.  pack8 stays the 200-400 form.
 
     Returns (fetch, meta): ``fetch(i)`` blocks until page i's numpy
     qbands are ready for ``encode_jp2_from_qbands``.  Band readbacks
@@ -1139,10 +1405,18 @@ def transform_jp2_batch_async(imgs, base_delta=1.0 / 64, levels=5,
     ncomp = 3 if rgb else 1
     levels = max(1, min(levels,
                         max(1, int(math.floor(math.log2(min(h, w) / 4))))))
+    env4 = os.environ.get('APT_JP2_PACK4')
+    pack4 = (env4 == '1') if env4 is not None else (
+        ratio is not None and float(ratio) >= 400)
+    if pack4:
+        pack8 = False
+    # the nibble form holds value+8 in 4 bits, so K is capped at 3
+    k_fine = max(1, min(3, int(os.environ.get('APT_JP2_PACK4_K',
+                                              str(_PACK4_K_FINE)))))
     n_fine = 3 * min(2, levels) if pack8 else 0
-    meta = {'w': w, 'h': h, 'ncomp': ncomp, 'levels': levels,
-            'rgb': rgb, 'base_delta': float(base_delta),
-            'shifts': None}
+    meta = _AsyncMeta({'w': w, 'h': h, 'ncomp': ncomp, 'levels': levels,
+                       'rgb': rgb, 'base_delta': float(base_delta),
+                       'shifts': None})
 
     dev = os.environ.get('APT_JP2_DEVICE')
     native = dev == 'native'
@@ -1156,8 +1430,28 @@ def transform_jp2_batch_async(imgs, base_delta=1.0 / 64, levels=5,
     if native:
         host = np.asarray(arr).astype(np.uint8, copy=False)
         qb = _native_transform(host, levels, rgb, float(base_delta))
-        if pack8:
-            shifts = _pack8_shifts_np(qb, n_fine)
+        layout = band_layout(levels, float(base_delta))
+        if pack4:
+            nb = len(qb[0])
+            k3, k7 = _pack4_sets(nb, levels)
+            kmap = {k: k_fine for k in k3}
+            kmap.update({k: 7 for k in k7})
+            shifts = _packK_shifts_np(qb, layout, kmap)
+            shifts8 = _packK_shifts_np(qb, layout, {k: 7 for k in k3})
+            shipped = _packK_apply_np(qb, shifts, kmap)
+            meta['shifts'] = shifts.tolist()
+            meta['kplanes'] = {k: k_fine for k in k3}
+            q_keep = qb          # retained full-precision bands
+
+            def refetch(k):
+                got = _packK_apply_np(
+                    q_keep, shifts8, {k: 7})
+                return [got[c][k] for c in range(ncomp)], int(shifts8[k])
+
+            meta['refetch'] = refetch
+            qb = shipped
+        elif pack8:
+            shifts = _pack8_shifts_np(qb, n_fine, layout)
             qb = _pack8_apply_np(qb, shifts, n_fine)
             meta['shifts'] = shifts.tolist()
         pages = [[[q[i] for q in comp] for comp in qb] for i in range(b)]
@@ -1165,21 +1459,82 @@ def transform_jp2_batch_async(imgs, base_delta=1.0 / 64, levels=5,
 
     import jax
     sparse = pack8 and os.environ.get('APT_JP2_SPARSE', '1') != '0'
-    xform = (_device_transform_packed8_sparse if sparse else
+    xform = (_device_transform_pack4 if pack4 else
+             _device_transform_packed8_sparse if sparse else
              _device_transform_packed8 if pack8 else
              _device_transform_packed)
+    xargs = (arr, levels, rgb, float(base_delta))
+    if pack4:
+        xargs += (k_fine,)
     if dev:
         with jax.default_device(jax.local_devices(backend=dev)[0]):
-            packed = xform(arr, levels, rgb, float(base_delta))
+            packed = xform(*xargs)
     else:
-        packed = xform(arr, levels, rgb, float(base_delta))
+        packed = xform(*xargs)
 
     state = {'pages': None, 'err': None}
     done = threading.Event()
+    meta._event = done
+
+    if pack4:
+        _, _, shifts8_d, re8_d, _ = packed
+        nb4 = len(packed[0][0])
+        k3_set, _ = _pack4_sets(nb4, levels)
+        meta['kplanes'] = {k: k_fine for k in k3_set}
+        _re_cache = {}
+        _re_lock = threading.Lock()
+
+        def refetch(k):
+            """Band k at int8 (7 planes) for every page: fetched from
+            HBM only when rate allocation starves the plane budget."""
+            with _re_lock:
+                if k not in _re_cache:
+                    j = k3_set.index(k)
+                    s8 = int(np.asarray(shifts8_d[k]))
+                    _re_cache[k] = (
+                        [np.asarray(a) for a in re8_d[j]], s8)
+                return _re_cache[k]
+
+        meta['refetch'] = refetch
 
     def _drain():
         try:
-            if sparse:
+            if pack4:
+                bands, shifts, _s8, _re8, extras = packed
+                meta['shifts'] = np.asarray(shifts).tolist()
+                nb = len(bands[0])
+                k3, _k7 = _pack4_sets(nb, levels)
+                comps = [[None] * nb for _ in range(ncomp)]
+                xfer = 0
+                for k in range(nb):                  # coarse + int8: dense
+                    if k in k3:
+                        continue
+                    for c in range(ncomp):
+                        comps[c][k] = np.asarray(bands[c][k])
+                        xfer += comps[c][k].nbytes
+                for j, k in enumerate(k3):           # K=3: nibble | sparse
+                    nib_d, bits_d, comp_d, cnt_d = extras[j]
+                    shape = bands[0][k].shape
+                    n = int(np.prod(shape)) * ncomp
+                    count = int(np.asarray(cnt_d))
+                    chunk = int(comp_d.shape[1])
+                    kch = -(-count // chunk) if count else 0
+                    sparse_bytes = n // 8 + kch * chunk
+                    if sparse_bytes < (n + 1) // 2:
+                        got = _fetch_sparse_band(
+                            bits_d, comp_d, count,
+                            [qb[k] for qb in bands], shape, ncomp)
+                        xfer += sparse_bytes
+                    else:
+                        flat = _unpack_nibbles(np.asarray(nib_d), n)
+                        per = n // ncomp
+                        got = [flat[c * per:(c + 1) * per].reshape(shape)
+                               for c in range(ncomp)]
+                        xfer += (n + 1) // 2
+                    for c in range(ncomp):
+                        comps[c][k] = got[c]
+                _stat('pack4_xfer_bytes', 0.0, xfer)
+            elif sparse:
                 bands, shifts, sp = packed
                 meta['shifts'] = np.asarray(shifts).tolist()
                 nb = len(bands[0])
@@ -1222,19 +1577,22 @@ def transform_jp2_batch_async(imgs, base_delta=1.0 / 64, levels=5,
 
 
 def transform_jp2_batch(imgs, base_delta=1.0 / 64, levels=5,
-                        pack8=False):
+                        pack8=False, ratio=None):
     """Synchronous wrapper of ``transform_jp2_batch_async``: returns
     (per_page_qbands, meta)."""
     _, _, b, _, _ = _transform_shape(imgs)
     fetch, meta = transform_jp2_batch_async(imgs, base_delta=base_delta,
-                                            levels=levels, pack8=pack8)
+                                            levels=levels, pack8=pack8,
+                                            ratio=ratio)
     return [fetch(i) for i in range(b)], meta
 
 
 def encode_jp2_from_qbands(page_qbands, meta, ratio=None, workers=None,
-                           wrap_jp2=True):
+                           wrap_jp2=True, page_idx=None):
     """Stage 2: Tier-1 + rate allocation + Tier-2 for one page's
-    quantized subbands (from transform_jp2_batch)."""
+    quantized subbands (from transform_jp2_batch).  page_idx selects
+    this page in the batch for the pack4 starvation refetch (the
+    refetched device band carries the whole batch)."""
     lib = _get_lib()
     if workers is None:
         workers = min(8, os.cpu_count() or 1)
@@ -1242,7 +1600,10 @@ def encode_jp2_from_qbands(page_qbands, meta, ratio=None, workers=None,
                         meta['ncomp'], meta['levels'],
                         meta['base_delta'], ratio, meta['rgb'], lib,
                         workers, wrap_jp2,
-                        shifts=meta.get('shifts'))
+                        shifts=meta.get('shifts'),
+                        kplanes=meta.get('kplanes'),
+                        refetch=meta.get('refetch'),
+                        page_idx=page_idx)
 
 
 def encode_jp2_tpu_batch(imgs, ratio=None, base_delta=1.0 / 64, levels=5,
@@ -1251,7 +1612,9 @@ def encode_jp2_tpu_batch(imgs, ratio=None, base_delta=1.0 / 64, levels=5,
     byte strings.  One device dispatch for the whole batch's transform,
     then per-page host Tier-1 (see transform_jp2_batch)."""
     pages, meta = transform_jp2_batch(imgs, base_delta=base_delta,
-                                      levels=levels, pack8=pack8)
+                                      levels=levels, pack8=pack8,
+                                      ratio=ratio)
     return [encode_jp2_from_qbands(p, meta, ratio=ratio,
-                                   workers=workers, wrap_jp2=wrap_jp2)
-            for p in pages]
+                                   workers=workers, wrap_jp2=wrap_jp2,
+                                   page_idx=i)
+            for i, p in enumerate(pages)]

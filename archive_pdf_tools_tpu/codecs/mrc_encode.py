@@ -32,6 +32,11 @@ EncodedMask = namedtuple('EncodedMask', 'data fmt width height decode')
 EncodedMask.__new__.__defaults__ = (None,)
 EncodedLayer = namedtuple('EncodedLayer', 'data fmt width height gray')
 
+# Bit-packed mask page: bits is (H, ceil(W/8)) uint8 in np.packbits row
+# layout — exactly what the device mask transfer produces, so the
+# pipeline can hand masks to the JBIG2 encoder without a host unpack.
+PackedMask = namedtuple('PackedMask', 'bits width height')
+
 
 def encode_mrc_mask(np_mask, fmt=COMPRESSOR_JBIG2, embedded=True,
                     timing_data=None, debug=False, jbig2_symbol_mode=False,
@@ -47,9 +52,28 @@ def encode_mrc_mask(np_mask, fmt=COMPRESSOR_JBIG2, embedded=True,
     coder is serial per region, so this is how the mask encode scales
     across host cores."""
     t = _time.time()
-    m = np.asarray(np_mask).astype(bool)
-    h, w = m.shape
+    packed = None
+    if isinstance(np_mask, PackedMask):
+        h, w = np_mask.height, np_mask.width
+        if (fmt == COMPRESSOR_JBIG2 and not jbig2_symbol_mode
+                and jbig2_bands <= 1):
+            packed = np_mask.bits     # fast path: no host unpack at all
+            m = None
+        else:
+            m = np.unpackbits(np.asarray(np_mask.bits),
+                              axis=-1)[:, :w].astype(bool)
+    else:
+        m = np.asarray(np_mask).astype(bool)
+        h, w = m.shape
     decode = None
+    if packed is not None:
+        # ink stored as jbig2 white (see the polarity note below), via
+        # the packed-row encoder: bit-identical with the unpacked path
+        data = jbig2_codec.encode_jbig2_packed(packed, w, h, invert=True,
+                                               embedded=embedded)
+        if timing_data is not None:
+            timing_data.append(('mask_jbig2', _time.time() - t))
+        return EncodedMask(data, fmt, w, h, None)
     if fmt == COMPRESSOR_JBIG2:
         # ink is stored as jbig2 *white* so the PDF sample (which PDF
         # consumers invert relative to the jbig2 bit) is 1 at text.
@@ -108,7 +132,7 @@ def encode_mrc_img(np_img, img_compression_flags, imgtype=None,
         if jp2_qbands is None or jpeg2000_implementation != 'tpu' \
                 or mrc_image_format == COMPRESSOR_JPEG:
             raise ValueError('np_img=None requires the tpu qbands path')
-        _, qmeta = jp2_qbands
+        qmeta = jp2_qbands[1]
         gray = qmeta['ncomp'] == 1
         h, w = qmeta['h'], qmeta['w']
         img = None
@@ -128,12 +152,14 @@ def encode_mrc_img(np_img, img_compression_flags, imgtype=None,
             kw = _pillow_kwargs(img_compression_flags[0]) \
                 if img_compression_flags and img_compression_flags[0] else {}
             if jp2_qbands is not None:
-                page_q, meta = jp2_qbands
+                page_q, meta = jp2_qbands[:2]
+                page_idx = jp2_qbands[2] if len(jp2_qbands) > 2 else None
                 if callable(page_q):
                     page_q = page_q()
                 data = encode_jp2_from_qbands(page_q, meta,
                                               ratio=kw.get('ratio'),
-                                              workers=threads)
+                                              workers=threads,
+                                              page_idx=page_idx)
             else:
                 data = encode_jp2_tpu(arr, ratio=kw.get('ratio'),
                                       base_delta=kw.get('delta', 1.0 / 64),

@@ -526,9 +526,12 @@ def insert_images_mrc(builder, hocr_file, in_pdf=None, image_files=None,
         # used to make a full down+up round trip before the batched
         # DWT — the dominant term of the warm e2e budget on thin
         # hosts, VERDICT r2 weak #1).
+        # single-page batches qualify too: a lone RGB page in a mixed
+        # gray book would otherwise pull ~28 MB of uint8 layers through
+        # the host link instead of ~3 MB of pack4 coefficients
         dev_layers = (jpeg2000_implementation == 'tpu'
                       and mrc_image_format == COMPRESSOR_JPEG2000
-                      and len(batch_jobs) > 1 and not all_hq)
+                      and not all_hq)
         fg_np, bg_np = decompose_layers(
             mask_dev, dev_imgs,
             bg_downsample=bgd, fg_downsample=fgd,
@@ -537,11 +540,20 @@ def insert_images_mrc(builder, hocr_file, in_pdf=None, image_files=None,
         # HQ pages keep full-res layers: recompute individually if the
         # batch is mixed (rare; HQ is typically first/last pages)
         t = time()
-        masks = unpack_mask_bits(pack_mask_bits(mask_dev),
-                                 mask_dev.shape[-1])
+        packed_np = np.asarray(pack_mask_bits(mask_dev))
         # this np.asarray is where the whole async decompose dispatch
         # chain actually synchronizes: it times the device compute +
         # the packed-mask link transfer, not just the unpack
+        if (mask_fmt == COMPRESSOR_JBIG2 and not jbig2_symbol_mode
+                and jbig2_bands <= 1):
+            # generic JBIG2 consumes the packed rows directly — the
+            # byte-per-pixel mask never exists on the host
+            from ..codecs.mrc_encode import PackedMask
+            h_m, w_m = int(mask_dev.shape[1]), int(mask_dev.shape[2])
+            masks = [PackedMask(packed_np[i], w_m, h_m)
+                     for i in range(packed_np.shape[0])]
+        else:
+            masks = unpack_mask_bits(packed_np, mask_dev.shape[-1])
         timing_data.append(('mask_fetch', time() - t))
         hq_layers = {}
         if any_hq and not all_hq and (bg_downsample or fg_downsample):
@@ -576,7 +588,7 @@ def insert_images_mrc(builder, hocr_file, in_pdf=None, image_files=None,
                 if bg_compression_flags and bg_compression_flags[0] else {}
             plain = [i for i, j in enumerate(batch_jobs)
                      if not j.hq and i not in hq_layers]
-            if len(plain) > 1:
+            if len(plain) >= 1:
                 t = time()
                 if len(plain) == len(batch_jobs):
                     fstack, bstack = fg_np, bg_np
@@ -599,14 +611,14 @@ def insert_images_mrc(builder, hocr_file, in_pdf=None, image_files=None,
                 ffetch, fmeta = transform_jp2_batch_async(
                     fstack, base_delta=fkw.get('delta', 1.0 / 64),
                     levels=int(fkw.get('levels', 5)),
-                    pack8=_pack8(fkw))
+                    pack8=_pack8(fkw), ratio=fkw.get('ratio'))
                 bfetch, bmeta = transform_jp2_batch_async(
                     bstack, base_delta=bkw.get('delta', 1.0 / 64),
                     levels=int(bkw.get('levels', 5)),
-                    pack8=_pack8(bkw))
-                fg_qb = {i: ((lambda k=k, f=ffetch: f(k)), fmeta)
+                    pack8=_pack8(bkw), ratio=bkw.get('ratio'))
+                fg_qb = {i: ((lambda k=k, f=ffetch: f(k)), fmeta, k)
                          for k, i in enumerate(plain)}
-                bg_qb = {i: ((lambda k=k, f=bfetch: f(k)), bmeta)
+                bg_qb = {i: ((lambda k=k, f=bfetch: f(k)), bmeta, k)
                          for k, i in enumerate(plain)}
                 timing_data.append(('jp2_batch_transform', time() - t))
 

@@ -346,6 +346,92 @@ class TestBatchedPipelineWiring:
                     assert facts['packet_walk']
 
 
+class TestPack4:
+    """Plane-budget transfer (pack4): fine bands at 3 magnitude planes
+    (nibble/sparse packed), level 3 at int8, band-level int8 refetch
+    when rate allocation exhausts the budget (jp2tpu.py pack4 block).
+    Evidence that 3 planes suffice: tools/jp2_plane_stats.py."""
+
+    def _page(self, seed=21, noise=10, shape=(264, 200)):
+        rng = np.random.default_rng(seed)
+        img = np.full(shape, 228.0)
+        for y in range(20, shape[0] - 20, 22):
+            img[y:y + 7, 12:shape[1] - 12] = 45
+        return np.clip(img + rng.normal(0, noise, shape), 0,
+                       255).astype(np.uint8)
+
+    def test_pack4_stream_valid_and_close(self, monkeypatch):
+        import io
+        from PIL import Image
+        from archive_pdf_tools_tpu.validators.jp2_check import \
+            validate_jp2
+        monkeypatch.setenv('APT_JP2_DEVICE', 'native')
+        img = self._page()
+        base = J.encode_jp2_tpu_batch(img[None], ratio=500)[0]
+        monkeypatch.setenv('APT_JP2_PACK4', '1')
+        p4 = J.encode_jp2_tpu_batch(img[None], ratio=500)[0]
+        facts = validate_jp2(p4)
+        assert facts['packet_walk']
+        d0 = np.asarray(Image.open(io.BytesIO(base)).convert('L'))
+        d1 = np.asarray(Image.open(io.BytesIO(p4)).convert('L'))
+        assert abs(_psnr(d0, img) - _psnr(d1, img)) < 0.5
+        assert len(p4) <= len(base) * 1.1
+
+    def test_pack4_device_matches_native(self, monkeypatch):
+        # the jitted transform + nibble/sparse drain must reproduce the
+        # host clipping exactly, gray and RGB, batched
+        g = self._page(seed=22)
+        imgs_g = np.stack([g, g[::-1].copy()])
+        imgs_rgb = np.stack([np.stack([g, (g * 0.9).astype(np.uint8),
+                                       (g * 0.8).astype(np.uint8)],
+                                      -1)] * 2)
+        monkeypatch.setenv('APT_JP2_PACK4', '1')
+        for imgs in (imgs_g, imgs_rgb):
+            monkeypatch.setenv('APT_JP2_DEVICE', 'native')
+            nat = J.encode_jp2_tpu_batch(imgs, ratio=450)
+            monkeypatch.setenv('APT_JP2_DEVICE', 'cpu')
+            dev = J.encode_jp2_tpu_batch(imgs, ratio=450)
+            assert nat == dev
+
+    def test_pack4_activates_by_ratio(self, monkeypatch):
+        monkeypatch.setenv('APT_JP2_DEVICE', 'native')
+        img = self._page(seed=23)
+        _, m_hi = J.transform_jp2_batch(img[None], ratio=500)
+        assert m_hi.get('kplanes')
+        _, m_lo = J.transform_jp2_batch(img[None], ratio=300)
+        assert not m_lo.get('kplanes')
+        monkeypatch.setenv('APT_JP2_PACK4', '0')
+        _, m_off = J.transform_jp2_batch(img[None], ratio=500)
+        assert not m_off.get('kplanes')
+
+    @pytest.mark.parametrize('device', ['native', 'cpu'])
+    def test_pack4_starvation_refetch(self, monkeypatch, device):
+        # K=1 guarantees the budget starves at a moderate rate target;
+        # the band refetch must kick in and the stream stay conformant
+        # and within a whisker of the unbudgeted encode
+        import io
+        from PIL import Image
+        from archive_pdf_tools_tpu.validators.jp2_check import \
+            validate_jp2
+        monkeypatch.setenv('APT_JP2_DEVICE', device)
+        monkeypatch.setenv('APT_JP2_PACK4', '1')
+        monkeypatch.setenv('APT_T1_STATS', '1')
+        img = self._page(seed=24, noise=16)
+        J.T1_STATS.pop('pack4_refetch', None)
+        monkeypatch.setenv('APT_JP2_PACK4_K', '1')
+        # a generous byte budget wants planes far below the K=1 ship
+        # ceiling on every band -> guaranteed starvation
+        p1 = J.encode_jp2_tpu_batch(img[None], ratio=20)[0]
+        assert J.T1_STATS.get('pack4_refetch', (0, 0))[1] >= 1
+        monkeypatch.delenv('APT_JP2_PACK4_K')
+        monkeypatch.setenv('APT_JP2_PACK4', '0')
+        base = J.encode_jp2_tpu_batch(img[None], ratio=20)[0]
+        assert validate_jp2(p1)['packet_walk']
+        d0 = np.asarray(Image.open(io.BytesIO(base)).convert('L'))
+        d1 = np.asarray(Image.open(io.BytesIO(p1)).convert('L'))
+        assert abs(_psnr(d0, img) - _psnr(d1, img)) < 0.5
+
+
 class TestTruncationSafety:
     def test_truncation_matches_reencode(self, monkeypatch):
         # truncating the MQ stream at the recorded pass-end rate
