@@ -55,6 +55,11 @@ def _get_lib():
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_int, ctypes.c_uint,
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_long]
+    lib.jbig2tpu_encode_packed.restype = ctypes.c_long
+    lib.jbig2tpu_encode_packed.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_long]
     lib.jbig2tpu_decode.restype = ctypes.c_long
     lib.jbig2tpu_decode.argtypes = [
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
@@ -107,6 +112,30 @@ def encode_jbig2(mask, embedded=True, tpgdon=True, symbol_mode=False,
                 m.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), w, h,
                 1 if tpgdon else 0, 1 if embedded else 0,
                 out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap)
+        if n >= 0:
+            return out[:n].tobytes()
+        cap = -n
+
+
+def encode_jbig2_packed(packed, w, h, invert=False, embedded=True,
+                        tpgdon=True):
+    """Encode a bit-packed (H, ceil(W/8)) uint8 mask (np.packbits row
+    layout — the form the device mask transfer already uses) without
+    ever materializing a byte-per-pixel array on the Python side.
+    invert flips every pixel (the MRC pipeline stores ink as jbig2
+    white, so it encodes the inverted mask).  Byte-identical with
+    encode_jbig2(unpacked) — tested in tests/test_jbig2.py."""
+    lib = _get_lib()
+    m = np.ascontiguousarray(np.asarray(packed, np.uint8))
+    stride = m.shape[1]
+    cap = w * h // 4 + 1024
+    while True:
+        out = np.empty(cap, np.uint8)
+        n = lib.jbig2tpu_encode_packed(
+            m.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), stride,
+            w, h, 1 if invert else 0, 1 if tpgdon else 0,
+            1 if embedded else 0,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap)
         if n >= 0:
             return out[:n].tobytes()
         cap = -n

@@ -1107,6 +1107,32 @@ long jbig2tpu_encode(const uint8_t* img, int w, int h, int tpgdon,
   return static_cast<long>(buf.size());
 }
 
+// Packed-row input variant of jbig2tpu_encode: packed holds `stride`
+// bytes per row, bits MSB-first (np.packbits convention — the layout
+// the device mask transfer already uses, so the host never materializes
+// a byte-per-pixel mask).  invert != 0 flips every pixel (the pipeline
+// encodes ~mask; row-end padding bits flip too but lie beyond w and are
+// never read).
+long jbig2tpu_encode_packed(const uint8_t* packed, int stride, int w,
+                            int h, int invert, int tpgdon, int embedded,
+                            uint8_t* out, long cap) {
+  std::vector<uint8_t> img(static_cast<long>(w) * h);
+  const uint8_t inv = invert ? 0xFF : 0x00;
+  for (int y = 0; y < h; ++y) {
+    const uint8_t* row = packed + static_cast<long>(y) * stride;
+    uint8_t* dst = img.data() + static_cast<long>(y) * w;
+    int x = 0;
+    for (int b = 0; b < stride && x < w; ++b) {
+      const uint8_t v = row[b] ^ inv;
+      const int n = (w - x) < 8 ? (w - x) : 8;
+      for (int i = 0; i < n; ++i)
+        dst[x + i] = (v >> (7 - i)) & 1;
+      x += n;
+    }
+  }
+  return jbig2tpu_encode(img.data(), w, h, tpgdon, embedded, out, cap);
+}
+
 // Encode ONE immediate lossless generic region segment (type 39) for a
 // horizontal band of a larger page: img is (band_h, w) at page row y0.
 // Emits only the region segment (no file/page plumbing) with the given

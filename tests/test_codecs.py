@@ -69,6 +69,33 @@ class TestJBIG2:
         data = encode_jbig2(m, bands=8)
         assert (decode_jbig2(data, 320, 160) == m).all()
 
+    def test_packed_input_byte_identical(self):
+        # the packed-row entry point (jbig2tpu_encode_packed) must
+        # produce byte-identical streams to the byte-per-pixel path,
+        # with and without polarity inversion, incl. non-multiple-of-8
+        # widths (row padding bits must never leak into the region)
+        from archive_pdf_tools_tpu.codecs.jbig2 import encode_jbig2_packed
+        for seed, w in ((0, 320), (1, 317), (2, 257)):
+            m = text_mask(seed=seed)[:, :w]
+            pk = np.packbits(m.astype(np.uint8), axis=-1)
+            assert encode_jbig2_packed(pk, w, 240) == encode_jbig2(m)
+            assert encode_jbig2_packed(pk, w, 240, invert=True) \
+                == encode_jbig2(~m)
+
+    def test_packed_mask_fast_path(self):
+        # PackedMask through encode_mrc_mask: identical EncodedMask on
+        # the generic path, and a correct host unpack for formats the
+        # packed encoder doesn't cover (png / symbol mode)
+        from archive_pdf_tools_tpu.codecs.mrc_encode import PackedMask
+        m = text_mask(seed=3, w=317)
+        pm = PackedMask(np.packbits(m.astype(np.uint8), axis=-1),
+                        317, 240)
+        assert encode_mrc_mask(pm) == encode_mrc_mask(m)
+        assert encode_mrc_mask(pm, fmt='png') == encode_mrc_mask(m,
+                                                                 fmt='png')
+        assert encode_mrc_mask(pm, jbig2_symbol_mode=True) \
+            == encode_mrc_mask(m, jbig2_symbol_mode=True)
+
     def test_run_fastpath_byte_identical(self):
         # The batched-MPS run fast path (native/jbig2.cpp SameRun +
         # EncodeMPSRun) must produce byte-identical streams to the
