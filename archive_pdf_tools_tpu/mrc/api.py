@@ -77,10 +77,12 @@ def decompose_masks(np_images, word_datas, dpi=None, downsample=None,
     # loader thread: the host->device transfer then overlapped the
     # previous batch's encode work); stack them on device
     on_device = any(isinstance(im, jax.Array) for im in np_images)
-    if on_device and mesh is not None:
-        # mesh placement happens below via shard_pages on host arrays
-        np_images = [np.asarray(im) for im in np_images]
-        on_device = False
+    # with a mesh, pre-uploaded pages are stacked on device and
+    # resharded in place below (device_put accepts committed arrays;
+    # resharding rides ICI) — pulling them back to host first would be
+    # a full round trip through the host link (ADVICE r3).  The
+    # pipeline normally disables preload when a mesh exists, so this
+    # is the defensive path, not the production one.
     imgs = (jnp.stack(np_images) if on_device
             else np.stack(np_images))
     rgb = imgs.ndim == 4
@@ -125,17 +127,25 @@ def decompose_masks(np_images, word_datas, dpi=None, downsample=None,
     # to the XLA fallback; the XLA path (use_pallas() off) still
     # handles every height itself.
     tall_lines = []
+    short_pos = None
     if use_pallas():
         cap = LINE_H_BUCKETS[-1]
         short_boxes = []
+        short_pos = []
         for p, bx in enumerate(page_boxes):
             keep = []
-            for (tt, bo, ll, rr) in bx:
+            kpos = []
+            for i, (tt, bo, ll, rr) in enumerate(bx):
                 if bo - tt + tt % 8 > cap:
-                    tall_lines.append((p, tt, bo, ll, rr))
+                    # i = document position within the page, so the
+                    # patch step can honor the reference's
+                    # paint-in-document-order overlap semantics
+                    tall_lines.append((p, i, tt, bo, ll, rr))
                 else:
                     keep.append((tt, bo, ll, rr))
+                    kpos.append(i)
             short_boxes.append(keep)
+            short_pos.append(kpos)
         page_boxes = short_boxes
 
     if mesh is not None and (len(np_images) < mesh.size
@@ -199,8 +209,9 @@ def decompose_masks(np_images, word_datas, dpi=None, downsample=None,
         td.add('threshold', t0)
         mask = gmask
         if tall_lines:
+            # no short lines at all -> no document-order conflicts
             mask = _tall_line_patches(mask, gmask, gray, tall_lines,
-                                      window)
+                                      window, {})
         if denoise_mask is not None and denoise_mask != DENOISE_NONE:
             t0 = _time.time()
             mask = _run_denoise(mask)
@@ -404,7 +415,19 @@ def decompose_masks(np_images, word_datas, dpi=None, downsample=None,
                               gmask)
 
     if tall_lines:
-        mask = _tall_line_patches(mask, gmask, gray, tall_lines, window)
+        # selected short lines by page + document position: the patch
+        # step must let a LATER selected line win an overlap, exactly
+        # like the reference's in-order assignment (``mrc.py:188-270``)
+        selected_short = {}
+        lid = 0
+        for p, bx in enumerate(page_boxes):
+            for j, (tt, bo, ll, rr) in enumerate(bx):
+                lid += 1
+                if use_plain[lid] or use_inv[lid]:
+                    selected_short.setdefault(p, []).append(
+                        (short_pos[p][j], tt, bo, ll, rr))
+        mask = _tall_line_patches(mask, gmask, gray, tall_lines, window,
+                                  selected_short)
 
     if denoise_mask is not None and denoise_mask != DENOISE_NONE:
         t0 = _time.time()
@@ -426,14 +449,23 @@ def _apply_patch_jit(mask, gmask, page, patch_bits, region_bits):
     return mask.at[page].set(row)
 
 
-def _tall_line_patches(mask, gmask, gray, tall_lines, window):
+def _tall_line_patches(mask, gmask, gray, tall_lines, window,
+                       selected_short):
     """hOCR lines taller than the largest Pallas bucket (rare display
     type): threshold each crop with the reference-semantics numpy
     oracle (exact ``mrc.py:188-270`` behaviour, no per-shape compiles),
     run the same dual-polarity selection, and paste the selected masks
     into the device mask.  The paste ORs the global-threshold mask
     inside the patched region, preserving the reference's
-    assign-lines-then-OR-global ordering (``mrc.py:374-382``)."""
+    assign-lines-then-OR-global ordering (``mrc.py:374-382``).
+
+    selected_short: {page: [(doc_pos, t, b, l, r), ...]} of the SHORT
+    selected lines already painted on device.  The reference assigns
+    line crops in document order (later lines overwrite earlier in an
+    overlap), so a tall patch must NOT cover pixels a later selected
+    short line painted — those pixels are carved out of the patch
+    region.  tall_lines entries carry their own doc_pos for the same
+    reason (later tall lines overwrite earlier ones)."""
     from ..ops import golden
 
     ones = [0]
@@ -441,7 +473,7 @@ def _tall_line_patches(mask, gmask, gray, tall_lines, window):
     size = [0]
     crops = [None]
     metas = [None]
-    for (p, t, b, l, r) in tall_lines:
+    for (p, pos, t, b, l, r) in tall_lines:
         crop = np.asarray(gray[p, t:b, l:r])
         th = golden.sauvola_mask_ref(crop, window, window, 0.1)
         inv = golden.sauvola_mask_ref(255 - crop, window, window, 0.1)
@@ -449,7 +481,7 @@ def _tall_line_patches(mask, gmask, gray, tall_lines, window):
         ones_inv.append(int(inv.sum()))
         size.append(int(crop.size))
         crops.append((th, inv))
-        metas.append((p, t, b, l, r))
+        metas.append((p, pos, t, b, l, r))
 
     def sigma_fn(i):
         th, inv = crops[i]
@@ -470,15 +502,24 @@ def _tall_line_patches(mask, gmask, gray, tall_lines, window):
             pick = crops[i][1]
         if pick is None:
             continue
-        (p, t, b, l, r) = metas[i]
-        by_page.setdefault(p, []).append((t, b, l, r, pick))
+        (p, pos, t, b, l, r) = metas[i]
+        by_page.setdefault(p, []).append((pos, t, b, l, r, pick))
 
     for p, items in sorted(by_page.items()):
         patch = np.zeros((h, w), np.uint8)
         region = np.zeros((h, w), np.uint8)
-        for (t, b, l, r, pick) in items:
+        pos_map = np.full((h, w), -1, np.int32)
+        for (pos, t, b, l, r, pick) in sorted(items):  # document order
             region[t:b, l:r] = 1
             patch[t:b, l:r] = pick
+            pos_map[t:b, l:r] = pos
+        # later selected short lines win their overlap: carve them out
+        # of the patch region so the device-painted mask shows through
+        for (spos, st, sb, sl, sr) in selected_short.get(p, []):
+            sub = pos_map[st:sb, sl:sr]
+            later = (sub >= 0) & (sub < spos)
+            if later.any():
+                region[st:sb, sl:sr][later] = 0
         mask = _apply_patch_jit(
             mask, gmask, p,
             jnp.asarray(np.packbits(patch, axis=-1)),

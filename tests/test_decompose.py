@@ -222,6 +222,45 @@ class TestTallLines:
             agree = (ref == got[i]).mean()
             assert agree >= 0.999, f'page {i}: {agree}'
 
+    def test_tall_overlap_later_short_line_wins(self):
+        # Former PARITY.md caveat (VERDICT r3 #4): a >512 px line whose
+        # box overlaps a LATER short line's box.  The reference assigns
+        # line crops in document order (``mrc.py:188-270``), so the
+        # short line wins the overlap; the tall host patch must carve
+        # that region out.  The fixture makes the divergence gross:
+        # the tall line is an inverted headline (selects the inverted
+        # polarity), the short line is normal text (selects plain) —
+        # without the carve-out the overlap flips to ~background-True.
+        h, w = 900, 480
+        rng = np.random.default_rng(5)
+        img = np.full((h, w), 225, np.uint8)
+        img[40:470, 30:450] = 50                 # dark headline band
+        for x in range(50, 430, 46):
+            img[80:430, x:x + 20] = 215          # light glyphs
+        for y in (500, 540):
+            img[y:y + 24, 40:460] = 60           # normal body strokes
+        img = np.clip(img.astype(np.float32)
+                      + rng.normal(0, 6, img.shape), 0, 255) \
+            .astype(np.uint8)
+        lines = [
+            {'bbox': [30, 40, 450, 600], 'baseline': (0.0, 0),
+             'words': [{'text': 'HEAD', 'bbox': [30, 40, 450, 600],
+                        'confidence': 90, 'writing_direction': 0,
+                        'fontsize': 300}]},
+            {'bbox': [200, 495, 470, 570], 'baseline': (0.0, 0),
+             'words': [{'text': 'body', 'bbox': [200, 495, 470, 570],
+                        'confidence': 90, 'writing_direction': 0,
+                        'fontsize': 12}]},
+        ]
+        wd = [{'lines': lines}]
+        ref = mask_pipeline_ref(img, wd, dpi=600)
+        mask, _ = decompose_masks([img], [wd], dpi=600)
+        got = np.asarray(mask)[0]
+        ov = (slice(495, 570), slice(200, 450))
+        assert (ref[ov] == got[ov]).mean() >= 0.999, \
+            (ref[ov] == got[ov]).mean()
+        assert (ref == got).mean() >= 0.999
+
     def test_tall_only_page_no_short_lines(self):
         # a page whose ONLY line is tall exercises the total==0 early
         # path with patches
