@@ -49,6 +49,12 @@ def srgb_icc_bytes():
     dt = _now()
     icc[24:36] = struct.pack('>6H', dt.year, dt.month, dt.day,
                              dt.hour, dt.minute, dt.second)
+    # the header's profile-ID field (bytes 84-99) is an MD5 over the
+    # profile with that field zeroed; current littleCMS leaves it
+    # zeroed, but if a future version stamps it, the checksum would go
+    # stale against the patched dateTime above — zero means "not
+    # computed", which is always valid (ICC.1 clause 7.2.18)
+    icc[84:100] = bytes(16)
     return bytes(icc)
 
 

@@ -1,14 +1,34 @@
 #!/usr/bin/env python3
-"""Benchmark: full MRC decomposition throughput on one TPU chip.
+"""Benchmark: full MRC decomposition + end-to-end recode throughput on
+one TPU chip.
 
-Measures the flagship step (hOCR-line thresholds + noise-adaptive global
-Sauvola + mask compose + exact despeckle + fg/bg radiate fills) on
-400-DPI grayscale pages (3300x2550), the BASELINE.md headline config.
+Prints ONE JSON line whose headline metric is the flagship device step
+(hOCR-line thresholds + noise-adaptive global Sauvola + mask compose +
+exact despeckle + fg/bg radiate fills) on 400-DPI grayscale pages
+(3300x2550), the BASELINE.md config.  The same line carries every other
+BASELINE.json config so per-config regressions are visible round over
+round (VERDICT r3 #3):
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-vs_baseline is measured against the reference's published end-to-end
-1.16 s/page (README.rst:178, 0.862 pages/s on CPU) — the decomposition
-dominates that pipeline.
+  value / median            gray 400-DPI decompose pages/s (configs 1)
+  rgb_pages_per_sec         RGB 400-DPI decompose (config 2)
+  dpi600_pages_per_sec      noisy 600-DPI newspaper (config 5)
+  pipeline_pages_per_sec    decompose_masks->layers through the real
+                            API incl. host heuristics + readbacks
+  e2e_warm_s_per_page       full recode() on the frozen realistic
+                            8-page corpus (7 gray + 1 RGB, corpus hash
+                            in BENCH_E2E.json) — the number that must
+                            beat the reference's 1.16 s/page
+  steady64_s_per_page       64-page book steady state (config 3)
+  link_up_mb_s/link_down_mb_s  tunnel throughput probe: separates
+                            box drift from code regressions (the r03
+                            pipeline halving was unattributable
+                            without this, VERDICT r3 #2)
+
+All timed metrics are best-of-N with the median recorded alongside —
+single warm iterations rot silently on this box's drifting tunnel.
+
+Env: BENCH_BATCH (64), BENCH_ITERS (3), BENCH_FAST=1 (headline only),
+BENCH_SKIP_PIPELINE=1, APT_BENCH_E2E=0, APT_BENCH_STEADY=0.
 """
 
 import json
@@ -24,11 +44,15 @@ os.environ.setdefault('JAX_COMPILATION_CACHE_DIR', '/tmp/jax_cache_apt')
 
 import numpy as np
 
+# single source of truth for the reference headline (ADVICE r3: the
+# hardcoded 1.16 constant rotted the ratio silently when remeasured)
+from tools.e2e_bench import E2E_BASELINE_S_PER_PAGE, make_realistic_book
 
-def main():
+BASELINE_PAGES_PER_SEC = 1.0 / E2E_BASELINE_S_PER_PAGE
+
+
+def wait_for_device():
     import jax
-    from archive_pdf_tools_tpu.mrc.step import mrc_full_step_pallas
-
     # the axon backend goes UNAVAILABLE for stretches (observed hours
     # on 2026-08-17); wait for a live device rather than dying on the
     # first device_put
@@ -37,7 +61,7 @@ def main():
         try:
             probe = jax.device_put(np.zeros((8, 128), np.float32))
             _ = np.asarray(probe.ravel()[:1])
-            break
+            return
         except Exception as exc:
             if time.time() > deadline:
                 raise
@@ -45,18 +69,24 @@ def main():
                   % type(exc).__name__, file=sys.stderr)
             time.sleep(60)
 
-    batch = int(os.environ.get('BENCH_BATCH', '64'))
-    rgb = os.environ.get('BENCH_MODE', 'gray') == 'rgb'
-    dpi = int(os.environ.get('BENCH_DPI', '400'))
-    # 400 DPI letter-ish page; BENCH_DPI=600 is the noisy-newspaper
-    # config from BASELINE.json (bigger pages, window 151, heavier
-    # noise driving a larger blur-radius bucket)
-    h, w = (3300, 2550) if dpi == 400 else (dpi * 33 // 4, dpi * 51 // 8)
-    window = dpi // 4 + (1 - (dpi // 4) % 2)   # sauvola_window(dpi)
-    noise_sigma = 8 if dpi == 400 else 18
-    lines_per_page = 40
-    n_seg = -(-(batch * lines_per_page + 1) // 64) * 64
 
+def probe_link():
+    """Tunnel throughput, both directions, on an 8 MB array.  Recorded
+    so a round-over-round metric move can be attributed to box drift
+    vs a code change."""
+    import jax
+    a = np.zeros((2048, 4096), np.uint8)
+    t0 = time.perf_counter()
+    d = jax.device_put(a)
+    _ = np.asarray(d.ravel()[:1])
+    up = a.nbytes / 1e6 / (time.perf_counter() - t0)
+    t0 = time.perf_counter()
+    _ = np.asarray(d)
+    down = a.nbytes / 1e6 / (time.perf_counter() - t0)
+    return round(up, 1), round(down, 1)
+
+
+def synth_batch(batch, h, w, rgb, noise_sigma, lines_per_page=40):
     rng = np.random.default_rng(0)
     images = np.full((batch, h, w), 235, np.uint8)
     # text-ish strokes so the mask/denoise paths do real work
@@ -70,11 +100,12 @@ def main():
         .astype(np.uint8)
     if rgb:
         # sepia-ish book scan: correlated channels, full RGB pipeline
-        # (gray_601 + rgb radiate fills)
+        # (gray_601 + 3-channel radiate fills)
         images = np.stack([images,
                            (images * 0.92).astype(np.uint8),
                            (images * 0.80).astype(np.uint8)], axis=-1)
 
+    n_seg = -(-(batch * lines_per_page + 1) // 64) * 64
     boxes = np.zeros((4, n_seg), np.int32)
     boxes[1, 0] = 1
     boxes[3, 0] = 1
@@ -88,18 +119,32 @@ def main():
             pages_vec[lid] = b
     selector = np.zeros(n_seg, np.int32)
     selector[1:lid + 1] = 1
+    return images, boxes, pages_vec, selector
+
+
+def bench_decompose(batch, dpi, rgb, iters):
+    """Fused device step at one config -> (best, median) pages/s."""
+    import jax
+    from archive_pdf_tools_tpu.mrc.step import mrc_full_step_pallas
+    from archive_pdf_tools_tpu.ops.paste_pallas import build_paste_plan
+    from archive_pdf_tools_tpu.mrc.decompose import (pick_blur_radius,
+                                                     gray_601)
+
+    # 400 DPI letter-ish page; 600 DPI is the noisy-newspaper config
+    # from BASELINE.json (bigger pages, window 151, heavier noise
+    # driving a larger blur-radius bucket)
+    h, w = (3300, 2550) if dpi == 400 else (dpi * 33 // 4, dpi * 51 // 8)
+    window = dpi // 4 + (1 - (dpi // 4) % 2)   # sauvola_window(dpi)
+    noise_sigma = 8 if dpi == 400 else 18
+    images, boxes, pages_vec, selector = synth_batch(
+        batch, h, w, rgb, noise_sigma)
 
     dev = jax.device_put
     args = tuple(dev(a) for a in (images, boxes, pages_vec, selector))
-
-    from archive_pdf_tools_tpu.ops.paste_pallas import build_paste_plan
     plan = build_paste_plan(boxes, pages_vec, selector, batch)
     plan_dev = tuple(dev(plan[k]) for k in
                      ('li', 't', 'b', 'l', 'r', 'sel', 'gpage', 'gfirst'))
-
     # host-side radius bucket choice, as the recode pipeline does it
-    from archive_pdf_tools_tpu.mrc.decompose import (pick_blur_radius,
-                                                     gray_601)
     radius = pick_blur_radius(gray_601(args[0]) if rgb else args[0])
 
     def step():
@@ -115,122 +160,206 @@ def main():
 
     step()  # compile + warmup
     step()
-
-    iters = int(os.environ.get('BENCH_ITERS', '3'))
-    best = float('inf')
+    times = []
     for _ in range(iters):
         t0 = time.perf_counter()
         step()
-        best = min(best, time.perf_counter() - t0)
+        times.append(time.perf_counter() - t0)
+    return batch / min(times), batch / float(np.median(times))
 
-    pages_per_sec = batch / best
-    baseline_pages_per_sec = 1.0 / 1.16   # README.rst:178
 
-    # --- honest pipeline-level number (VERDICT r1 weak #2): the real
-    # decompose_masks -> select_lines -> paste -> decompose_layers API,
-    # host heuristics and device<->host readbacks included.  Smaller
-    # batch: the sigma/selector readbacks serialize on the host link.
-    pipe_pages_per_sec = None
-    try:
-      if os.environ.get('BENCH_SKIP_PIPELINE') != '1':
-        from archive_pdf_tools_tpu.mrc.api import (decompose_masks,
-                                                   decompose_layers)
-        pbatch = int(os.environ.get('BENCH_PIPELINE_BATCH',
-                                    str(min(batch, 16))))
-        arrs = [images[i % batch] for i in range(pbatch)]
-        word_datas = []
-        for b in range(pbatch):
-            lines = []
-            for i in range(lines_per_page):
-                t = 30 + i * (h - 80) // lines_per_page
-                lines.append({
-                    'bbox': [40, t, w - 40, t + 50],
-                    'baseline': (0.0, 0),
-                    'words': [{'text': 'line%d' % i,
-                               'bbox': [40, t, w - 40, t + 50],
-                               'confidence': 90, 'writing_direction': 0,
-                               'fontsize': 10}],
-                })
-            word_datas.append([{'lines': lines}])
+def bench_pipeline(batch, dpi, iters):
+    """The honest decompose_masks -> decompose_layers API path, host
+    heuristics and full-layer readbacks included -> (best, median)
+    pages/s."""
+    import jax
+    from archive_pdf_tools_tpu.mrc.api import (decompose_masks,
+                                               decompose_layers)
+    h, w = 3300, 2550
+    images, _, _, _ = synth_batch(batch, h, w, False, 8)
+    arrs = [images[i] for i in range(batch)]
+    lines_per_page = 40
+    word_datas = []
+    for b in range(batch):
+        lines = []
+        for i in range(lines_per_page):
+            t = 30 + i * (h - 80) // lines_per_page
+            lines.append({
+                'bbox': [40, t, w - 40, t + 50],
+                'baseline': (0.0, 0),
+                'words': [{'text': 'line%d' % i,
+                           'bbox': [40, t, w - 40, t + 50],
+                           'confidence': 90, 'writing_direction': 0,
+                           'fontsize': 10}],
+            })
+        word_datas.append([{'lines': lines}])
 
-        def pipe_step():
-            mask_dev, dev_imgs = decompose_masks(
-                arrs, word_datas, dpi=dpi)
-            fg, bg = decompose_layers(mask_dev, dev_imgs,
-                                      bg_downsample=3)
-            jax.block_until_ready(mask_dev)
-            _ = np.asarray(np.asarray(fg)[:, -1, -1])
+    def pipe_step():
+        mask_dev, dev_imgs = decompose_masks(arrs, word_datas, dpi=dpi)
+        fg, bg = decompose_layers(mask_dev, dev_imgs, bg_downsample=3)
+        jax.block_until_ready(mask_dev)
+        _ = np.asarray(np.asarray(fg)[:, -1, -1])
 
-        pipe_step()   # compile + warm caches
+    pipe_step()   # compile + warm caches
+    times = []
+    for _ in range(iters):
         t0 = time.perf_counter()
         pipe_step()
-        pipe_pages_per_sec = pbatch / (time.perf_counter() - t0)
-    except Exception as exc:   # never lose the primary metric
-        print('pipeline-level bench failed: %r' % (exc,),
-              file=sys.stderr)
+        times.append(time.perf_counter() - t0)
+    return batch / min(times), batch / float(np.median(times))
 
-    # --- pinned end-to-end metric (VERDICT r2 weak #1: the RESULTS e2e
-    # claim rotted silently because no harness re-measured it).  The
-    # full recode() on the 8-page 400-DPI book from tools/e2e_bench.py,
-    # '-J tpu', cold then warm; the warm number is what RESULTS.md may
-    # cite.  Also written to BENCH_E2E.json so the driver captures it
-    # every round.  APT_BENCH_E2E=0 skips (e.g. kernel-only A/B runs).
-    e2e = None
-    try:
-      if os.environ.get('APT_BENCH_E2E', '1') != '0':
-        import tempfile
-        from tools.e2e_bench import make_book
-        from archive_pdf_tools_tpu.pipeline.recode import recode
-        tmp = tempfile.mkdtemp(prefix='bench_e2e_')
-        glob_pat, hocr = make_book(tmp)
 
-        def e2e_run(tag):
-            t0 = time.perf_counter()
-            res = recode(
-                from_imagestack=glob_pat, hocr_file=hocr,
-                out_pdf=os.path.join(tmp, 'out.pdf'), dpi=400,
-                jbig2=True, bg_downsample=3,
-                jpeg2000_implementation='tpu',
-                bg_compression_flags=['ratio:500'],
-                fg_compression_flags=['ratio:750'])
-            return ((time.perf_counter() - t0) / 8.0,
-                    res.get('compression_ratio', -1.0))
+def bench_e2e(out_dir):
+    """Pinned end-to-end metric on the frozen realistic corpus:
+    full recode() '-J tpu', cold + 2 warm runs -> dict for
+    BENCH_E2E.json (VERDICT r2 weak #1: unpinned e2e claims rot)."""
+    import tempfile
+    from archive_pdf_tools_tpu.pipeline.recode import recode
 
-        e2e_run('cold')
-        warm_spp, ratio = e2e_run('warm')
-        e2e = {'metric': 'e2e_recode_warm_s_per_page_tpu_8p400dpi',
-               'value': round(warm_spp, 3), 'unit': 's/page',
-               'vs_baseline': round(1.16 / warm_spp, 2),
-               'compression_ratio': round(float(ratio), 1),
-               'harness': 'bench.py e2e (= tools/e2e_bench.py tpu, warm)',
-               'date': time.strftime('%Y-%m-%d')}
-        with open(os.path.join(os.path.dirname(
-                os.path.abspath(__file__)), 'BENCH_E2E.json'), 'w') as fp:
-            json.dump(e2e, fp)
-            fp.write('\n')
-    except Exception as exc:   # never lose the primary metric
-        print('e2e bench failed: %r' % (exc,), file=sys.stderr)
+    glob_pat, hocr, corpus_sha = make_realistic_book()
+    n_pages = 8
+    tmp = tempfile.mkdtemp(prefix='bench_e2e_')
 
-    metric = '%ddpi_%sfull_mrc_decompose_pages_per_sec_per_chip' \
-        % (dpi, 'rgb_' if rgb else '')
+    def run():
+        t0 = time.perf_counter()
+        res = recode(
+            from_imagestack=glob_pat, hocr_file=hocr,
+            out_pdf=os.path.join(tmp, 'out.pdf'), dpi=400,
+            jbig2=True, bg_downsample=3,
+            jpeg2000_implementation='tpu',
+            bg_compression_flags=['ratio:500'],
+            fg_compression_flags=['ratio:750'])
+        return ((time.perf_counter() - t0) / n_pages,
+                res.get('compression_ratio', -1.0))
+
+    run()                      # cold (compiles)
+    warms = [run() for _ in range(2)]
+    spps = [wr[0] for wr in warms]
+    e2e = {'metric': 'e2e_recode_warm_s_per_page_tpu_8p400dpi',
+           'value': round(min(spps), 3), 'unit': 's/page',
+           'median': round(float(np.median(spps)), 3),
+           'vs_baseline': round(E2E_BASELINE_S_PER_PAGE / min(spps), 2),
+           'baseline_s_per_page': E2E_BASELINE_S_PER_PAGE,
+           'compression_ratio': round(float(warms[-1][1]), 1),
+           'corpus': corpus_sha,
+           'harness': 'bench.py e2e (tools/e2e_bench.make_realistic_book,'
+                      ' cold + best/median of 2 warm)',
+           'date': time.strftime('%Y-%m-%d')}
+    with open(os.path.join(out_dir, 'BENCH_E2E.json'), 'w') as fp:
+        json.dump(e2e, fp)
+        fp.write('\n')
+    return e2e
+
+
+def bench_steady(n_pages=64):
+    """BASELINE.json config 3 (book steady state): the 8-page corpus
+    cycled to 64 pages, one warm recode -> s/page.  Shares every
+    compiled shape with bench_e2e, so no extra compiles."""
+    import shutil
+    import tempfile
+    from glob import glob
+    from archive_pdf_tools_tpu.pipeline.recode import recode
+
+    glob_pat, hocr, _sha = make_realistic_book()
+    src = sorted(glob(glob_pat))
+    base = len(src)
+    tmp = tempfile.mkdtemp(prefix='bench_steady_')
+    with open(hocr, encoding='utf-8') as fp:
+        text = fp.read()
+    head, _, rest = text.partition('<div class="ocr_page"')
+    pages_markup = ('<div class="ocr_page"' + rest).rsplit(
+        '</body>', 1)[0]
+    tail = '</body>' + text.rsplit('</body>', 1)[1]
+    for i in range(n_pages):
+        shutil.copy(src[i % base],
+                    os.path.join(tmp, 'page_%04d.png' % i))
+    with open(os.path.join(tmp, 'book.hocr'), 'w',
+              encoding='utf-8') as fp:
+        fp.write(head + pages_markup * (n_pages // base) + tail)
+
+    t0 = time.perf_counter()
+    recode(from_imagestack=os.path.join(tmp, 'page_*.png'),
+           hocr_file=os.path.join(tmp, 'book.hocr'),
+           out_pdf=os.path.join(tmp, 'out.pdf'), dpi=400,
+           jbig2=True, bg_downsample=3,
+           jpeg2000_implementation='tpu',
+           bg_compression_flags=['ratio:500'],
+           fg_compression_flags=['ratio:750'])
+    spp = (time.perf_counter() - t0) / n_pages
+    shutil.rmtree(tmp, ignore_errors=True)
+    return spp
+
+
+def main():
+    wait_for_device()
+    here = os.path.dirname(os.path.abspath(__file__))
+
+    batch = int(os.environ.get('BENCH_BATCH', '64'))
+    iters = int(os.environ.get('BENCH_ITERS', '3'))
+    fast = os.environ.get('BENCH_FAST') == '1'
+
+    up, down = probe_link()
+
+    best, med = bench_decompose(batch, 400, False, iters)
     out = {
-        'metric': metric,
-        'value': round(pages_per_sec, 3),
+        'metric': '400dpi_full_mrc_decompose_pages_per_sec_per_chip',
+        'value': round(best, 3),
         'unit': 'pages/s',
         # device-step throughput vs the reference's full-pipeline
         # headline: the decomposition dominates its pipeline, but this
-        # comparison still flatters the chip number — see
-        # pipeline_pages_per_sec for the end-to-end-honest figure
-        'vs_baseline': round(pages_per_sec / baseline_pages_per_sec, 2),
+        # comparison still flatters the chip number — see the e2e keys
+        # for the end-to-end-honest figure
+        'vs_baseline': round(best / BASELINE_PAGES_PER_SEC, 2),
+        'median': round(med, 3),
+        'link_up_mb_s': up,
+        'link_down_mb_s': down,
     }
-    if pipe_pages_per_sec is not None:
-        out['pipeline_pages_per_sec'] = round(pipe_pages_per_sec, 3)
-        out['pipeline_vs_baseline'] = round(
-            pipe_pages_per_sec / baseline_pages_per_sec, 2)
-    if e2e is not None:
-        out['e2e_warm_s_per_page'] = e2e['value']
-        out['e2e_vs_baseline'] = e2e['vs_baseline']
-        out['e2e_compression_ratio'] = e2e['compression_ratio']
+
+    if not fast:
+        try:
+            b, m = bench_decompose(min(batch, 16), 400, True, iters)
+            out['rgb_pages_per_sec'] = round(b, 3)
+            out['rgb_median'] = round(m, 3)
+        except Exception as exc:
+            print('rgb bench failed: %r' % (exc,), file=sys.stderr)
+        try:
+            b, m = bench_decompose(min(batch, 16), 600, False, iters)
+            out['dpi600_pages_per_sec'] = round(b, 3)
+            out['dpi600_median'] = round(m, 3)
+        except Exception as exc:
+            print('600dpi bench failed: %r' % (exc,), file=sys.stderr)
+
+    if not fast and os.environ.get('BENCH_SKIP_PIPELINE') != '1':
+        try:
+            pbatch = int(os.environ.get('BENCH_PIPELINE_BATCH', '16'))
+            b, m = bench_pipeline(pbatch, 400, max(iters, 3))
+            out['pipeline_pages_per_sec'] = round(b, 3)
+            out['pipeline_median'] = round(m, 3)
+            out['pipeline_vs_baseline'] = round(
+                b / BASELINE_PAGES_PER_SEC, 2)
+        except Exception as exc:   # never lose the primary metric
+            print('pipeline bench failed: %r' % (exc,), file=sys.stderr)
+
+    if not fast and os.environ.get('APT_BENCH_E2E', '1') != '0':
+        try:
+            e2e = bench_e2e(here)
+            out['e2e_warm_s_per_page'] = e2e['value']
+            out['e2e_warm_median'] = e2e['median']
+            out['e2e_vs_baseline'] = e2e['vs_baseline']
+            out['e2e_compression_ratio'] = e2e['compression_ratio']
+            out['e2e_corpus'] = e2e['corpus']
+        except Exception as exc:
+            print('e2e bench failed: %r' % (exc,), file=sys.stderr)
+        if os.environ.get('APT_BENCH_STEADY', '1') != '0':
+            try:
+                spp = bench_steady()
+                out['steady64_s_per_page'] = round(spp, 3)
+                out['steady64_vs_baseline'] = round(
+                    E2E_BASELINE_S_PER_PAGE / spp, 2)
+            except Exception as exc:
+                print('steady bench failed: %r' % (exc,),
+                      file=sys.stderr)
+
     print(json.dumps(out))
 
 

@@ -44,15 +44,27 @@ def _glyph(rng, gh, gw):
 
 def synth_scan(h=600, w=440, seed=0, dpi=150,
                bleed=True, halftone=True, inverted_band=True,
-               noise_sigma=9.0):
+               noise_sigma=9.0, fast_paper=False):
     """Returns (uint8 page, word_data) shaped like archive-hocr-tools
-    output (one paragraph, many lines)."""
+    output (one paragraph, many lines).
+
+    fast_paper: synthesize the low-frequency paper mottle at 1/8 scale
+    and upsample — full-page-size corpora (3300x2550 bench pages) would
+    otherwise spend tens of seconds in one huge gaussian_filter.  Still
+    deterministic in the seed (different draws than fast_paper=False,
+    so existing test fixtures are untouched)."""
     rng = np.random.default_rng(seed)
 
     # --- paper -------------------------------------------------------
     base = 228.0 + 10.0 * rng.random()
-    mottle = ndimage.gaussian_filter(
-        rng.normal(0, 1, (h, w)), sigma=max(8, h // 24))
+    if fast_paper:
+        hs, ws = h // 8 + 2, w // 8 + 2
+        small = ndimage.gaussian_filter(
+            rng.normal(0, 1, (hs, ws)), sigma=max(1, h // 192))
+        mottle = ndimage.zoom(small, 8, order=1)[:h, :w]
+    else:
+        mottle = ndimage.gaussian_filter(
+            rng.normal(0, 1, (h, w)), sigma=max(8, h // 24))
     mottle *= 12.0 / max(mottle.std(), 1e-6)
     yy, xx = np.mgrid[0:h, 0:w]
     vign = 8.0 * (((yy / h - 0.5) ** 2 + (xx / w - 0.5) ** 2) * 2.0)

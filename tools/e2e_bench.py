@@ -19,6 +19,75 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
+# Reference end-to-end headline this harness compares against:
+# 1.16 s/page (README.rst:178, 9-page JP2 magazine on an unspecified
+# CPU).  Single source of truth for bench.py's vs_baseline so a
+# remeasured baseline can't silently diverge from the recorded ratio.
+E2E_BASELINE_S_PER_PAGE = 1.16
+
+CORPUS_VERSION = 'v1'
+
+
+def make_realistic_book(tmp=None, n_pages=8, w=2550, h=3300, dpi=400):
+    """Frozen realistic e2e corpus (VERDICT r3 #8): full-size scanfix
+    synthetic scans (paper mottle, pseudo-glyph lines with baseline
+    wobble, bleed-through, halftone figure, inverted band, dust) —
+    pages 0..n-2 gray, the last page RGB (sepia colorization), all at
+    400 DPI.  Deterministic in (CORPUS_VERSION, n_pages, w, h); cached
+    under /tmp so repeated bench runs skip the ~1 min generation.
+
+    Returns (glob_pattern, hocr_path, corpus_sha1_12)."""
+    import hashlib
+    import json as _json
+    from PIL import Image
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
+    from tests.scanfix import synth_scan
+    from tests.fixtures import words_to_hocr_page, HOCR_TEMPLATE
+
+    cache = os.path.join(
+        tempfile.gettempdir(),
+        'apt_bench_corpus_%s_%dp_%dx%d' % (CORPUS_VERSION, n_pages, w, h))
+    manifest = os.path.join(cache, 'manifest.json')
+    if os.path.exists(manifest):
+        with open(manifest) as fp:
+            m = _json.load(fp)
+        return (os.path.join(cache, 'page_*.png'),
+                os.path.join(cache, 'book.hocr'), m['sha1'])
+
+    os.makedirs(cache, exist_ok=True)
+    sha = hashlib.sha1()
+    hocr_pages = []
+    for i in range(n_pages):
+        img, wd = synth_scan(h=h, w=w, seed=100 + i, dpi=dpi,
+                             fast_paper=True)
+        if i == n_pages - 1:
+            # RGB magazine-ish page (BASELINE.json config 2): correlated
+            # sepia channels so the gray conversion and 3-channel
+            # radiate fills run for real
+            img = np.stack([img,
+                            (img * 0.93).astype(np.uint8),
+                            (img * 0.82).astype(np.uint8)], axis=-1)
+        path = os.path.join(cache, 'page_%04d.png' % i)
+        Image.fromarray(img).save(path)
+        with open(path, 'rb') as fp:
+            sha.update(fp.read())
+        words = []
+        for para in wd:
+            for line in para['lines']:
+                x0, y0, x1, y1 = line['bbox']
+                words.append((x0, y0, x1, y1, 'synthword'))
+        hocr_pages.append(words_to_hocr_page(words, w, h, page_no=i,
+                                             dpi=dpi))
+    hocr_path = os.path.join(cache, 'book.hocr')
+    with open(hocr_path, 'w', encoding='utf-8') as fp:
+        fp.write(HOCR_TEMPLATE % '\n'.join(hocr_pages))
+    digest = sha.hexdigest()[:12]
+    with open(manifest, 'w') as fp:
+        _json.dump({'sha1': digest, 'n_pages': n_pages}, fp)
+    return os.path.join(cache, 'page_*.png'), hocr_path, digest
+
+
 def make_book(tmp, n_pages=8, w=2550, h=3300, dpi=400):
     from PIL import Image
     sys.path.insert(0, os.path.join(
