@@ -93,6 +93,14 @@ def _get_lib():
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
         ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
         ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_double)]
+    lib.jp2t1_encode_band.restype = ctypes.c_long
+    lib.jp2t1_encode_band.argtypes = [
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_long),
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_long),
+        ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_double)]
     lib.jp2dwt_quantize.restype = ctypes.c_long
     lib.jp2dwt_quantize.argtypes = [
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
@@ -725,6 +733,66 @@ def _encode_blocks(blocks, lib, workers, caps=None):
             run(cb)
 
 
+def _encode_band_blocks(lib, band, caps=None):
+    """T1-encode every block of one band with ONE native call.
+
+    The per-block path costs, per block, an ascontiguousarray + a
+    ctypes call + a GIL release/reacquire; inside recode() the GIL
+    ping-pong against the loader/qband-fetch threads inflated Tier-1
+    from a measured 0.10 ms/block (quiet process, tools/t1_profile.py)
+    to 0.42 ms/block (e2e A/B 'initial' stat).  Batching the band into
+    native/jp2t1.cpp:jp2t1_encode_band holds the GIL handoff count at
+    one per band and moves the all-zero-block test into the same C++
+    scan that extracts the block.  Streams are byte-identical with the
+    per-block path (tests/test_jp2tpu.py)."""
+    blocks = band.blocks
+    nb = len(blocks)
+    if nb == 0:
+        return
+    arr = np.ascontiguousarray(band.arr, np.int32)
+    bh, bw = arr.shape
+    caps_arr = None
+    if caps:
+        caps_arr = np.zeros(nb, np.int64)
+        for i, cb in enumerate(blocks):
+            caps_arr[i] = caps.get(id(cb), 0)
+        if not caps_arr.any():
+            caps_arr = None
+    out_cap = arr.size * 4 + 2048 * nb + 4096
+    out = np.empty(out_cap, np.uint8)
+    nbps = np.zeros(nb, np.int32)
+    npasses = np.zeros(nb, np.int32)
+    lens = np.zeros(nb, np.int64)
+    offs = np.zeros(nb, np.int64)
+    rates = np.zeros((nb, 128), np.int64)
+    dists = np.zeros((nb, 128), np.float64)
+    i64p = ctypes.POINTER(ctypes.c_long)
+    intp = ctypes.POINTER(ctypes.c_int)
+    n = lib.jp2t1_encode_band(
+        arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), bw, bh, CB,
+        blocks[0].orient_code,
+        caps_arr.ctypes.data_as(i64p) if caps_arr is not None else None,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), out_cap,
+        nbps.ctypes.data_as(intp), npasses.ctypes.data_as(intp),
+        lens.ctypes.data_as(i64p), offs.ctypes.data_as(i64p),
+        rates.ctypes.data_as(i64p),
+        dists.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+    if n != nb:
+        raise RuntimeError('jp2t1_encode_band overflow (%d != %d)'
+                           % (n, nb))
+    for i, cb in enumerate(blocks):
+        npi = int(npasses[i])
+        o = int(offs[i])
+        cb.data = out[o:o + int(lens[i])].tobytes()
+        cb.nbps = int(nbps[i])
+        cb.npasses = npi
+        cb.rates = rates[i, :npi]
+        cb.dists = dists[i, :npi]
+        cap = int(caps_arr[i]) if caps_arr is not None else 0
+        cb.capped = bool(cap) and npi < 3 * cb.nbps - 2
+        cb.hull_rows = None
+
+
 def _t1_all(bands, lib, workers, target_bytes=None):
     blocks = [cb for band in bands for cb in band.blocks]
     # rate-aware work cap: when a byte target exists, almost no block's
@@ -765,7 +833,15 @@ def _t1_all(bands, lib, workers, target_bytes=None):
                     floor, 4 * target_bytes * cb.arr.size // total_px)
     import time as _t
     _i0 = _t.time()
-    _encode_blocks(blocks, lib, workers, caps)
+    if workers > 1 and len(bands) > 1:
+        # multi-core hosts: band-level calls release the GIL for their
+        # whole duration, so a thread per band parallelizes in C++
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            list(pool.map(
+                lambda band: _encode_band_blocks(lib, band, caps), bands))
+    else:
+        for band in bands:
+            _encode_band_blocks(lib, band, caps)
     _stat('initial', _t.time() - _i0, len(blocks))
     return blocks
 
@@ -978,9 +1054,8 @@ def _host_encode(qbands, w, h, ncomp, levels, base_delta, ratio, rgb,
                 comp_bands[c][k] = _Band(*adjusted(k),
                                          np.asarray(q, np.int32))
             _stat('pack4_refetch', 0.0, 1)
-            newblocks = [cb for c in range(ncomp)
-                         for cb in comp_bands[c][k].blocks]
-            _encode_blocks(newblocks, lib, workers, caps=None)
+            for c in range(ncomp):
+                _encode_band_blocks(lib, comp_bands[c][k])
 
     # guard bits: Mb = guard + eps - 1 must cover every block's planes
     guard = 2

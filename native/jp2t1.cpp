@@ -702,25 +702,12 @@ struct StripeCoder {
   }
 };
 
-}  // namespace
-
-extern "C" {
-
-// Encode one code block.
-//   coeffs: int32 signed quantized coefficients, row-major w*h.
-//   orient: 0 = LL/LH, 1 = HL, 2 = HH.
-//   max_passes: stop after this many coding passes (-1 = all).
-//   max_bytes: stop adding passes once the stream exceeds this many
-//   bytes (<= 0 = no cap) — used by the rate allocator to avoid coding
-//   planes that can never be included at the target rate.
-// Returns the byte length written to out (or -needed if cap too small).
-// Outputs: *nbps = magnitude bit planes present; *npasses = passes
-// coded; pass_rate[i]/pass_dist[i] = cumulative approximate byte count /
-// cumulative distortion reduction after pass i.
-long jp2t1_encode_block(const int32_t* coeffs, int w, int h, int orient,
-                        int max_passes, long max_bytes, uint8_t* out,
-                        long cap, int* nbps, int* npasses, long* pass_rate,
-                        double* pass_dist) {
+// Shared body of jp2t1_encode_block / jp2t1_encode_band (see the
+// extern "C" doc comments below for the contract).
+static long EncodeOne(const int32_t* coeffs, int w, int h, int orient,
+                      int max_passes, long max_bytes, uint8_t* out,
+                      long cap, int* nbps, int* npasses, long* pass_rate,
+                      double* pass_dist) {
   std::vector<int32_t> mag(w * h);
   std::vector<uint8_t> sgn(w * h);
   int32_t maxmag = 0;
@@ -802,6 +789,95 @@ long jp2t1_encode_block(const int32_t* coeffs, int w, int h, int orient,
   if (n > cap) return -n;
   std::memcpy(out, buf.data(), n);
   return n;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Encode one code block.
+//   coeffs: int32 signed quantized coefficients, row-major w*h.
+//   orient: 0 = LL/LH, 1 = HL, 2 = HH.
+//   max_passes: stop after this many coding passes (-1 = all).
+//   max_bytes: stop adding passes once the stream exceeds this many
+//   bytes (<= 0 = no cap) — used by the rate allocator to avoid coding
+//   planes that can never be included at the target rate.
+// Returns the byte length written to out (or -needed if cap too small).
+// Outputs: *nbps = magnitude bit planes present; *npasses = passes
+// coded; pass_rate[i]/pass_dist[i] = cumulative approximate byte count /
+// cumulative distortion reduction after pass i.
+long jp2t1_encode_block(const int32_t* coeffs, int w, int h, int orient,
+                        int max_passes, long max_bytes, uint8_t* out,
+                        long cap, int* nbps, int* npasses, long* pass_rate,
+                        double* pass_dist) {
+  return EncodeOne(coeffs, w, h, orient, max_passes, max_bytes, out, cap,
+                   nbps, npasses, pass_rate, pass_dist);
+}
+
+// Encode every code block of one subband in a single call.
+//
+// The per-block entry above costs, per block, a Python-side
+// ascontiguousarray + ctypes marshalling + a GIL release/reacquire;
+// with ~2.4k blocks/page the GIL ping-pong against the pipeline's
+// loader/fetch threads dominated the Tier-1 wall inside recode()
+// (measured 0.42 ms/block in-pipeline vs 0.10 ms/block in a quiet
+// process).  This entry extracts blocks, skips all-zero ones, and
+// codes the whole band under ONE GIL release.
+//
+//   band: int32 quantized subband, row-major bh*bw, contiguous.
+//   cbsz: code-block size (grid is ceil(bw/cbsz) x ceil(bh/cbsz),
+//   edge blocks clipped).
+//   caps: per-block max_bytes in raster order (NULL = uncapped).
+//   out/out_cap: one buffer for every block's stream; block i's bytes
+//   land at out+offs[i], length lens[i] (0 for all-zero blocks, which
+//   report nbps=npasses=0).
+//   nbps/npasses/lens/offs: one entry per block.
+//   pass_rate/pass_dist: 128 entries per block (block i at i*128).
+// Returns the number of blocks, or -1 if out_cap is too small (callers
+// size out at >= 4*band bytes + 2048/block, far above the MQ coder's
+// worst case, so -1 is a programming error, not a data condition).
+long jp2t1_encode_band(const int32_t* band, int bw, int bh, int cbsz,
+                       int orient, const long* caps, uint8_t* out,
+                       long out_cap, int* nbps, int* npasses, long* lens,
+                       long* offs, long* pass_rate, double* pass_dist) {
+  const int nx = bw ? (bw + cbsz - 1) / cbsz : 0;
+  const int ny = bh ? (bh + cbsz - 1) / cbsz : 0;
+  std::vector<int32_t> blk(static_cast<size_t>(cbsz) * cbsz);
+  long off = 0;
+  long bi = 0;
+  for (int by = 0; by < ny; ++by) {
+    for (int bx = 0; bx < nx; ++bx, ++bi) {
+      const int w = std::min(cbsz, bw - bx * cbsz);
+      const int h = std::min(cbsz, bh - by * cbsz);
+      // extract + all-zero test in one scan (replaces the Python-side
+      // .any() over a strided view)
+      bool any = false;
+      for (int y = 0; y < h; ++y) {
+        const int32_t* src =
+            band + static_cast<long>(by * cbsz + y) * bw + bx * cbsz;
+        int32_t* dst = blk.data() + static_cast<long>(y) * w;
+        for (int x = 0; x < w; ++x) {
+          dst[x] = src[x];
+          any |= src[x] != 0;
+        }
+      }
+      offs[bi] = off;
+      if (!any) {
+        nbps[bi] = 0;
+        npasses[bi] = 0;
+        lens[bi] = 0;
+        continue;
+      }
+      long n = EncodeOne(blk.data(), w, h, orient, -1,
+                         caps ? caps[bi] : 0, out + off, out_cap - off,
+                         nbps + bi, npasses + bi, pass_rate + bi * 128,
+                         pass_dist + bi * 128);
+      if (n < 0) return -1;
+      lens[bi] = n;
+      off += n;
+    }
+  }
+  return bi;
 }
 
 }  // extern "C"

@@ -200,6 +200,61 @@ class TestFacade:
                     assert np.array_equal(fast[4], ref[4])
 
 
+class TestBandBatchedT1:
+    def test_band_call_matches_per_block(self):
+        # jp2t1_encode_band (one native call per band — the e2e GIL
+        # fix) must reproduce the per-block path exactly: streams,
+        # nbps/npasses, pass rate/dist rows, capped flags; including
+        # edge-clipped blocks, all-zero blocks, and int8/int16 inputs.
+        lib = J._get_lib()
+        rng = np.random.default_rng(23)
+        cases = [
+            (rng.normal(0, 300, (200, 170)) *
+             (rng.random((200, 170)) < 0.03), np.int32, 'HL', None),
+            (rng.normal(0, 60, (64, 64)), np.int16, 'LH', None),
+            (np.zeros((130, 90)), np.int32, 'HH', None),
+            (rng.normal(0, 900, (150, 150)), np.int32, 'HH', 150),
+            ((rng.normal(0, 40, (37, 201)) *
+              (rng.random((37, 201)) < 0.2)), np.int8, 'LL', 96),
+        ]
+        for ci, (arr, dtype, orient, cap) in enumerate(cases):
+            arr = arr.astype(dtype)
+            band = J._Band(orient, 1, 0, 10, 0, 1.0 / 64,
+                           np.asarray(arr))
+            caps = ({id(cb): cap for cb in band.blocks}
+                    if cap else None)
+            J._encode_band_blocks(lib, band, caps)
+            got = [(cb.data, cb.nbps, cb.npasses, cb.rates.copy(),
+                    cb.dists.copy(), cb.capped) for cb in band.blocks]
+            ref_band = J._Band(orient, 1, 0, 10, 0, 1.0 / 64,
+                               np.asarray(arr))
+            ref_caps = ({id(cb): cap for cb in ref_band.blocks}
+                        if cap else None)
+            J._encode_blocks(ref_band.blocks, lib, 1, ref_caps)
+            for bi, (g, cb) in enumerate(zip(got, ref_band.blocks)):
+                assert g[0] == cb.data, (ci, bi)
+                assert g[1] == cb.nbps and g[2] == cb.npasses, (ci, bi)
+                assert np.array_equal(g[3], cb.rates), (ci, bi)
+                assert np.array_equal(g[4], cb.dists), (ci, bi)
+                assert g[5] == cb.capped, (ci, bi)
+
+    def test_full_encode_unchanged_by_band_batching(self):
+        # end-to-end: the whole-stream bytes are identical whether T1
+        # runs band-batched (production _t1_all) or per-block
+        img = synth_gray(300, 260, seed=5)
+        ref = J.encode_jp2_tpu(img, ratio=40, workers=1)
+        # force the per-block path by encoding each band via
+        # _encode_blocks under a patched _encode_band_blocks
+        orig = J._encode_band_blocks
+        try:
+            J._encode_band_blocks = lambda lib, band, caps=None: \
+                J._encode_blocks(band.blocks, lib, 1, caps)
+            alt = J.encode_jp2_tpu(img, ratio=40, workers=1)
+        finally:
+            J._encode_band_blocks = orig
+        assert ref == alt
+
+
 class TestBatchedPipelineWiring:
     def test_batch_equals_single_page(self, monkeypatch):
         rng = np.random.default_rng(4)
