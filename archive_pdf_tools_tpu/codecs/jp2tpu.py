@@ -100,7 +100,10 @@ def _get_lib():
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
         ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
         ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_long),
-        ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_double)]
+        ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_double),
+        ctypes.c_double, ctypes.c_long, ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_long),
+        ctypes.POINTER(ctypes.c_int)]
     lib.jp2dwt_quantize.restype = ctypes.c_long
     lib.jp2dwt_quantize.argtypes = [
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
@@ -766,6 +769,10 @@ def _encode_band_blocks(lib, band, caps=None):
     offs = np.zeros(nb, np.int64)
     rates = np.zeros((nb, 128), np.int64)
     dists = np.zeros((nb, 128), np.float64)
+    hull_n = np.zeros(nb, np.int32)
+    hull_slopes = np.zeros((nb, 64), np.float64)
+    hull_rates = np.zeros((nb, 65), np.int64)
+    hull_picks = np.zeros((nb, 65), np.int32)
     i64p = ctypes.POINTER(ctypes.c_long)
     intp = ctypes.POINTER(ctypes.c_int)
     n = lib.jp2t1_encode_band(
@@ -776,7 +783,11 @@ def _encode_band_blocks(lib, band, caps=None):
         nbps.ctypes.data_as(intp), npasses.ctypes.data_as(intp),
         lens.ctypes.data_as(i64p), offs.ctypes.data_as(i64p),
         rates.ctypes.data_as(i64p),
-        dists.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+        dists.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        blocks[0].weight, _TRUNC_MARGIN,
+        hull_n.ctypes.data_as(intp),
+        hull_slopes.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        hull_rates.ctypes.data_as(i64p), hull_picks.ctypes.data_as(intp))
     if n != nb:
         raise RuntimeError('jp2t1_encode_band overflow (%d != %d)'
                            % (n, nb))
@@ -790,7 +801,9 @@ def _encode_band_blocks(lib, band, caps=None):
         cb.dists = dists[i, :npi]
         cap = int(caps_arr[i]) if caps_arr is not None else 0
         cb.capped = bool(cap) and npi < 3 * cb.nbps - 2
-        cb.hull_rows = None
+        m = int(hull_n[i])
+        cb.hull_rows = (hull_slopes[i, :m], hull_rates[i, :m + 1],
+                        hull_picks[i, :m + 1])
 
 
 def _t1_all(bands, lib, workers, target_bytes=None):

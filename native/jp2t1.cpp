@@ -833,16 +833,28 @@ long jp2t1_encode_block(const int32_t* coeffs, int w, int h, int orient,
 //   report nbps=npasses=0).
 //   nbps/npasses/lens/offs: one entry per block.
 //   pass_rate/pass_dist: 128 entries per block (block i at i*128).
+//   weight/trunc_margin + hull_*: the PCRD truncation-point hull per
+//   block, computed here so the Python allocator never walks passes
+//   per block (it was 40% of the post-T1 Python time).  hull_n[i] =
+//   segment count m; hull_slopes 64/block (m used); hull_rates and
+//   hull_picks 65/block (m+1 used, leading 0).  Segment slopes are
+//   the weighted-distortion deltas over byte deltas of the upper
+//   convex hull of (rate, dist*weight) truncation points; non-final
+//   picks carry trunc_margin in their realized byte cost.
 // Returns the number of blocks, or -1 if out_cap is too small (callers
 // size out at >= 4*band bytes + 2048/block, far above the MQ coder's
 // worst case, so -1 is a programming error, not a data condition).
 long jp2t1_encode_band(const int32_t* band, int bw, int bh, int cbsz,
                        int orient, const long* caps, uint8_t* out,
                        long out_cap, int* nbps, int* npasses, long* lens,
-                       long* offs, long* pass_rate, double* pass_dist) {
+                       long* offs, long* pass_rate, double* pass_dist,
+                       double weight, long trunc_margin, int* hull_n,
+                       double* hull_slopes, long* hull_rates,
+                       int* hull_picks) {
   const int nx = bw ? (bw + cbsz - 1) / cbsz : 0;
   const int ny = bh ? (bh + cbsz - 1) / cbsz : 0;
   std::vector<int32_t> blk(static_cast<size_t>(cbsz) * cbsz);
+  int hull[129];
   long off = 0;
   long bi = 0;
   for (int by = 0; by < ny; ++by) {
@@ -862,19 +874,52 @@ long jp2t1_encode_band(const int32_t* band, int bw, int bh, int cbsz,
         }
       }
       offs[bi] = off;
+      long n = 0;
       if (!any) {
         nbps[bi] = 0;
         npasses[bi] = 0;
         lens[bi] = 0;
-        continue;
+      } else {
+        n = EncodeOne(blk.data(), w, h, orient, -1,
+                      caps ? caps[bi] : 0, out + off, out_cap - off,
+                      nbps + bi, npasses + bi, pass_rate + bi * 128,
+                      pass_dist + bi * 128);
+        if (n < 0) return -1;
+        lens[bi] = n;
+        off += n;
       }
-      long n = EncodeOne(blk.data(), w, h, orient, -1,
-                         caps ? caps[bi] : 0, out + off, out_cap - off,
-                         nbps + bi, npasses + bi, pass_rate + bi * 128,
-                         pass_dist + bi * 128);
-      if (n < 0) return -1;
-      lens[bi] = n;
-      off += n;
+      // PCRD hull (exactly the Python _hull_rows arithmetic: double
+      // slope = d-delta / max(1, r-delta), pop while s2 >= s1)
+      const int np = npasses[bi];
+      const long* pr = pass_rate + bi * 128;
+      const double* pd = pass_dist + bi * 128;
+      auto rate_at = [&](int i) { return i ? pr[i - 1] : 0L; };
+      auto dist_at = [&](int i) { return i ? pd[i - 1] * weight : 0.0; };
+      int hn = 1;
+      hull[0] = 0;
+      for (int i = 1; i <= np; ++i) {
+        while (hn >= 2) {
+          const int a = hull[hn - 2], b = hull[hn - 1];
+          const double s1 = (dist_at(b) - dist_at(a)) /
+              std::max(1L, rate_at(b) - rate_at(a));
+          const double s2 = (dist_at(i) - dist_at(b)) /
+              std::max(1L, rate_at(i) - rate_at(b));
+          if (s2 >= s1) --hn; else break;
+        }
+        hull[hn++] = i;
+      }
+      const int m = hn - 1;
+      hull_n[bi] = m;
+      hull_rates[bi * 65] = 0;
+      hull_picks[bi * 65] = 0;
+      for (int j = 1; j <= m; ++j) {
+        const int a = hull[j - 1], b = hull[j];
+        hull_slopes[bi * 64 + j - 1] = (dist_at(b) - dist_at(a)) /
+            std::max(1L, rate_at(b) - rate_at(a));
+        hull_rates[bi * 65 + j] =
+            rate_at(b) + (b < np ? trunc_margin : 0);
+        hull_picks[bi * 65 + j] = b;
+      }
     }
   }
   return bi;

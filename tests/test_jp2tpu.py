@@ -237,6 +237,15 @@ class TestBandBatchedT1:
                 assert np.array_equal(g[3], cb.rates), (ci, bi)
                 assert np.array_equal(g[4], cb.dists), (ci, bi)
                 assert g[5] == cb.capped, (ci, bi)
+            # the C++-computed PCRD hulls must equal the Python ones
+            # bit-for-bit (same double arithmetic)
+            for bi, (gcb, cb) in enumerate(zip(band.blocks,
+                                               ref_band.blocks)):
+                gs, gr, gp = gcb.hull_rows
+                ps, pr, pp = J._hull_rows(cb)
+                assert np.array_equal(gs, np.asarray(ps)), (ci, bi)
+                assert np.array_equal(gr, np.asarray(pr)), (ci, bi)
+                assert np.array_equal(gp, np.asarray(pp)), (ci, bi)
 
     def test_full_encode_unchanged_by_band_batching(self):
         # end-to-end: the whole-stream bytes are identical whether T1
