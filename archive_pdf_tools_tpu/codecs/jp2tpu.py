@@ -1257,22 +1257,75 @@ def _pack4_sets(nb, levels):
             list(range(nb - n3 - n7, nb - n3)))
 
 
+def _pack4_dense_plan(nb, levels):
+    """Static dtype plan for the fused dense readback: band-k ->
+    bytes/coeff.  LL and the coarsest resolution ship 3 bytes (int24 —
+    measured maxabs ~2.5e5 at LL, far under 2^23; a per-band maxabs
+    rides the fused meta vector and the drain falls back to an int32
+    refetch if content ever exceeds it), the remaining full-precision
+    bands 2 bytes (maxabs ~1e4, same guard), the int8-budget (k7)
+    bands 1 byte."""
+    k3, k7 = _pack4_sets(nb, levels)
+    plan = {}
+    for k in range(nb):
+        if k in k3:
+            continue
+        if k in k7:
+            plan[k] = 1
+        elif k <= 3:
+            plan[k] = 3
+        else:
+            plan[k] = 2
+    return plan
+
+
+def _pack4_byte_planes(q, nbytes):
+    """Portable little-endian byte-plane encoding of an integer band
+    (two's complement mod 2^(8*nbytes)); avoids bitcast_convert_type
+    whose byte order is backend-defined."""
+    import jax.numpy as jnp
+    u = q.astype(jnp.int32).reshape(-1)
+    return jnp.stack([((u >> (8 * i)) & 0xFF).astype(jnp.uint8)
+                      for i in range(nbytes)]).reshape(-1)
+
+
+def _pack4_decode_planes(buf, nbytes, n):
+    """Host inverse of _pack4_byte_planes -> int32[n]."""
+    planes = buf.reshape(nbytes, n)
+    u = planes[0].astype(np.uint32)
+    for i in range(1, nbytes):
+        u |= planes[i].astype(np.uint32) << (8 * i)
+    span = np.uint32(1) << (8 * nbytes)
+    v = u.astype(np.int64)
+    v -= (u >= (span >> 1)).astype(np.int64) * int(span)
+    return v.astype(np.int32)
+
+
 @functools.partial(jax.jit,
                    static_argnames=('levels', 'rgb', 'base_delta',
                                     'k_fine'))
 def _device_transform_pack4(arr, levels, rgb, base_delta,
                             k_fine=_PACK4_K_FINE):
-    """Transform + per-band plane-budget requantize + transfer forms.
+    """Transform + per-band plane-budget requantize + FUSED transfer
+    forms.  Every dispatch-synchronizing host readback on this path
+    costs ~30-50 ms through a thin tunnel, so the whole batch drains
+    in 3-4 transfers instead of ~25-30 (r4):
 
-    Returns (shipped, shifts, shifts8, re8, extras):
-      shipped  per-comp band tuples — coarse bands int32, budgeted
-               bands int8 holding q >> shift clipped to 2^K - 1
-      shifts   int32[nb] total shift per band (QCD eps_b -= shift)
-      shifts8  int32[nb] the int8-budget shift (refetch target)
+    Returns (shipped, meta_vec, re8, fused, nib3, bits3, comp3):
+      shipped  per-comp band tuples — coarse bands int32 (retained in
+               HBM as the exactness fallback), budgeted bands int8
+               holding q >> shift clipped to 2^K - 1
+      meta_vec int32[3*nb+1]: shifts | shifts8 | per-band maxabs |
+               superband nonzero count — ONE small transfer
       re8      per k3-band per-comp int8 arrays at shifts8 (stay in
                HBM; fetched only if rate allocation starves a band)
-      extras   per k3-band (nibble, bits, comp, count) transfer forms
-               over the comp-concatenated flattened band
+      fused    uint8 byte-plane buffer of every dense band (see
+               _pack4_dense_plan) in (k asc, comp) segment order —
+               ONE transfer for all coarse + int8 bands
+      nib3/bits3/comp3  nibble and sparse (bitmap + compacted values)
+               forms of the K=3 SUPERBAND — the finest-two-resolution
+               bands of all comps concatenated flat in (k, comp)
+               order; the drain fetches whichever form is fewer bytes
     """
     import jax.numpy as jnp
     q32 = _device_transform(arr, levels, rgb, base_delta)
@@ -1287,11 +1340,12 @@ def _device_transform_pack4(arr, levels, rgb, base_delta,
         s = jnp.sum((mx >= thr).astype(jnp.int32))
         return jnp.minimum(s, jnp.int32(eps))
 
-    shifts, shifts8 = [], []
+    shifts, shifts8, maxabs = [], [], []
     for k in range(nb):
         mx = jnp.max(jnp.abs(q32[0][k]))
         for qb in q32[1:]:
             mx = jnp.maximum(mx, jnp.max(jnp.abs(qb[k])))
+        maxabs.append(mx.astype(jnp.int32))
         eps = layout[k][3]
         if k in kmap:
             shifts.append(shift_for(mx, kmap[k], eps))
@@ -1317,18 +1371,25 @@ def _device_transform_pack4(arr, levels, rgb, base_delta,
     re8 = tuple(tuple(requant(qb[k], shifts8[k], 7) for qb in q32)
                 for k in k3)
 
-    extras = []
-    for k in k3:
-        flat = jnp.concatenate([qb[k].reshape(-1) for qb in shipped])
-        bits, comp, count = _sparse_pack_band(flat)
-        n = flat.shape[0]
-        npad = -(-n // 2) * 2
-        u = jnp.pad((flat.astype(jnp.int32) + 8).astype(jnp.uint8),
-                    (0, npad - n))
-        nib = (u[0::2] | (u[1::2] << 4)).astype(jnp.uint8)
-        extras.append((nib, bits, comp, count))
-    return (shipped, jnp.stack(shifts), jnp.stack(shifts8), re8,
-            tuple(extras))
+    plan = _pack4_dense_plan(nb, levels)
+    segs = [_pack4_byte_planes(shipped[c][k], nbytes)
+            for k in sorted(plan) for c in range(len(shipped))
+            for nbytes in (plan[k],)]
+    fused = (jnp.concatenate(segs) if segs
+             else jnp.zeros((0,), jnp.uint8))
+
+    flat3 = jnp.concatenate([qb[k].reshape(-1)
+                             for k in k3 for qb in shipped])
+    bits3, comp3, count = _sparse_pack_band(flat3)
+    n3 = flat3.shape[0]
+    npad = -(-n3 // 2) * 2
+    u = jnp.pad((flat3.astype(jnp.int32) + 8).astype(jnp.uint8),
+                (0, npad - n3))
+    nib3 = (u[0::2] | (u[1::2] << 4)).astype(jnp.uint8)
+
+    meta_vec = jnp.concatenate([jnp.stack(shifts), jnp.stack(shifts8),
+                                jnp.stack(maxabs), count[None]])
+    return shipped, meta_vec, re8, fused, nib3, bits3, comp3
 
 
 def _unpack_nibbles(u, n):
@@ -1565,8 +1626,8 @@ def transform_jp2_batch_async(imgs, base_delta=1.0 / 64, levels=5,
     meta._event = done
 
     if pack4:
-        _, _, shifts8_d, re8_d, _ = packed
-        nb4 = len(packed[0][0])
+        shipped_d, meta_vec_d, re8_d = packed[0], packed[1], packed[2]
+        nb4 = len(shipped_d[0])
         k3_set, _ = _pack4_sets(nb4, levels)
         meta['kplanes'] = {k: k_fine for k in k3_set}
         _re_cache = {}
@@ -1574,11 +1635,14 @@ def transform_jp2_batch_async(imgs, base_delta=1.0 / 64, levels=5,
 
         def refetch(k):
             """Band k at int8 (7 planes) for every page: fetched from
-            HBM only when rate allocation starves the plane budget."""
+            HBM only when rate allocation starves the plane budget.
+            Only reachable from encode_jp2_from_qbands, i.e. after
+            fetch() — the drained meta vector is available by then."""
             with _re_lock:
                 if k not in _re_cache:
                     j = k3_set.index(k)
-                    s8 = int(np.asarray(shifts8_d[k]))
+                    meta._event.wait()
+                    s8 = int(state['shifts8'][k])
                     _re_cache[k] = (
                         [np.asarray(a) for a in re8_d[j]], s8)
                 return _re_cache[k]
@@ -1588,39 +1652,75 @@ def transform_jp2_batch_async(imgs, base_delta=1.0 / 64, levels=5,
     def _drain():
         try:
             if pack4:
-                bands, shifts, _s8, _re8, extras = packed
-                meta['shifts'] = np.asarray(shifts).tolist()
-                nb = len(bands[0])
+                # FUSED drain: one small meta vector, one byte-plane
+                # buffer for every dense band, and one superband form
+                # for the K=3 fine bands — 3-4 link syncs total (each
+                # dispatch-synchronizing readback costs ~30-50 ms on a
+                # thin tunnel; the per-band drain made ~25-30 of them)
+                _, meta_vec_d2, _, fused_d, nib3_d, bits3_d, comp3_d = \
+                    packed
+                nb = len(shipped_d[0])
                 k3, _k7 = _pack4_sets(nb, levels)
+                meta_np = np.asarray(meta_vec_d2)
+                state['shifts8'] = meta_np[nb:2 * nb]
+                mx_np = meta_np[2 * nb:3 * nb]
+                count = int(meta_np[3 * nb])
+                meta['shifts'] = meta_np[:nb].tolist()
                 comps = [[None] * nb for _ in range(ncomp)]
-                xfer = 0
-                for k in range(nb):                  # coarse + int8: dense
-                    if k in k3:
-                        continue
+                xfer = meta_np.nbytes
+                shapes = _band_shapes(w, h, levels)
+                plan = _pack4_dense_plan(nb, levels)
+                fused_np = np.asarray(fused_d)
+                xfer += fused_np.nbytes
+                off = 0
+                for k in sorted(plan):
+                    nbytes = plan[k]
+                    bh, bw = shapes[k]
+                    npx = b * bh * bw
+                    exact = int(mx_np[k]) < (1 << (8 * nbytes - 1))
                     for c in range(ncomp):
-                        comps[c][k] = np.asarray(bands[c][k])
-                        xfer += comps[c][k].nbytes
-                for j, k in enumerate(k3):           # K=3: nibble | sparse
-                    nib_d, bits_d, comp_d, cnt_d = extras[j]
-                    shape = bands[0][k].shape
-                    n = int(np.prod(shape)) * ncomp
-                    count = int(np.asarray(cnt_d))
-                    chunk = int(comp_d.shape[1])
-                    kch = -(-count // chunk) if count else 0
-                    sparse_bytes = n // 8 + kch * chunk
-                    if sparse_bytes < (n + 1) // 2:
-                        got = _fetch_sparse_band(
-                            bits_d, comp_d, count,
-                            [qb[k] for qb in bands], shape, ncomp)
-                        xfer += sparse_bytes
-                    else:
-                        flat = _unpack_nibbles(np.asarray(nib_d), n)
-                        per = n // ncomp
-                        got = [flat[c * per:(c + 1) * per].reshape(shape)
-                               for c in range(ncomp)]
-                        xfer += (n + 1) // 2
+                        seg = fused_np[off:off + nbytes * npx]
+                        off += nbytes * npx
+                        if nbytes == 1:
+                            comps[c][k] = seg.view(np.int8) \
+                                .reshape(b, bh, bw)
+                        elif exact:
+                            comps[c][k] = _pack4_decode_planes(
+                                seg, nbytes, npx).reshape(b, bh, bw)
+                        else:
+                            # content exceeded the static byte plan
+                            # (never observed; maxabs guard): refetch
+                            # the retained int32 band
+                            comps[c][k] = np.asarray(shipped_d[c][k])
+                            xfer += comps[c][k].nbytes
+                            _stat('pack4_dense_fallback', 0.0, 1)
+                # K=3 superband: sparse vs nibble by total bytes
+                n3 = sum(b * shapes[k][0] * shapes[k][1]
+                         for k in k3) * ncomp
+                chunk = int(comp3_d.shape[1])
+                kch = -(-count // chunk) if count else 0
+                sparse_bytes = -(-n3 // 8) + kch * chunk
+                if sparse_bytes < (n3 + 1) // 2:
+                    bits = np.asarray(bits3_d)
+                    nzmask = np.unpackbits(bits)[:n3].astype(bool)
+                    flat = np.zeros(n3, np.int8)
+                    if kch:
+                        vals = np.concatenate(
+                            [np.asarray(_take_chunk(comp3_d, i))
+                             for i in range(kch)])[:count]
+                        flat[nzmask] = vals
+                    xfer += sparse_bytes
+                else:
+                    flat = _unpack_nibbles(np.asarray(nib3_d), n3)
+                    xfer += (n3 + 1) // 2
+                off3 = 0
+                for k in k3:
+                    bh, bw = shapes[k]
+                    npx = b * bh * bw
                     for c in range(ncomp):
-                        comps[c][k] = got[c]
+                        comps[c][k] = flat[off3:off3 + npx] \
+                            .reshape(b, bh, bw)
+                        off3 += npx
                 _stat('pack4_xfer_bytes', 0.0, xfer)
             elif sparse:
                 bands, shifts, sp = packed

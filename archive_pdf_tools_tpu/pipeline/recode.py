@@ -407,7 +407,16 @@ def insert_images_mrc(builder, hocr_file, in_pdf=None, image_files=None,
 
     reporting_page_count = 0
     last_time = time()
-    n_workers = max(2, (threads or 4))
+    # encode-pool width: honor an explicit threads= (down to 1), else
+    # 2 on a 1-core host and up to 4 otherwise.  Interleaved A/B on the
+    # realistic corpus (1-core box, 2026-08-19): width 2 best-of-run
+    # 0.96 s/page vs 1.02-1.23 at 4 and 1.05 at 1 — wall is nearly
+    # flat (native T1 releases the GIL), so the default just avoids
+    # needless concurrent-encode cache thrash on thin hosts.
+    if threads:
+        n_workers = max(1, threads)
+    else:
+        n_workers = min(4, max(2, os.cpu_count() or 4))
     pool = ThreadPoolExecutor(max_workers=n_workers)
     pending = []   # encode futures; drained IN PAGE ORDER (main thread)
     max_pending = 4 * n_workers   # bounds fg/bg buffers held by the queue
@@ -608,16 +617,35 @@ def insert_images_mrc(builder, hocr_file, in_pdf=None, image_files=None,
                         return env != '0'
                     r = kw.get('ratio')
                     return bool(r) and float(r) >= 200
-                ffetch, fmeta = transform_jp2_batch_async(
-                    fstack, base_delta=fkw.get('delta', 1.0 / 64),
-                    levels=int(fkw.get('levels', 5)),
-                    pack8=_pack8(fkw), ratio=fkw.get('ratio'))
+                # fg transform in GROUPS: fetch(i) blocks until its
+                # whole transform's drain finishes, so one batch-wide
+                # fg drain serializes [full readback] -> [all Tier-1].
+                # Splitting the fg stack into groups lets group 0's
+                # Tier-1 overlap group 1's link transfer (the two
+                # dominant warm e2e terms on a thin host).  The full-
+                # res fg carries ~4x the bg's bytes, so only fg splits;
+                # group size 4 keeps the extra device dispatch + jit
+                # shape count at one.  APT_JP2_XFORM_GROUP=0 disables.
+                gsz = int(os.environ.get('APT_JP2_XFORM_GROUP', '4'))
+                if gsz <= 0 or gsz >= len(plain):
+                    fgroups = [(0, fstack)]
+                else:
+                    fgroups = [(a, fstack[a:a + gsz])
+                               for a in range(0, len(plain), gsz)]
+                fg_qb = {}
+                for a, sub in fgroups:
+                    ffetch, fmeta = transform_jp2_batch_async(
+                        sub, base_delta=fkw.get('delta', 1.0 / 64),
+                        levels=int(fkw.get('levels', 5)),
+                        pack8=_pack8(fkw), ratio=fkw.get('ratio'))
+                    for k in range(int(sub.shape[0])):
+                        i = plain[a + k]
+                        fg_qb[i] = ((lambda k=k, f=ffetch: f(k)),
+                                    fmeta, k)
                 bfetch, bmeta = transform_jp2_batch_async(
                     bstack, base_delta=bkw.get('delta', 1.0 / 64),
                     levels=int(bkw.get('levels', 5)),
                     pack8=_pack8(bkw), ratio=bkw.get('ratio'))
-                fg_qb = {i: ((lambda k=k, f=ffetch: f(k)), fmeta, k)
-                         for k, i in enumerate(plain)}
                 bg_qb = {i: ((lambda k=k, f=bfetch: f(k)), bmeta, k)
                          for k, i in enumerate(plain)}
                 timing_data.append(('jp2_batch_transform', time() - t))

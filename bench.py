@@ -233,7 +233,16 @@ def bench_e2e(out_dir):
                 res.get('compression_ratio', -1.0))
 
     run()                      # cold (compiles)
-    warms = [run() for _ in range(2)]
+    # warm until plateau (3-6 runs): measured 2026-08-19, warm runs
+    # after a cold compile run keep descending for 2-3 iterations
+    # (52.8 -> 2.67 -> 1.82 -> ~1.0 s/page) and the tunnel drifts on
+    # ~10-min scales, so a fixed 2-warm best under-reports steady state
+    warms = [run()]
+    while len(warms) < 6:
+        prev_best = min(wr[0] for wr in warms)
+        warms.append(run())
+        if len(warms) >= 3 and warms[-1][0] > 0.95 * prev_best:
+            break
     spps = [wr[0] for wr in warms]
     e2e = {'metric': 'e2e_recode_warm_s_per_page_tpu_8p400dpi',
            'value': round(min(spps), 3), 'unit': 's/page',
@@ -242,8 +251,9 @@ def bench_e2e(out_dir):
            'baseline_s_per_page': E2E_BASELINE_S_PER_PAGE,
            'compression_ratio': round(float(warms[-1][1]), 1),
            'corpus': corpus_sha,
+           'n_warm': len(warms),
            'harness': 'bench.py e2e (tools/e2e_bench.make_realistic_book,'
-                      ' cold + best/median of 2 warm)',
+                      ' cold + best/median of 3-6 warm, plateau stop)',
            'date': time.strftime('%Y-%m-%d')}
     with open(os.path.join(out_dir, 'BENCH_E2E.json'), 'w') as fp:
         json.dump(e2e, fp)

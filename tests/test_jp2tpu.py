@@ -468,6 +468,29 @@ class TestPack4:
         _, m_off = J.transform_jp2_batch(img[None], ratio=500)
         assert not m_off.get('kplanes')
 
+    def test_pack4_fused_guard_fallback(self, monkeypatch):
+        # the fused dense readback ships mid-coarse bands as int16 and
+        # LL + the coarsest resolution as int24 byte planes; a small
+        # base_delta inflates the quantized magnitudes past those
+        # static widths, so the drain's maxabs guard must fall back to
+        # the retained int32 bands — outputs stay identical to the
+        # native path (jp2tpu._device_transform_pack4 /
+        # _pack4_dense_plan)
+        img = self._page(seed=25, noise=14)
+        imgs = np.stack([img, 255 - img])
+        monkeypatch.setenv('APT_JP2_PACK4', '1')
+        monkeypatch.setenv('APT_T1_STATS', '1')
+        for delta in (1.0 / 256, 1.0 / 4096):   # int16 / int24 overflow
+            monkeypatch.setenv('APT_JP2_DEVICE', 'native')
+            nat = J.encode_jp2_tpu_batch(imgs, ratio=450,
+                                         base_delta=delta)
+            monkeypatch.setenv('APT_JP2_DEVICE', 'cpu')
+            J.T1_STATS.pop('pack4_dense_fallback', None)
+            dev = J.encode_jp2_tpu_batch(imgs, ratio=450,
+                                         base_delta=delta)
+            assert nat == dev
+            assert J.T1_STATS.get('pack4_dense_fallback', (0, 0))[1] >= 1
+
     @pytest.mark.parametrize('device', ['native', 'cpu'])
     def test_pack4_starvation_refetch(self, monkeypatch, device):
         # K=1 guarantees the budget starves at a moderate rate target;
