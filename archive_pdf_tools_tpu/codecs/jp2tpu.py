@@ -103,12 +103,19 @@ def _get_lib():
         ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_double),
         ctypes.c_double, ctypes.c_long, ctypes.POINTER(ctypes.c_int),
         ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_long),
-        ctypes.POINTER(ctypes.c_int)]
+        ctypes.POINTER(ctypes.c_int), ctypes.c_int]
     lib.jp2dwt_quantize.restype = ctypes.c_long
     lib.jp2dwt_quantize.argtypes = [
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_double),
         ctypes.POINTER(ctypes.c_int32)]
+    lib.jp2t2_packet_header.restype = ctypes.c_long
+    lib.jp2t2_packet_header.argtypes = [
+        ctypes.c_int, ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_long]
     _lib = lib
     return lib
 
@@ -449,54 +456,74 @@ def _hull_rows(cb):
 
 
 def _pcrd_choose(blocks, target_bytes):
-    """PCRD core: convex-hull pass slopes + global threshold binary
-    search; sets cb.chosen per block.
+    """PCRD core: one global slope threshold over every block's
+    convex-hull segments; sets cb.chosen per block.
 
-    Vectorized threshold search: per block, hull-segment slopes are
-    strictly decreasing, so the pick at threshold L is simply the
-    count of leading slopes >= L — a padded 2D reduction instead of
-    48 Python walks over every hull."""
+    Exact closed form: per block the hull slopes are strictly
+    decreasing, so a threshold L includes precisely a per-block prefix
+    of segments.  Flattening all segments, sorting by slope once and
+    scanning slope-class boundaries yields the largest-inclusion
+    feasible threshold directly — replacing the former 48-iteration
+    vectorized bisection (~33 ms per encode at realistic block counts;
+    measured 2026-08-20) with one argsort.  Equal slopes stay an
+    all-or-nothing class, matching the threshold semantics the
+    bisection converged to."""
     rows_data = [_hull_rows(cb) for cb in blocks]
-    nb = len(blocks)
-    maxseg = max((len(r[0]) for r in rows_data), default=0)
-    seg_slopes = np.full((nb, max(maxseg, 1)), -np.inf)
-    pt_rates = np.zeros((nb, max(maxseg, 1) + 1), np.int64)
-    pt_picks = np.zeros((nb, max(maxseg, 1) + 1), np.int32)
-    for bi, (slopes, rates_, picks) in enumerate(rows_data):
-        n = len(slopes)
-        seg_slopes[bi, :n] = slopes
-        pt_rates[bi, 1:n + 1] = rates_[1:]
-        pt_picks[bi, 1:n + 1] = picks[1:]
-    rows = np.arange(nb)
+    for cb in blocks:
+        cb.chosen = 0
+    nseg = [len(r[0]) for r in rows_data]
+    total_seg = sum(nseg)
+    if total_seg == 0 or target_bytes <= 0:
+        return
+    slopes = np.empty(total_seg, np.float64)
+    deltas = np.empty(total_seg, np.int64)    # realized bytes/segment
+    picks = np.empty(total_seg, np.int32)
+    owner = np.empty(total_seg, np.int32)
+    pos = 0
+    for bi, (s, r, p) in enumerate(rows_data):
+        n = nseg[bi]
+        if not n:
+            continue
+        slopes[pos:pos + n] = s
+        rr = np.asarray(r, np.int64)
+        deltas[pos:pos + n] = rr[1:] - rr[:-1]
+        picks[pos:pos + n] = np.asarray(p)[1:]
+        owner[pos:pos + n] = bi
+        pos += n
+    # the bisection never tested thresholds at/below 1e-9: segments
+    # that flat never get included (they carry ~no distortion anyway)
+    live = np.flatnonzero(slopes >= 1e-9)
+    if live.size == 0:
+        return
+    order = live[np.argsort(-slopes[live], kind='stable')]
+    ls = slopes[order]
+    csum = np.cumsum(deltas[order])
+    # slope-class ends (inclusion cannot split an equal-slope class)
+    ends = np.flatnonzero(np.diff(ls) < 0)
+    ends = np.append(ends, ls.size - 1)
+    feas = ends[csum[ends] <= target_bytes]
+    if feas.size == 0:
+        return
+    k = int(feas[-1]) + 1
+    # per block keep the deepest included segment's pass pick (picks
+    # increase along each block's hull, so max == last)
+    chosen = np.zeros(len(blocks), np.int64)
+    np.maximum.at(chosen, owner[order[:k]], picks[order[:k]])
+    for bi in np.flatnonzero(chosen):
+        blocks[bi].chosen = int(chosen[bi])
 
-    def passes_at(slope):
-        counts = (seg_slopes >= slope).sum(axis=1)
-        return (int(pt_rates[rows, counts].sum()),
-                pt_picks[rows, counts])
 
-    lo, hi = 1e-9, 1e12
-    best = None
-    for _ in range(48):
-        mid = math.sqrt(lo * hi)
-        total, chosen = passes_at(mid)
-        if total <= target_bytes:
-            best = chosen
-            hi = mid
-        else:
-            lo = mid
-    if best is None:
-        best = [0] * len(blocks)
-    for cb, pick in zip(blocks, best):
-        cb.chosen = int(pick)
-
-
-def _allocate_rate(blocks, target_bytes, lib, workers):
+def _allocate_rate(blocks, target_bytes, lib, workers, bands=None):
     """PCRD with starved-block recovery: blocks are T1-coded under a
     work cap (_t1_all), so when the threshold search wants EVERY
     recorded pass of a cap-cut block, its true optimum may lie beyond
     the cap — re-encode just those uncapped and re-run the search.
     Converges to the uncapped allocation while coding a fraction of
-    the passes (at ratio 750 the cap floor saves ~10x the pass work)."""
+    the passes (at ratio 750 the cap floor saves ~10x the pass work).
+
+    bands: the _Band list owning `blocks`; when given, rescue
+    re-encodes ride the band-batched native entry (skip-capped) instead
+    of per-block ctypes calls."""
     slack = int(os.environ.get('APT_T1_STARVE_SLACK', '3'))
     max_rounds = int(os.environ.get('APT_T1_MAX_RESCUE_ROUNDS', '3'))
     kcap = max(48, len(blocks) // 32)
@@ -522,7 +549,17 @@ def _allocate_rate(blocks, target_bytes, lib, workers):
             starved = starved[:kcap]
         import time as _t
         _r0 = _t.time()
-        _encode_blocks(starved, lib, workers, caps=None)
+        if bands is not None:
+            band_of = {id(cb): band for band in bands
+                       for cb in band.blocks}
+            by_band = {}
+            for cb in starved:
+                band = band_of[id(cb)]
+                by_band.setdefault(id(band), (band, set()))[1].add(id(cb))
+            for band, ids in by_band.values():
+                _encode_band_blocks(lib, band, only=ids)
+        else:
+            _encode_blocks(starved, lib, workers, caps=None)
         _stat('rescue', _t.time() - _r0, len(starved))
     _final_encode(blocks, lib, workers)
 
@@ -621,12 +658,12 @@ class _TagTree:
         for li in range(1, len(self.levels)):
             prev = self.value[li - 1]
             lw, lh = self.levels[li]
-            cur = np.full((lh, lw), 2 ** 30, np.int32)
-            for yy in range(prev.shape[0]):
-                for xx in range(prev.shape[1]):
-                    cur[yy // 2, xx // 2] = min(cur[yy // 2, xx // 2],
-                                                prev[yy, xx])
-            self.value[li] = cur
+            # min-pool 2x2 (ragged edges padded with the +inf sentinel)
+            pad = np.full((lh * 2, lw * 2), 2 ** 30, np.int32)
+            pad[:prev.shape[0], :prev.shape[1]] = prev
+            self.value[li] = np.minimum(
+                np.minimum(pad[0::2, 0::2], pad[0::2, 1::2]),
+                np.minimum(pad[1::2, 0::2], pad[1::2, 1::2]))
 
     def encode(self, bw, x, y, threshold):
         path = []
@@ -707,10 +744,10 @@ class _Band:
                     blk, _ORIENT_CODE[orient], weight))
 
 
-def _encode_blocks(blocks, lib, workers, caps=None):
-    """T1-encode blocks (optionally byte-capped), recording whether the
-    cap actually cut passes so the allocator can re-encode starved
-    blocks uncapped."""
+def _encode_blocks(blocks, lib, workers, caps=None, max_passes=-1):
+    """T1-encode blocks (optionally byte- or pass-capped), recording
+    whether a cap actually cut passes so the allocator can re-encode
+    starved blocks uncapped."""
     def run(cb):
         if not cb.arr.any():
             # all-zero block: no planes, no passes, no bytes — skip the
@@ -724,8 +761,11 @@ def _encode_blocks(blocks, lib, workers, caps=None):
             return
         cap = caps.get(id(cb), 0) if caps else 0
         (cb.data, cb.nbps, cb.npasses, cb.rates, cb.dists) = \
-            _encode_block(lib, cb.arr, cb.orient_code, max_bytes=cap)
-        cb.capped = bool(cap) and cb.npasses < 3 * cb.nbps - 2
+            _encode_block(lib, cb.arr, cb.orient_code,
+                          max_passes=max_passes if max_passes > 0 else -1,
+                          max_bytes=cap)
+        cb.capped = (bool(cap) or max_passes > 0) \
+            and cb.npasses < 3 * cb.nbps - 2
         cb.hull_rows = None
 
     if workers > 1 and len(blocks) > 1:
@@ -736,8 +776,18 @@ def _encode_blocks(blocks, lib, workers, caps=None):
             run(cb)
 
 
-def _encode_band_blocks(lib, band, caps=None):
+def _encode_band_blocks(lib, band, caps=None, only=None, max_passes=-1):
     """T1-encode every block of one band with ONE native call.
+
+    only: optional set of block ids — the native call skips every
+    other block (caps entry -1) and their recorded state is left
+    untouched; used by the starved-block rescue so re-encodes stay on
+    this batched entry instead of the per-block ctypes path (which
+    cost ~1 ms/block of marshalling + GIL churn, measured 2026-08-20).
+
+    max_passes: pass-count work cap applied to every block of the
+    band (<= 0 = all passes); blocks it actually cuts are flagged
+    capped so the rate allocator's starved rescue covers them.
 
     The per-block path costs, per block, an ascontiguousarray + a
     ctypes call + a GIL release/reacquire; inside recode() the GIL
@@ -755,7 +805,12 @@ def _encode_band_blocks(lib, band, caps=None):
     arr = np.ascontiguousarray(band.arr, np.int32)
     bh, bw = arr.shape
     caps_arr = None
-    if caps:
+    if only is not None:
+        caps_arr = np.full(nb, -1, np.int64)      # -1 = native skip
+        for i, cb in enumerate(blocks):
+            if id(cb) in only:
+                caps_arr[i] = caps.get(id(cb), 0) if caps else 0
+    elif caps:
         caps_arr = np.zeros(nb, np.int64)
         for i, cb in enumerate(blocks):
             caps_arr[i] = caps.get(id(cb), 0)
@@ -787,11 +842,14 @@ def _encode_band_blocks(lib, band, caps=None):
         blocks[0].weight, _TRUNC_MARGIN,
         hull_n.ctypes.data_as(intp),
         hull_slopes.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
-        hull_rates.ctypes.data_as(i64p), hull_picks.ctypes.data_as(intp))
+        hull_rates.ctypes.data_as(i64p), hull_picks.ctypes.data_as(intp),
+        int(max_passes))
     if n != nb:
         raise RuntimeError('jp2t1_encode_band overflow (%d != %d)'
                            % (n, nb))
     for i, cb in enumerate(blocks):
+        if only is not None and id(cb) not in only:
+            continue                      # skipped block: state untouched
         npi = int(npasses[i])
         o = int(offs[i])
         cb.data = out[o:o + int(lens[i])].tobytes()
@@ -800,7 +858,8 @@ def _encode_band_blocks(lib, band, caps=None):
         cb.rates = rates[i, :npi]
         cb.dists = dists[i, :npi]
         cap = int(caps_arr[i]) if caps_arr is not None else 0
-        cb.capped = bool(cap) and npi < 3 * cb.nbps - 2
+        cb.capped = (cap > 0 or max_passes > 0) \
+            and npi < 3 * cb.nbps - 2
         m = int(hull_n[i])
         cb.hull_rows = (hull_slopes[i, :m], hull_rates[i, :m + 1],
                         hull_picks[i, :m + 1])
@@ -815,11 +874,18 @@ def _t1_all(bands, lib, workers, target_bytes=None):
     # allocator re-encodes the rare block it exhausts (see
     # _allocate_rate), so a low floor costs quality nothing.
     caps = {}
+    pass_caps = {}
     # APT_T1_CAPS: auto (default policy below) | all (cap every band,
     # the r3 behavior) | off — the A/B knob for tools/t1_cap_ab.py
     cap_mode = os.environ.get('APT_T1_CAPS', 'auto')
     if target_bytes and cap_mode != 'off':
-        floor = int(os.environ.get('APT_T1_CAP_FLOOR', '96'))
+        # floor 512 (was 96): on the realistic corpus the 96-byte floor
+        # sat exactly at the int8 level-3 blocks' typical chosen size,
+        # so their rescue re-encoded ~35 blocks/job every page — pure
+        # double work.  512 uncaps those small producers (initial +0.08
+        # s/3pages, rescue -0.54) and stays byte-identical; A/B
+        # 2026-08-20: floor 96 0.741 s, 256 0.712, 512 0.617 (3 pages).
+        floor = int(os.environ.get('APT_T1_CAP_FLOOR', '512'))
         total_px = sum(cb.arr.size for cb in blocks) or 1
         for band in bands:
             if cap_mode == 'all':
@@ -833,43 +899,100 @@ def _t1_all(bands, lib, workers, target_bytes=None):
             # a 1287-block rescue storm on one 8-page batch).
             if band.plane_budget is not None and band.plane_budget <= 4:
                 continue
-            # small (coarse) full-precision bands: the 4x-fair-share
-            # formula starves them structurally — at high ratios the
-            # byte budget CONCENTRATES in the few coarse blocks (an LL
-            # block takes ~target/16, its pixel share says ~96 B), so
-            # the cap + rescue was re-encoding nearly every one, every
-            # page.  Their total deep-plane work is tiny; leave uncapped.
+            # small (coarse) full-precision bands: a byte cap starves
+            # them structurally (at high ratios the byte budget
+            # CONCENTRATES in the few coarse blocks — an LL block takes
+            # ~target/16 while its pixel share says ~96 B, so byte caps
+            # rescue-stormed).  But their DEEP planes are pure waste:
+            # on the realistic corpus these blocks record ~41-53 passes
+            # and PCRD keeps ~0-12 (measured 2026-08-20, per-band pick
+            # capture).  Cap by PASS COUNT instead — the top
+            # APT_T1_COARSE_PLANES (default 7) bit planes, 19 passes —
+            # which cuts the dense deep planes where the cost lives
+            # while the starved rescue still guarantees the uncapped
+            # allocation when a block wants more.
             if band.arr.dtype != np.int8 and len(band.blocks) <= 64:
+                pass_caps[id(band)] = 3 * int(os.environ.get(
+                    'APT_T1_COARSE_PLANES', '7')) - 2
                 continue
             for cb in band.blocks:
                 caps[id(cb)] = max(
                     floor, 4 * target_bytes * cb.arr.size // total_px)
     import time as _t
     _i0 = _t.time()
+
+    def enc(band):
+        _encode_band_blocks(lib, band, caps,
+                            max_passes=pass_caps.get(id(band), -1))
+
     if workers > 1 and len(bands) > 1:
         # multi-core hosts: band-level calls release the GIL for their
         # whole duration, so a thread per band parallelizes in C++
         with ThreadPoolExecutor(max_workers=workers) as pool:
-            list(pool.map(
-                lambda band: _encode_band_blocks(lib, band, caps), bands))
+            list(pool.map(enc, bands))
     else:
         for band in bands:
-            _encode_band_blocks(lib, band, caps)
+            enc(band)
     _stat('initial', _t.time() - _i0, len(blocks))
     return blocks
 
 
 def _packet(bands_at_res, mb):
     """One packet (single layer, one precinct): header + body bytes.
-    bands_at_res: list of _Band in HL, LH, HH (or [LL]) order."""
-    bw = _BitWriter()
-    included = [cb for band in bands_at_res for cb in band.blocks
-                if cb.chosen > 0 and len(cb.chosen_bytes)]
+    bands_at_res: list of _Band in HL, LH, HH (or [LL]) order.
+
+    The header (tag trees + stuffed bit writer) is generated by
+    native/jp2t1.cpp:jp2t2_packet_header; the Python path below is the
+    readable reference and byte-identity oracle (APT_T2_IMPL=py,
+    tests/test_jp2tpu.py)."""
     if not any(band.blocks for band in bands_at_res):
         return b''                      # no blocks at all: no packet
+    included = [cb for band in bands_at_res for cb in band.blocks
+                if cb.chosen > 0 and len(cb.chosen_bytes)]
     if not included:
+        bw = _BitWriter()
         bw.put(0)                       # empty packet
         return bw.flush()
+
+    if _lib is not None and os.environ.get('APT_T2_IMPL') != 'py':
+        bands = [b for b in bands_at_res if b.blocks]
+        nb_tot = sum(len(b.blocks) for b in bands)
+        nxs = np.array([b.nx for b in bands], np.int32)
+        nys = np.array([b.ny for b in bands], np.int32)
+        incl = np.zeros(nb_tot, np.uint8)
+        zbp = np.zeros(nb_tot, np.int32)
+        np_ = np.zeros(nb_tot, np.int32)
+        lens = np.zeros(nb_tot, np.int64)
+        body = []
+        pos = 0
+        for band in bands:
+            mbb = mb[band]
+            for i, cb in enumerate(band.blocks):
+                if cb.chosen > 0 and len(cb.chosen_bytes):
+                    incl[pos + i] = 1
+                    zbp[pos + i] = max(0, mbb - cb.nbps)
+                    np_[pos + i] = cb.chosen
+                    lens[pos + i] = len(cb.chosen_bytes)
+                    body.append(cb.chosen_bytes)
+            pos += len(band.blocks)
+        # worst-case header bits per included block: two tag-tree
+        # walks (<= ~2 bits/level + threshold zeros), npasses (<= 16),
+        # Lblock ones + length (<= ~40) — 64 bytes/block is generous
+        cap = 64 * nb_tot + 1024
+        out = np.empty(cap, np.uint8)
+        intp = ctypes.POINTER(ctypes.c_int)
+        n = _lib.jp2t2_packet_header(
+            len(bands), nxs.ctypes.data_as(intp),
+            nys.ctypes.data_as(intp),
+            incl.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            zbp.ctypes.data_as(intp), np_.ctypes.data_as(intp),
+            lens.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap)
+        if n < 0:
+            raise RuntimeError('jp2t2_packet_header overflow')
+        return out[:n].tobytes() + b''.join(body)
+
+    bw = _BitWriter()
     bw.put(1)
     body = bytearray()
     for band in bands_at_res:
@@ -1036,7 +1159,8 @@ def _host_encode(qbands, w, h, ncomp, levels, base_delta, ratio, rgb,
         blocks = [cb for bands in comp_bands
                   for band in bands for cb in band.blocks]
         if target is not None:
-            _allocate_rate(blocks, target, lib, workers)
+            _allocate_rate(blocks, target, lib, workers,
+                           bands=all_bands)
         else:
             for cb in blocks:
                 cb.chosen = cb.npasses

@@ -671,6 +671,19 @@ def insert_images_mrc(builder, hocr_file, in_pdf=None, image_files=None,
         while len(pending) > max_pending:
             _drain_one(pending.pop(0))
 
+    # pipeline the small-document case: when every page fits in ONE
+    # batch, the loader's decode+upload and the device decompose/
+    # transform cannot overlap any host Tier-1/JBIG2 work — the batch-
+    # level double buffering below only pays from the second batch on.
+    # Splitting such a document into two half batches hides the whole
+    # second half's link+device time behind the first half's host
+    # encode at the cost of one extra (cached) jit shape.  Documents
+    # already spanning multiple batches are untouched.
+    # APT_SPLIT_SMALL=0 disables (A/B knob).
+    if (4 <= len(jobs) <= batch_pages
+            and os.environ.get('APT_SPLIT_SMALL', '1') != '0'):
+        batch_pages = (len(jobs) + 1) // 2
+
     # producer thread loads + batches images (by shape/mode/dpi) while
     # the consumer drives the device; queue depth 2 = double buffering
     batch_queue = queue.Queue(maxsize=2)

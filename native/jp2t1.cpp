@@ -509,27 +509,66 @@ struct T1Luts9 {
 
 static const T1Luts9 kLuts9;
 
+// Reusable per-block buffers: the band-batched entry codes thousands
+// of 64x64 blocks per call, and per-block vector churn (flag words,
+// column-max, occupancy) measurably taxes the one-core hosts this
+// pipeline targets.  Zeroed (not reallocated) per block.
+struct CoderScratch {
+  std::vector<uint32_t> words;
+  std::vector<uint32_t> colmax;
+  std::vector<uint64_t> occ_nbr, occ_sig;
+};
+
 struct StripeCoder {
   int w, h, orient, nstripes, stride;
   const int32_t* mag;
   const uint8_t* sgn;
-  std::vector<uint32_t> words;   // (nstripes + 2) x (w + 2)
+  CoderScratch own_;             // used when no shared scratch given
+  uint32_t* words;               // (nstripes + 2) x (w + 2)
+  uint32_t* colmax;              // nstripes x w: OR of |coeff| per column
+  uint64_t* occ_nbr;             // bit x: word (s, x) has sigma bits
+  uint64_t* occ_sig;             // bit x: word (s, x) has centre sig bits
+  uint64_t wmask;
   Ctx cx[kNumCtx];
   MQEncoder* enc;
   bool no_runopt;                // JP2T1_NO_RUNOPT=1: serial RL (perf A/B)
 
-  StripeCoder(const int32_t* m, const uint8_t* s, int w_, int h_, int o)
+  StripeCoder(const int32_t* m, const uint8_t* s, int w_, int h_, int o,
+              CoderScratch* scratch = nullptr)
       : w(w_), h(h_), orient(o), nstripes((h_ + 3) / 4), stride(w_ + 2),
         mag(m), sgn(s),
-        words(static_cast<size_t>((h_ + 3) / 4 + 2) * (w_ + 2), 0),
+        wmask(w_ >= 64 ? ~0ull : ((1ull << w_) - 1)),
         no_runopt(getenv("JP2T1_NO_RUNOPT") != nullptr) {
+    CoderScratch& sc = scratch ? *scratch : own_;
+    const size_t nw = static_cast<size_t>(nstripes + 2) * stride;
+    const size_t nc = static_cast<size_t>(nstripes) * w;
+    if (sc.words.size() < nw) sc.words.resize(nw);
+    if (sc.colmax.size() < nc) sc.colmax.resize(nc);
+    if (sc.occ_nbr.size() < static_cast<size_t>(nstripes)) {
+      sc.occ_nbr.resize(nstripes);
+      sc.occ_sig.resize(nstripes);
+    }
+    words = sc.words.data();
+    colmax = sc.colmax.data();
+    occ_nbr = sc.occ_nbr.data();
+    occ_sig = sc.occ_sig.data();
+    std::memset(words, 0, nw * sizeof(uint32_t));
+    std::memset(colmax, 0, nc * sizeof(uint32_t));
+    std::memset(occ_nbr, 0, nstripes * sizeof(uint64_t));
+    std::memset(occ_sig, 0, nstripes * sizeof(uint64_t));
+    for (int y = 0; y < h; ++y) {
+      const int32_t* mr = mag + static_cast<long>(y) * w;
+      uint32_t* cr = colmax + static_cast<long>(y >> 2) * w;
+      for (int x = 0; x < w; ++x)
+        cr[x] |= static_cast<uint32_t>(mr[x]);
+    }
     cx[0].i = 4;
     cx[kCtxRL].i = 3;
     cx[kCtxUni].i = 46;
   }
 
   inline uint32_t* W(int s, int x) {
-    return words.data() + static_cast<size_t>(s + 1) * stride + (x + 1);
+    return words + static_cast<size_t>(s + 1) * stride + (x + 1);
   }
 
   inline void SetSig(int s, int x, int j, int neg) {
@@ -537,16 +576,25 @@ struct StripeCoder {
     p[0] |= (1u << (3 * j + 4)) | (neg ? (1u << (19 + j)) : 0u);
     p[-1] |= 1u << (3 * j + 5);          // we are the E neighbour
     p[1] |= 1u << (3 * j + 3);           // we are the W neighbour
+    // occupancy mirrors "word has any sigma bit" exactly: SetSig is
+    // the only sigma writer and touches columns x-1..x+1 of stripe s
+    // (plus the adjacent stripe at j boundaries); border words
+    // (x = -1/w, s = -1/nstripes) are deliberately untracked
+    const uint64_t m = x ? (7ull << (x - 1)) : 3ull;
+    occ_nbr[s] |= m;
+    occ_sig[s] |= 1ull << x;
     if (j == 0) {
       uint32_t* q = p - stride;          // stripe above, its row r=5
       q[0] |= (1u << 16) | (neg ? (1u << 23) : 0u);
       q[-1] |= 1u << 17;
       q[1] |= 1u << 15;
+      if (s > 0) occ_nbr[s - 1] |= m;
     } else if (j == 3) {
       uint32_t* q = p + stride;          // stripe below, its row r=0
       q[0] |= (1u << 1) | (neg ? (1u << 18) : 0u);
       q[-1] |= 1u << 2;
       q[1] |= 1u << 0;
+      if (s + 1 < nstripes) occ_nbr[s + 1] |= m;
     }
   }
 
@@ -582,8 +630,17 @@ struct StripeCoder {
     for (int s = 0; s < nstripes; ++s) {
       const int jmax = (4 * s + 4 <= h) ? 4 : h - 4 * s;
       uint32_t* row = W(s, 0);
-      for (int x = 0; x < w; ++x) {
-        if (!(row[x] & kSigmaMask)) continue;   // nothing significant near
+      // visit only occupied columns, in serial (increasing-x) order.
+      // occ_nbr is re-read live each step: coding column x can set
+      // column x+1's bit, which the serial scan would see — columns
+      // LEFT of the cursor are never revisited (matching the serial
+      // coder, which has already passed them).
+      uint64_t behind = 0;
+      for (;;) {
+        const uint64_t avail = (occ_nbr[s] & wmask) & ~behind;
+        if (!avail) break;
+        const int x = __builtin_ctzll(avail);
+        behind = (x >= 63) ? ~0ull : ((2ull << x) - 1);
         for (int j = 0; j < jmax; ++j) {
           const uint32_t wd = row[x];
           const uint32_t slice = (wd >> (3 * j)) & 0x1FF;
@@ -609,9 +666,13 @@ struct StripeCoder {
     for (int s = 0; s < nstripes; ++s) {
       const int jmax = (4 * s + 4 <= h) ? 4 : h - 4 * s;
       uint32_t* row = W(s, 0);
-      for (int x = 0; x < w; ++x) {
+      // significance is frozen during a magnitude pass, so the
+      // occupancy snapshot is exact (occ_sig bit <=> centre sig bits)
+      uint64_t rem = occ_sig[s] & wmask;
+      while (rem) {
+        const int x = __builtin_ctzll(rem);
+        rem &= rem - 1;
         uint32_t wd = row[x];
-        if (!(wd & kCenterMask)) continue;      // no significant centre
         for (int j = 0; j < jmax; ++j) {
           if (!((wd >> (3 * j + 4)) & 1)) continue;
           if ((wd >> (24 + j)) & 1) continue;   // visited this plane
@@ -637,40 +698,44 @@ struct StripeCoder {
     for (int s = 0; s < nstripes; ++s) {
       const int jmax = (4 * s + 4 <= h) ? 4 : h - 4 * s;
       uint32_t* row = W(s, 0);
+      // bit x: some coefficient of stripe column x carries plane p.
+      // colmax is the per-column OR of |coeff|, so its bit p is the
+      // OR of the column's plane-p bits — one load per column here
+      // replaces four strided magnitude loads per run-scanned column.
+      uint64_t colb = 0;
+      const uint32_t* cm = colmax + static_cast<size_t>(s) * w;
+      for (int x = 0; x < w; ++x)
+        colb |= static_cast<uint64_t>((cm[x] >> p) & 1) << x;
       for (int x = 0; x < w; ++x) {
         int j = 0;
-        if (jmax == 4 &&
-            !(row[x] & (kSigmaMask | kVisitMask))) {
-          // run-length mode: whole column insignificant, no significant
-          // neighbours, nothing visited
-          int first = -1;
-          for (int k = 0; k < 4; ++k) {
-            if ((mag[(4 * s + k) * w + x] >> p) & 1) { first = k; break; }
-          }
-          if (first < 0) {
+        if (jmax == 4 && !((occ_nbr[s] >> x) & 1)) {
+          // run-length mode: occupancy clear <=> the column has no
+          // sigma bits, and visit bits only ever land on occupied
+          // columns, so the word test is implied
+          if (!((colb >> x) & 1)) {
             // batched run: consecutive all-zero RL columns each code
             // one MPS 0 on the same context, and nothing they code
-            // changes any state word — so scan ahead and collapse the
-            // whole run into one EncodeMPSRun (bit-exact; the
-            // BlockCoder double-entry below stays serial and the
-            // identity test covers this path)
+            // changes any state word — so collapse the run into one
+            // EncodeMPSRun (bit-exact; the BlockCoder double-entry
+            // below stays serial and the identity test covers this).
+            // occ_nbr is read live: earlier columns' coding this pass
+            // may have occupied columns ahead of the cursor.
             if (cx[kCtxRL].mps == 0 && !no_runopt) {
-              const int32_t* m0 = mag + static_cast<long>(4 * s) * w;
-              long n = 1;
-              while (x + n < w &&
-                     !(row[x + n] & (kSigmaMask | kVisitMask))) {
-                const long xx = x + n;
-                if (((m0[xx] | m0[w + xx] | m0[2 * w + xx]
-                      | m0[3 * w + xx]) >> p) & 1)
-                  break;
-                ++n;
-              }
+              const uint64_t blocked =
+                  ((occ_nbr[s] | colb) & wmask) >> x;
+              const uint64_t nz = blocked | ~(wmask >> x);
+              const long n = nz ? __builtin_ctzll(nz)
+                                : static_cast<long>(w - x);
               enc->EncodeMPSRun(&cx[kCtxRL], n);
               x += static_cast<int>(n) - 1;
               continue;
             }
             enc->Encode(&cx[kCtxRL], 0);
             continue;
+          }
+          int first = -1;
+          for (int k = 0; k < 4; ++k) {
+            if ((mag[(4 * s + k) * w + x] >> p) & 1) { first = k; break; }
           }
           enc->Encode(&cx[kCtxRL], 1);
           enc->Encode(&cx[kCtxUni], (first >> 1) & 1);
@@ -702,23 +767,15 @@ struct StripeCoder {
   }
 };
 
-// Shared body of jp2t1_encode_block / jp2t1_encode_band (see the
-// extern "C" doc comments below for the contract).
-static long EncodeOne(const int32_t* coeffs, int w, int h, int orient,
-                      int max_passes, long max_bytes, uint8_t* out,
-                      long cap, int* nbps, int* npasses, long* pass_rate,
-                      double* pass_dist) {
-  std::vector<int32_t> mag(w * h);
-  std::vector<uint8_t> sgn(w * h);
-  int32_t maxmag = 0;
-  for (int i = 0; i < w * h; ++i) {
-    int32_t v = coeffs[i];
-    mag[i] = v < 0 ? -v : v;
-    sgn[i] = v < 0 ? 1 : 0;
-    if (mag[i] > maxmag) maxmag = v < 0 ? -v : v;
-  }
-  int planes = 0;
-  while ((1 << planes) <= maxmag) ++planes;
+// Shared core of jp2t1_encode_block / jp2t1_encode_band: codes one
+// block from pre-extracted magnitude/sign planes (see the extern "C"
+// doc comments below for the contract).  `scratch`, when given, reuses
+// the coder's per-block state buffers across a band's blocks.
+static long EncodeCore(const int32_t* mag, const uint8_t* sgn, int planes,
+                       int w, int h, int orient, int max_passes,
+                       long max_bytes, uint8_t* out, long cap, int* nbps,
+                       int* npasses, long* pass_rate, double* pass_dist,
+                       CoderScratch* scratch) {
   *nbps = planes;
   *npasses = 0;
   if (planes == 0) return 0;   // empty block: no passes, no bytes
@@ -738,10 +795,10 @@ static long EncodeOne(const int32_t* coeffs, int w, int h, int orient,
   std::unique_ptr<BlockCoder> bc;
   std::unique_ptr<StripeCoder> sc;
   if (use_ref) {
-    bc.reset(new BlockCoder(mag.data(), sgn.data(), w, h, orient));
+    bc.reset(new BlockCoder(mag, sgn, w, h, orient));
     bc->enc = &enc;
   } else {
-    sc.reset(new StripeCoder(mag.data(), sgn.data(), w, h, orient));
+    sc.reset(new StripeCoder(mag, sgn, w, h, orient, scratch));
     sc->enc = &enc;
   }
 
@@ -791,6 +848,32 @@ static long EncodeOne(const int32_t* coeffs, int w, int h, int orient,
   return n;
 }
 
+inline int PlanesOf(int32_t maxmag) {
+  int planes = 0;
+  while ((1 << planes) <= maxmag) ++planes;
+  return planes;
+}
+
+// Per-block entry body: extract magnitude/sign, then code.
+static long EncodeOne(const int32_t* coeffs, int w, int h, int orient,
+                      int max_passes, long max_bytes, uint8_t* out,
+                      long cap, int* nbps, int* npasses, long* pass_rate,
+                      double* pass_dist) {
+  std::vector<int32_t> mag(w * h);
+  std::vector<uint8_t> sgn(w * h);
+  int32_t maxmag = 0;
+  for (int i = 0; i < w * h; ++i) {
+    const int32_t v = coeffs[i];
+    const int32_t m = v < 0 ? -v : v;
+    mag[i] = m;
+    sgn[i] = v < 0 ? 1 : 0;
+    if (m > maxmag) maxmag = m;
+  }
+  return EncodeCore(mag.data(), sgn.data(), PlanesOf(maxmag), w, h,
+                    orient, max_passes, max_bytes, out, cap, nbps,
+                    npasses, pass_rate, pass_dist, nullptr);
+}
+
 }  // namespace
 
 extern "C" {
@@ -827,7 +910,13 @@ long jp2t1_encode_block(const int32_t* coeffs, int w, int h, int orient,
 //   band: int32 quantized subband, row-major bh*bw, contiguous.
 //   cbsz: code-block size (grid is ceil(bw/cbsz) x ceil(bh/cbsz),
 //   edge blocks clipped).
-//   caps: per-block max_bytes in raster order (NULL = uncapped).
+//   caps: per-block max_bytes in raster order (NULL = uncapped);
+//   a NEGATIVE entry skips that block entirely, leaving its output
+//   slots untouched (rescue re-encodes only its starved subset).
+//   max_passes: stop every block after this many coding passes
+//   (<= 0 = all) — the work cap for deep coarse bands, whose final
+//   PCRD picks use ~8-12 of ~50 recorded passes (the rate allocator
+//   re-encodes the rare block that wants more).
 //   out/out_cap: one buffer for every block's stream; block i's bytes
 //   land at out+offs[i], length lens[i] (0 for all-zero blocks, which
 //   report nbps=npasses=0).
@@ -850,40 +939,54 @@ long jp2t1_encode_band(const int32_t* band, int bw, int bh, int cbsz,
                        long* offs, long* pass_rate, double* pass_dist,
                        double weight, long trunc_margin, int* hull_n,
                        double* hull_slopes, long* hull_rates,
-                       int* hull_picks) {
+                       int* hull_picks, int max_passes) {
   const int nx = bw ? (bw + cbsz - 1) / cbsz : 0;
   const int ny = bh ? (bh + cbsz - 1) / cbsz : 0;
-  std::vector<int32_t> blk(static_cast<size_t>(cbsz) * cbsz);
+  std::vector<int32_t> mag(static_cast<size_t>(cbsz) * cbsz);
+  std::vector<uint8_t> sgn(static_cast<size_t>(cbsz) * cbsz);
+  CoderScratch scratch;
   int hull[129];
   long off = 0;
   long bi = 0;
   for (int by = 0; by < ny; ++by) {
     for (int bx = 0; bx < nx; ++bx, ++bi) {
+      if (caps && caps[bi] < 0) {
+        // caller-skipped block (rescue re-encodes only starved
+        // blocks): leave every output slot untouched
+        continue;
+      }
       const int w = std::min(cbsz, bw - bx * cbsz);
       const int h = std::min(cbsz, bh - by * cbsz);
-      // extract + all-zero test in one scan (replaces the Python-side
-      // .any() over a strided view)
-      bool any = false;
+      // extraction fused with the magnitude/sign split and the
+      // bit-plane count (replaces the Python-side .any() AND the
+      // former separate extract-then-split double scan)
+      int32_t maxmag = 0;
       for (int y = 0; y < h; ++y) {
         const int32_t* src =
             band + static_cast<long>(by * cbsz + y) * bw + bx * cbsz;
-        int32_t* dst = blk.data() + static_cast<long>(y) * w;
+        int32_t* mr = mag.data() + static_cast<long>(y) * w;
+        uint8_t* sr = sgn.data() + static_cast<long>(y) * w;
         for (int x = 0; x < w; ++x) {
-          dst[x] = src[x];
-          any |= src[x] != 0;
+          const int32_t v = src[x];
+          const int32_t m = v < 0 ? -v : v;
+          mr[x] = m;
+          sr[x] = v < 0 ? 1 : 0;
+          if (m > maxmag) maxmag = m;
         }
       }
       offs[bi] = off;
       long n = 0;
-      if (!any) {
+      if (!maxmag) {
         nbps[bi] = 0;
         npasses[bi] = 0;
         lens[bi] = 0;
       } else {
-        n = EncodeOne(blk.data(), w, h, orient, -1,
-                      caps ? caps[bi] : 0, out + off, out_cap - off,
-                      nbps + bi, npasses + bi, pass_rate + bi * 128,
-                      pass_dist + bi * 128);
+        n = EncodeCore(mag.data(), sgn.data(), PlanesOf(maxmag), w, h,
+                       orient, max_passes > 0 ? max_passes : -1,
+                       caps ? caps[bi] : 0, out + off,
+                       out_cap - off, nbps + bi, npasses + bi,
+                       pass_rate + bi * 128, pass_dist + bi * 128,
+                       &scratch);
         if (n < 0) return -1;
         lens[bi] = n;
         off += n;
@@ -923,6 +1026,202 @@ long jp2t1_encode_band(const int32_t* band, int bw, int bh, int cbsz,
     }
   }
   return bi;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------
+// Tier-2 packet-header generation: tag trees + the stuffed bit writer.
+// Exact port of the Python _TagTree/_BitWriter/_npasses_code trio in
+// codecs/jp2tpu.py (which remains as the readable reference and the
+// byte-identity oracle, APT_T2_IMPL=py) — headers for thousands of
+// code blocks per page were ~15% of the host encode wall in Python.
+
+namespace {
+
+// Packet-header bit writer with 0xFF bit-stuffing (T.800 B.10.1): a
+// byte following an 0xFF carries only 7 bits.  Capacity is fixed when
+// the byte starts.
+struct BitWriter {
+  uint8_t* out;
+  long cap, n = 0;
+  uint32_t bits = 0;
+  int nbits = 0, limit = 8;
+  bool overflow = false;
+
+  BitWriter(uint8_t* o, long c) : out(o), cap(c) {}
+
+  void Put(int bit) {
+    if (nbits == 0)
+      limit = (n > 0 && out[n - 1] == 0xFF) ? 7 : 8;
+    bits = (bits << 1) | (bit & 1);
+    if (++nbits == limit) {
+      if (n >= cap) { overflow = true; return; }
+      out[n++] = static_cast<uint8_t>(bits);
+      bits = 0;
+      nbits = 0;
+    }
+  }
+
+  void PutBits(uint32_t val, int nb) {
+    for (int i = nb - 1; i >= 0; --i) Put((val >> i) & 1);
+  }
+
+  long Flush() {
+    if (nbits) {
+      if (n >= cap) { overflow = true; return -1; }
+      out[n++] = static_cast<uint8_t>(bits << (limit - nbits));
+      bits = 0;
+      nbits = 0;
+    }
+    if (n > 0 && out[n - 1] == 0xFF) {     // can't end on FF
+      if (n >= cap) { overflow = true; return -1; }
+      out[n++] = 0;
+    }
+    return overflow ? -1 : n;
+  }
+};
+
+// Tag tree (T.800 B.10.2), encoder side, threshold coding with the
+// same low/known broadcast semantics as the Python _TagTree.
+struct TagTree {
+  int nlev;
+  std::vector<int> lw, lh, base;       // per-level dims + offsets
+  std::vector<int32_t> value, low;
+  std::vector<uint8_t> known;
+
+  TagTree(int w, int h) {
+    lw.push_back(w);
+    lh.push_back(h);
+    while (w > 1 || h > 1) {
+      w = (w + 1) / 2;
+      h = (h + 1) / 2;
+      lw.push_back(w);
+      lh.push_back(h);
+    }
+    nlev = static_cast<int>(lw.size());
+    int tot = 0;
+    for (int li = 0; li < nlev; ++li) {
+      base.push_back(tot);
+      tot += lw[li] * lh[li];
+    }
+    value.assign(tot, 0);
+    low.assign(tot, 0);
+    known.assign(tot, 0);
+  }
+
+  int32_t& V(int li, int x, int y) {
+    return value[base[li] + y * lw[li] + x];
+  }
+
+  void Finalize() {
+    for (int li = 1; li < nlev; ++li) {
+      for (int y = 0; y < lh[li]; ++y)
+        for (int x = 0; x < lw[li]; ++x)
+          V(li, x, y) = 1 << 30;
+      for (int y = 0; y < lh[li - 1]; ++y)
+        for (int x = 0; x < lw[li - 1]; ++x)
+          V(li, x / 2, y / 2) =
+              std::min(V(li, x / 2, y / 2), V(li - 1, x, y));
+    }
+  }
+
+  void Encode(BitWriter* bw, int x, int y, int threshold) {
+    int32_t lowv = 0;
+    for (int li = nlev - 1; li >= 0; --li) {     // root first
+      const int lx = x >> li, ly = y >> li;
+      const int idx = base[li] + ly * lw[li] + lx;
+      if (lowv > low[idx]) low[idx] = lowv; else lowv = low[idx];
+      while (lowv < threshold) {
+        if (lowv >= value[idx]) {
+          if (!known[idx]) {
+            bw->Put(1);
+            known[idx] = 1;
+          }
+          break;
+        }
+        bw->Put(0);
+        ++lowv;
+      }
+      low[idx] = lowv;
+    }
+  }
+};
+
+void NPassesCode(BitWriter* bw, int n) {
+  // number-of-coding-passes codeword (T.800 B.10.6)
+  if (n == 1) {
+    bw->Put(0);
+  } else if (n == 2) {
+    bw->Put(1);
+    bw->Put(0);
+  } else if (n <= 5) {
+    bw->PutBits(0b11, 2);
+    bw->PutBits(n - 3, 2);
+  } else if (n <= 36) {
+    bw->PutBits(0b1111, 4);
+    bw->PutBits(n - 6, 5);
+  } else {
+    bw->PutBits(0b111111111, 9);
+    bw->PutBits(n - 37, 7);
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Header bits of one non-empty packet (single layer, one precinct).
+// Bands are concatenated in HL, LH, HH (or [LL]) order; per band i:
+// grid nxs[i] x nys[i] code blocks, whose per-block rows follow in
+// raster order within the flattened arrays:
+//   incl:   1 = block contributes passes to this packet
+//   zbp:    zero-bitplane count (mb - nbps), used when included
+//   np:     chosen coding passes (>= 1 when included)
+//   lens:   chosen stream bytes
+// Writes the stuffed header (leading 1 bit included) to out and
+// returns its length, or -1 if cap is too small.
+long jp2t2_packet_header(int nbands, const int* nxs, const int* nys,
+                         const uint8_t* incl, const int* zbp,
+                         const int* np, const long* lens,
+                         uint8_t* out, long cap) {
+  BitWriter bw(out, cap);
+  bw.Put(1);                             // non-empty packet
+  long pos = 0;
+  for (int b = 0; b < nbands; ++b) {
+    const int nx = nxs[b], ny = nys[b], nb = nx * ny;
+    if (!nb) continue;
+    TagTree it(nx, ny), zt(nx, ny);
+    for (int i = 0; i < nb; ++i) {
+      it.V(0, i % nx, i / nx) = incl[pos + i] ? 0 : 1;
+      zt.V(0, i % nx, i / nx) = incl[pos + i] ? zbp[pos + i] : 0;
+    }
+    it.Finalize();
+    zt.Finalize();
+    for (int i = 0; i < nb; ++i) {
+      const int x = i % nx, y = i / nx;
+      it.Encode(&bw, x, y, 1);
+      if (!incl[pos + i]) continue;
+      zt.Encode(&bw, x, y, zbp[pos + i] + 1);
+      NPassesCode(&bw, np[pos + i]);
+      int lb = 3;
+      const long ln = lens[pos + i];
+      const int chosen = np[pos + i];
+      int full = lb + (31 - __builtin_clz(
+          static_cast<unsigned>(chosen)));
+      int need = 1;
+      while ((ln >> need) != 0) ++need;   // max(1, bit_length(ln))
+      while (full < need) {
+        bw.Put(1);
+        ++lb;
+        ++full;
+      }
+      bw.Put(0);
+      bw.PutBits(static_cast<uint32_t>(ln), full);
+    }
+    pos += nb;
+  }
+  return bw.Flush();
 }
 
 }  // extern "C"

@@ -247,6 +247,39 @@ class TestBandBatchedT1:
                 assert np.array_equal(gr, np.asarray(pr)), (ci, bi)
                 assert np.array_equal(gp, np.asarray(pp)), (ci, bi)
 
+    def test_banded_rescue_matches_per_block(self, monkeypatch):
+        # The starved-block rescue re-encodes through the band entry
+        # with skip caps (-1); streams and all recorded state must
+        # match the legacy per-block rescue path exactly.  caps 'all'
+        # + noisy structured content forces a real rescue round.
+        monkeypatch.setenv('APT_T1_CAPS', 'all')
+        rng = np.random.default_rng(7)
+        img = rng.normal(128, 40, (400, 300)).clip(0, 255) \
+            .astype(np.uint8)
+        img[::7] = 20          # structure that starves coarse blocks
+        new = J.encode_jp2_tpu(img, ratio=400, workers=1)
+        orig = J._allocate_rate
+        try:
+            J._allocate_rate = lambda blocks, t, lib, w, bands=None: \
+                orig(blocks, t, lib, w, bands=None)
+            old = J.encode_jp2_tpu(img, ratio=400, workers=1)
+        finally:
+            J._allocate_rate = orig
+        assert new == old
+
+    def test_native_packet_header_matches_python(self, monkeypatch):
+        # Tier-2 packet headers come from jp2t2_packet_header; the
+        # in-module Python tag-tree/bit-writer path is the oracle.
+        # Mixed content exercises included/excluded blocks, multi-level
+        # tag trees, zero-bitplane thresholds and Lblock growth.
+        for seed, ratio in [(3, 25), (9, 300)]:
+            img = synth_gray(300, 260, seed=seed)
+            monkeypatch.delenv('APT_T2_IMPL', raising=False)
+            nat = J.encode_jp2_tpu(img, ratio=ratio, workers=1)
+            monkeypatch.setenv('APT_T2_IMPL', 'py')
+            ref = J.encode_jp2_tpu(img, ratio=ratio, workers=1)
+            assert nat == ref, (seed, ratio)
+
     def test_full_encode_unchanged_by_band_batching(self):
         # end-to-end: the whole-stream bytes are identical whether T1
         # runs band-batched (production _t1_all) or per-block
@@ -256,8 +289,12 @@ class TestBandBatchedT1:
         # _encode_blocks under a patched _encode_band_blocks
         orig = J._encode_band_blocks
         try:
-            J._encode_band_blocks = lambda lib, band, caps=None: \
-                J._encode_blocks(band.blocks, lib, 1, caps)
+            J._encode_band_blocks = \
+                lambda lib, band, caps=None, only=None, max_passes=-1: \
+                J._encode_blocks(
+                    [cb for cb in band.blocks
+                     if only is None or id(cb) in only],
+                    lib, 1, caps, max_passes=max_passes)
             alt = J.encode_jp2_tpu(img, ratio=40, workers=1)
         finally:
             J._encode_band_blocks = orig
