@@ -406,7 +406,7 @@ def _encode_block(lib, blk, orient_code, max_passes=-1, max_bytes=0):
 class _CodeBlock:
     __slots__ = ('data', 'nbps', 'npasses', 'rates', 'dists', 'arr',
                  'orient_code', 'weight', 'chosen', 'chosen_bytes',
-                 'capped', 'hull_rows')
+                 'capped', 'pass_capped', 'hull_rows')
 
     def __init__(self, arr, orient_code, weight):
         self.arr = arr
@@ -414,7 +414,13 @@ class _CodeBlock:
         self.weight = weight
         self.chosen = 0
         self.chosen_bytes = b''
+        # capped: a BYTE cap cut this block's passes mid-plane — the
+        # hull near the cut is unreliable, so rescue uses a slack.
+        # pass_capped: a PASS-count cap stopped it at an exact pass
+        # boundary — the recorded hull is exact below the cap, so
+        # rescue triggers only when the pick reaches the cap itself.
         self.capped = False
+        self.pass_capped = False
         self.hull_rows = None
 
 
@@ -536,8 +542,13 @@ def _allocate_rate(blocks, target_bytes, lib, workers, bands=None):
 
     for _round in range(max_rounds + 1):
         _pcrd_choose(blocks, target_bytes)
+        # byte-capped blocks rescue within `slack` passes of the cut
+        # (the hull near a mid-plane cut is unreliable); pass-capped
+        # blocks have an exact hull below the cap, so only a pick AT
+        # the cap means the optimum may lie beyond it
         starved = [cb for cb in blocks
-                   if cb.capped and cb.chosen >= cb.npasses - slack]
+                   if (cb.capped and cb.chosen >= cb.npasses - slack)
+                   or (cb.pass_capped and cb.chosen >= cb.npasses)]
         if not starved or _round == max_rounds:
             break
         if len(starved) > kcap:
@@ -757,6 +768,7 @@ def _encode_blocks(blocks, lib, workers, caps=None, max_passes=-1):
             cb.rates = np.zeros(0, np.int64)
             cb.dists = np.zeros(0, np.float64)
             cb.capped = False
+            cb.pass_capped = False
             cb.hull_rows = None
             return
         cap = caps.get(id(cb), 0) if caps else 0
@@ -764,8 +776,10 @@ def _encode_blocks(blocks, lib, workers, caps=None, max_passes=-1):
             _encode_block(lib, cb.arr, cb.orient_code,
                           max_passes=max_passes if max_passes > 0 else -1,
                           max_bytes=cap)
-        cb.capped = (bool(cap) or max_passes > 0) \
-            and cb.npasses < 3 * cb.nbps - 2
+        short = cb.npasses < 3 * cb.nbps - 2
+        cb.capped = bool(cap) and short
+        cb.pass_capped = (not cb.capped and max_passes > 0
+                          and cb.npasses >= max_passes and short)
         cb.hull_rows = None
 
     if workers > 1 and len(blocks) > 1:
@@ -858,8 +872,10 @@ def _encode_band_blocks(lib, band, caps=None, only=None, max_passes=-1):
         cb.rates = rates[i, :npi]
         cb.dists = dists[i, :npi]
         cap = int(caps_arr[i]) if caps_arr is not None else 0
-        cb.capped = (cap > 0 or max_passes > 0) \
-            and npi < 3 * cb.nbps - 2
+        short = npi < 3 * cb.nbps - 2
+        cb.capped = cap > 0 and short
+        cb.pass_capped = (not cb.capped and max_passes > 0
+                          and npi >= max_passes and short)
         m = int(hull_n[i])
         cb.hull_rows = (hull_slopes[i, :m], hull_rates[i, :m + 1],
                         hull_picks[i, :m + 1])
@@ -893,11 +909,17 @@ def _t1_all(bands, lib, workers, target_bytes=None):
                     caps[id(cb)] = max(
                         floor, 4 * target_bytes * cb.arr.size // total_px)
                 continue
-            # pack4 plane-budgeted bands have <= 7 cheap passes: a byte
-            # cap saves almost no T1 work there but its starved-block
-            # rescue re-encodes ordinary fully-coded blocks (measured:
-            # a 1287-block rescue storm on one 8-page batch).
+            # pack4 plane-budgeted bands (<= 7 passes): a byte cap saves
+            # ~nothing and rescue-storms (measured: 1287 blocks on one
+            # 8-page batch), but their FINEST plane is the expensive one
+            # and final picks almost never reach it (avg chosen 0-0.1 of
+            # 4-5 recorded passes, per-band pick capture 2026-08-20) —
+            # pass-cap at the top two planes; the exact-boundary rescue
+            # realizes the rare block that wants more.
             if band.plane_budget is not None and band.plane_budget <= 4:
+                fine = int(os.environ.get('APT_T1_FINE_PASSES', '4'))
+                if fine > 0:
+                    pass_caps[id(band)] = fine
                 continue
             # small (coarse) full-precision bands: a byte cap starves
             # them structurally (at high ratios the byte budget
