@@ -12,6 +12,15 @@ Flate otherwise) and placed in-flow scaled to the column, chapter
 starts become PDF outline entries, and OPF metadata maps to the
 docinfo.  Covers and figures survive; fixed-layout positioning does
 not.
+
+Hyperlinks: the reference re-inserts every non-named link of the input
+into the output (``bin/epub-to-pdf:62-76``, ``pout.insert_link``).  We
+emit /Annots Link objects for ``<a href>`` anchors in reflowed and
+fixed-layout spine documents and for XPS ``FixedPage.NavigateUri``
+attributes: external URIs become /URI actions; hrefs to other spine
+documents (or ``#fragment`` self-references and ``.fpage`` targets)
+become page-level GoTo dests — strictly more than the reference, which
+drops LINK_NAMED internal links.
 """
 
 import argparse
@@ -219,9 +228,69 @@ def _viewport(root):
     return None
 
 
+_XLINK_HREF = '{http://www.w3.org/1999/xlink}href'
+
+
+def _anchor_href(el):
+    return el.get('href') or el.get(_XLINK_HREF)
+
+
+def _text_and_links(el):
+    """Whitespace-collapsed subtree text plus anchor char ranges:
+    returns (text, [(start, end, href), ...]) where start/end index the
+    collapsed text.  Collapsing happens during accumulation (not with a
+    post-hoc re.sub) so the recorded offsets stay exact."""
+    chars = []
+    links = []
+
+    def emit(s):
+        for ch in s:
+            if ch in ' \t\r\n\x0b\x0c\xa0':
+                if chars and chars[-1] != ' ':
+                    chars.append(' ')
+            else:
+                chars.append(ch)
+
+    def walk(node, is_root):
+        if not isinstance(node.tag, str):   # comments, PIs
+            if not is_root and node.tail:
+                emit(node.tail)
+            return
+        local = (etree.QName(node).localname or '').lower()
+        href = _anchor_href(node) if local == 'a' else None
+        start = len(chars)
+        if node.text:
+            emit(node.text)
+        for child in node:
+            walk(child, False)
+        if href:
+            s, e = start, len(chars)
+            while s < e and chars[s] == ' ':
+                s += 1
+            while e > s and chars[e - 1] == ' ':
+                e -= 1
+            if e > s:
+                links.append((s, e, href))
+        if not is_root and node.tail:
+            emit(node.tail)
+
+    walk(el, True)
+    text = ''.join(chars)
+    lead = len(text) - len(text.lstrip(' '))
+    stripped = text.strip(' ')
+    out = []
+    for s, e, href in links:
+        s, e = max(0, s - lead), min(len(stripped), e - lead)
+        if e > s:
+            out.append((s, e, href))
+    return stripped, out
+
+
 def _extract_flow(zf, doc_path):
-    """(title, flow) where flow is an ordered list of ('text', str) and
-    ('img', zip_path) blocks — images keep their document position."""
+    """(title, flow) where flow is an ordered list of
+    ('text'|'head', str, links) and ('img', zip_path, None) blocks —
+    images keep their document position; links are char ranges from
+    _text_and_links."""
     try:
         data = zf.read(doc_path)
     except KeyError:
@@ -258,68 +327,89 @@ def _extract_flow(zf, doc_path):
         if local in ('img', 'image'):
             path = resolve_src(p)
             if path:
-                flow.append(('img', path))
+                flow.append(('img', path, None))
         elif local in ('p', 'h1', 'h2', 'h3', 'h4', 'li', 'blockquote'):
             # text only (nested imgs were already collected above in
             # document order by this same iteration)
-            text = re.sub(r'\s+', ' ', ' '.join(p.itertext())).strip()
+            text, links = _text_and_links(p)
             if text:
                 flow.append(('head' if local.startswith('h') else 'text',
-                             text))
+                             text, links))
     return title, flow
 
 
 def _wrap(text, cols):
-    """Monospace fallback wrap (no AFMs available)."""
+    """Monospace fallback wrap (no AFMs available).  Returns
+    (line, char_start, char_end) triples indexing `text` so link char
+    ranges can be mapped to rendered positions."""
     lines = []
+    base = 0
     for para in text.split('\n'):
-        words = para.split(' ')
         cur = ''
-        for word in words:
+        cur_s = cur_e = base
+        pos = base
+        for word in para.split(' '):
+            wstart = pos
+            pos += len(word) + 1
             if not cur:
-                cur = word
+                cur, cur_s, cur_e = word, wstart, wstart + len(word)
             elif len(cur) + 1 + len(word) <= cols:
                 cur += ' ' + word
+                cur_e = wstart + len(word)
             else:
-                lines.append(cur)
-                cur = word
-        lines.append(cur)
+                lines.append((cur, cur_s, cur_e))
+                cur, cur_s, cur_e = word, wstart, wstart + len(word)
+        lines.append((cur, cur_s, cur_e))
+        base += len(para) + 1
     return lines
 
 
 def _wrap_prop(text, widths, size, col_w):
-    """Width-measured wrap: WinAnsi bytes against per-code advances."""
+    """Width-measured wrap: WinAnsi bytes against per-code advances.
+    Returns (line_bytes, char_start, char_end) triples indexing `text`
+    (cp1252 is single-byte, so byte and char offsets coincide)."""
     def wlen(bs):
         return sum(widths[b] for b in bs) * size
 
     space_w = widths[32] * size
     lines = []
+    base = 0
     for para in text.split('\n'):
         cur = b''
         cur_w = 0.0
+        cur_s = cur_e = base
+        pos = base
         for word in para.split(' '):
             wb = word.encode('cp1252', 'replace')
+            wstart = pos
+            pos += len(word) + 1
             ww = wlen(wb)
+            woff = 0
             while ww > col_w and len(wb) > 1:
                 # hard-break an over-wide word at the column edge
                 k = 1
                 while k < len(wb) and wlen(wb[:k + 1]) <= col_w:
                     k += 1
                 if cur:
-                    lines.append(cur)
+                    lines.append((cur, cur_s, cur_e))
                     cur, cur_w = b'', 0.0
-                lines.append(wb[:k])
+                lines.append((wb[:k], wstart + woff, wstart + woff + k))
                 wb = wb[k:]
+                woff += k
                 ww = wlen(wb)
             if not cur:
                 cur, cur_w = wb, ww
+                cur_s, cur_e = wstart + woff, wstart + woff + len(wb)
             elif cur_w + space_w + ww <= col_w:
                 cur += b' ' + wb
                 cur_w += space_w + ww
+                cur_e = wstart + woff + len(wb)
             else:
-                lines.append(cur)
+                lines.append((cur, cur_s, cur_e))
                 cur, cur_w = wb, ww
-        lines.append(cur)
+                cur_s, cur_e = wstart + woff, wstart + woff + len(wb)
+        lines.append((cur, cur_s, cur_e))
+        base += len(para) + 1
     return lines
 
 
@@ -531,10 +621,39 @@ def main(argv=None):
                     HEAD_LEADING / LEADING)}
 
     page_refs = []
+    page_dicts = []       # parallel: dict, finalized via w.set at end
+    page_links = []       # parallel: [(rect, kind, target), ...] where
+                          # kind 'uri' -> target URL; 'goto' -> target
+                          # spine-doc zip path resolved to a page later
     chapter_pages = []    # (title, first page index)
-    cur_items = []        # ('line', str) | ('img', ref, w_pt, h_pt)
+    doc_first_page = {}   # spine doc zip path -> first page index
+    cur_items = []        # ('line', str[, style[, links]]) |
+                          # ('img', ref, w_pt, h_pt)
     cur_rows = 0
     img_cache = {}        # zip path -> (xobj ref, w_px, h_px) | None
+
+    def add_page(pd, links=None):
+        """Reserve a page ref now, finalize the dict at save time so
+        GoTo link annotations can point at pages not yet built."""
+        ref = w.reserve()
+        page_refs.append(ref)
+        page_dicts.append(pd)
+        page_links.append(links or [])
+        return ref
+
+    def classify_href(href, base, cur_doc):
+        """href -> ('uri', url) | ('goto', spine doc zip path) | None.
+        External = any absolute scheme; '#frag' targets the current
+        doc's first page; relative paths resolve against the doc."""
+        if not href:
+            return None
+        if re.match(r'^[a-zA-Z][a-zA-Z0-9+.\-]*:', href):
+            return ('uri', href)
+        if href.startswith('#'):
+            return ('goto', cur_doc)
+        path = posixpath.normpath(
+            posixpath.join(base, href.split('#')[0]))
+        return ('goto', path)
 
     def embed_image(path):
         """Image XObject from a zip member: JPEG passthrough when the
@@ -575,8 +694,17 @@ def main(argv=None):
         ops = []
         y = PAGE_H - MARGIN
         xobjs = {}
-        text_run = []
+        text_run = []     # (payload, [(off0, off1, spec), ...] | None)
         run_style = 'b'
+        links = []
+
+        def measure(payload, n):
+            """Rendered width of payload[:n] in the active style."""
+            if not proportional:
+                return CHAR_W * n
+            wd = head_widths if run_style == 'h' else body_widths
+            size = STYLES[run_style][1]
+            return sum(wd[b] for b in payload[:n]) * size
 
         def flush_text():
             nonlocal text_run, y
@@ -585,8 +713,16 @@ def main(argv=None):
             fname, size, leading, _u = STYLES[run_style]
             ops.append(b'BT /%s %g Tf %g %g Td %g TL' %
                        (fname.encode(), size, MARGIN, y, leading))
-            for line in text_run:
+            for i, (line, llinks) in enumerate(text_run):
                 ops.append(b"(%s) '" % _esc(line))
+                # the ' operator moves down TL then shows: line i's
+                # baseline sits at y - leading*(i+1)
+                for off0, off1, spec in (llinks or ()):
+                    ybase = y - leading * (i + 1)
+                    x0 = MARGIN + measure(line, off0)
+                    x1 = MARGIN + measure(line, off1)
+                    links.append(((x0, ybase - 0.25 * size,
+                                   x1, ybase + 0.85 * size),) + spec)
             ops.append(b'ET')
             y -= leading * len(text_run)
             text_run = []
@@ -597,7 +733,8 @@ def main(argv=None):
                 if style != run_style:
                     flush_text()
                     run_style = style
-                text_run.append(item[1])
+                text_run.append((item[1],
+                                 item[3] if len(item) > 3 else None))
             else:
                 flush_text()
                 _tag, ref, w_pt, h_pt = item
@@ -612,11 +749,10 @@ def main(argv=None):
                               Name('F2'): head_ref}}
         if xobjs:
             res[Name('XObject')] = xobjs
-        ref = w.add({Name('Type'): Name('Page'), Name('Parent'): pages_ref,
-                     Name('MediaBox'): [0, 0, PAGE_W, PAGE_H],
-                     Name('Contents'): content,
-                     Name('Resources'): res})
-        page_refs.append(ref)
+        add_page({Name('Type'): Name('Page'), Name('Parent'): pages_ref,
+                  Name('MediaBox'): [0, 0, PAGE_W, PAGE_H],
+                  Name('Contents'): content,
+                  Name('Resources'): res}, links)
         cur_items = []
         cur_rows = 0
 
@@ -705,9 +841,20 @@ def main(argv=None):
                     text = re.sub(r'\s+', ' ',
                                   ' '.join(el.itertext())).strip()
                     if text:
+                        # first anchor in the subtree links the block
+                        href = _anchor_href(el) if local == 'a' else None
+                        if href is None:
+                            for a_el in el.iter():
+                                if isinstance(a_el.tag, str) and \
+                                        (etree.QName(a_el).localname or
+                                         '').lower() == 'a':
+                                    href = _anchor_href(a_el)
+                                    if href:
+                                        break
                         items.append((
                             'text', text, ox, oy,
-                            _css_len(style.get('font-size')) or 16.0))
+                            _css_len(style.get('font-size')) or 16.0,
+                            href))
                     text_done = True
             for ch in el:
                 walk(ch, ox, oy, text_done)
@@ -724,6 +871,7 @@ def main(argv=None):
 
         ops = []
         xobjs = {}
+        links = []
         for it in items:
             if it[0] == 'img':
                 _k, ref, left, top, ew, eh = it
@@ -733,21 +881,32 @@ def main(argv=None):
                     ew * _PX_TO_PT, eh * _PX_TO_PT, left * _PX_TO_PT,
                     page_h - (top + eh) * _PX_TO_PT, name.encode()))
             else:
-                _k, text, left, top, fs = it
+                _k, text, left, top, fs, href = it
                 size = fs * _PX_TO_PT
+                x0 = left * _PX_TO_PT
+                ybase = page_h - top * _PX_TO_PT - size
                 ops.append(b'BT /F1 %g Tf %g %g Td (%s) Tj ET' % (
-                    size, left * _PX_TO_PT,
-                    page_h - top * _PX_TO_PT - size, _esc(text)))
+                    size, x0, ybase, _esc(text)))
+                spec = classify_href(href, base, doc)
+                if spec is not None:
+                    if proportional:
+                        tw = sum(body_widths[b] for b in
+                                 text.encode('cp1252', 'replace')) * size
+                    else:
+                        tw = 0.6 * size * len(text)
+                    links.append(((x0, ybase - 0.25 * size,
+                                   x0 + tw, ybase + 0.85 * size),)
+                                 + spec)
         content = w.add(Stream({}, b'\n'.join(ops), deflate=True))
         res = {Name('Font'): {Name('F1'): font_ref,
                               Name('F2'): head_ref}}
         if xobjs:
             res[Name('XObject')] = xobjs
-        page_refs.append(w.add({
+        add_page({
             Name('Type'): Name('Page'), Name('Parent'): pages_ref,
             Name('MediaBox'): [0, 0, round(page_w, 2),
                                round(page_h, 2)],
-            Name('Contents'): content, Name('Resources'): res}))
+            Name('Contents'): content, Name('Resources'): res}, links)
         return title
 
     def render_xps_page(fpage):
@@ -764,6 +923,25 @@ def main(argv=None):
         names = set(zf.namelist())
         ops = []
         xobjs = {}
+        links = []
+
+        def nav_spec(el):
+            """FixedPage.NavigateUri -> link spec: absolute scheme =
+            /URI action; a '.fpage' target (path or fragment) = GoTo
+            to that fixed page."""
+            nav = el.get('FixedPage.NavigateUri')
+            if not nav:
+                return None
+            for piece in nav.split('#'):
+                piece = piece.strip()
+                if piece.lower().endswith('.fpage'):
+                    path = piece.lstrip('/') if piece.startswith('/') \
+                        else posixpath.normpath(
+                            posixpath.join(base, piece))
+                    return ('gotofp', path)
+            if re.match(r'^[a-zA-Z][a-zA-Z0-9+.\-]*:', nav):
+                return ('uri', nav)
+            return None
 
         def topdf(m, x, y):
             px, py = _mat_apply(m, x, y)
@@ -809,9 +987,28 @@ def main(argv=None):
                 ops.append(b'BT /F1 %g Tf %g %g %g rg %g %g Td (%s) '
                            b'Tj ET' % (size, col[0], col[1], col[2],
                                        x, y, _esc(text)))
+                spec = nav_spec(el)
+                if spec is not None:
+                    # advance estimate: standard-14 body metrics when
+                    # available (the embedded XPS font isn't used)
+                    if proportional:
+                        tw = sum(body_widths[b] for b in
+                                 text.encode('cp1252', 'replace')) * size
+                    else:
+                        tw = 0.55 * size * len(text)
+                    links.append(((x, y - 0.25 * size,
+                                   x + tw, y + 0.85 * size),) + spec)
                 return
             if local == 'Path':
                 m = _mat_mul(ctm, _xps_transform_of(el))
+                spec = nav_spec(el)
+                if spec is not None:
+                    bbox = _xps_path_bbox(el.get('Data') or '')
+                    if bbox:
+                        bl = topdf(m, bbox[0], bbox[3])
+                        tr = topdf(m, bbox[2], bbox[1])
+                        links.append(((bl[0], bl[1], tr[0], tr[1]),)
+                                     + spec)
                 brush = None
                 for ch in el:
                     if isinstance(ch.tag, str) and etree.QName(
@@ -864,14 +1061,16 @@ def main(argv=None):
         res = {Name('Font'): {Name('F1'): font_ref}}
         if xobjs:
             res[Name('XObject')] = xobjs
-        page_refs.append(w.add({
+        add_page({
             Name('Type'): Name('Page'), Name('Parent'): pages_ref,
             Name('MediaBox'): [0, 0, round(page_w, 2),
                                round(page_h, 2)],
-            Name('Contents'): content, Name('Resources'): res}))
+            Name('Contents'): content, Name('Resources'): res}, links)
 
+    fpage_first = {}    # fpage zip path -> page index ('gotofp' links)
     if xps:
         for fp_path in _xps_fixed_pages(zf):
+            fpage_first[posixpath.normpath(fp_path)] = len(page_refs)
             render_xps_page(fp_path)
     elif cbz:
         for member in sorted(n for n in zf.namelist()
@@ -884,27 +1083,31 @@ def main(argv=None):
             content = w.add(Stream(
                 {}, b'q %g 0 0 %g 0 0 cm /Im0 Do Q' % (pw, ph),
                 deflate=True))
-            page_refs.append(w.add({
+            add_page({
                 Name('Type'): Name('Page'), Name('Parent'): pages_ref,
                 Name('MediaBox'): [0, 0, round(pw, 2), round(ph, 2)],
                 Name('Contents'): content,
                 Name('Resources'): {Name('XObject'): {Name('Im0'): ref}},
-            }))
+            })
 
     for doc, fixed in docs:
         if fixed:
             flush_page()
             start = len(page_refs)
             title = render_fixed_page(doc)
-            if title and len(page_refs) > start:
-                chapter_pages.append((title, start))
+            if len(page_refs) > start:
+                doc_first_page.setdefault(doc, start)
+                if title:
+                    chapter_pages.append((title, start))
             continue
         title, flow = _extract_flow(zf, doc)
         if not flow:
             continue
         flush_page()
+        doc_first_page.setdefault(doc, len(page_refs))
+        doc_base = posixpath.dirname(doc)
         chapter_pages.append((title or doc, len(page_refs)))
-        for kind, payload in flow:
+        for kind, payload, plinks in flow:
             if kind == 'img':
                 add_image_block(payload)
                 continue
@@ -916,9 +1119,15 @@ def main(argv=None):
             else:
                 style = 'b'
                 lines = _wrap(payload, COLS)
+            specs = [(a, b, classify_href(href, doc_base, doc))
+                     for a, b, href in (plinks or ())]
+            specs = [s for s in specs if s[2] is not None]
             units = STYLES[style][3]
-            for line in lines:
-                cur_items.append(('line', line, style))
+            for line, cs, ce in lines:
+                llinks = [(max(a, cs) - cs, min(b, ce) - cs, spec)
+                          for a, b, spec in specs
+                          if a < ce and b > cs] or None
+                cur_items.append(('line', line, style, llinks))
                 cur_rows += units
                 if cur_rows >= ROWS:
                     flush_page()
@@ -931,6 +1140,31 @@ def main(argv=None):
     if not page_refs:    # empty spine: still emit one blank page
         cur_items = [('line', b'', 'b')]
         flush_page()
+
+    # resolve link specs into /Annots and finalize the deferred pages
+    n_links = 0
+    for ref, pd, specs in zip(page_refs, page_dicts, page_links):
+        annots = []
+        for rect, kind, target in specs:
+            a = {Name('Type'): Name('Annot'),
+                 Name('Subtype'): Name('Link'),
+                 Name('Rect'): [round(v, 2) for v in rect],
+                 Name('Border'): [0, 0, 0]}
+            if kind == 'uri':
+                a[Name('A')] = {Name('S'): Name('URI'),
+                                Name('URI'): target}
+            else:
+                pidx = doc_first_page.get(target) if kind == 'goto' \
+                    else fpage_first.get(target)
+                if pidx is None or pidx >= len(page_refs):
+                    continue    # unresolvable internal target: drop
+                a[Name('Dest')] = [page_refs[pidx], Name('XYZ'),
+                                   None, None, None]
+            annots.append(w.add(a))
+        if annots:
+            pd[Name('Annots')] = annots
+            n_links += len(annots)
+        w.set(ref, pd)
 
     w.set(pages_ref, {Name('Type'): Name('Pages'),
                       Name('Kids'): page_refs,
@@ -965,8 +1199,8 @@ def main(argv=None):
     info_ref = w.add(info)
     with open(args.outfile, 'wb') as fp:
         w.save(fp, catalog_ref, info_ref)
-    print('wrote %s (%d pages, %d chapters)'
-          % (args.outfile, len(page_refs), len(chapter_pages)))
+    print('wrote %s (%d pages, %d chapters, %d links)'
+          % (args.outfile, len(page_refs), len(chapter_pages), n_links))
     return 0
 
 
