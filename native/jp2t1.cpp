@@ -19,8 +19,13 @@
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
+#include <algorithm>
 #include <memory>
 #include <vector>
+
+#if defined(__x86_64__)
+#include <immintrin.h>
+#endif
 
 namespace {
 
@@ -56,7 +61,16 @@ class MQEncoder {
  public:
   explicit MQEncoder(std::vector<uint8_t>* out) : out_(out) {}
 
+  // JP2T1_STUB_MQ=1: count decisions but skip all arithmetic-coder
+  // work (timing experiment only — output is WRONG).  Separates the
+  // context-modeling pass walks from the MQ coder in profiles.
+  static bool StubMQ() {
+    static const bool stub = getenv("JP2T1_STUB_MQ") != nullptr;
+    return stub;
+  }
+
   void Encode(Ctx* cx, int bit) {
+    if (StubMQ()) { ++stub_n_; return; }
     const QeEntry& q = kQe[cx->i];
     if (bit == cx->mps) {
       a_ -= q.qe;
@@ -84,6 +98,7 @@ class MQEncoder {
   // in the cleanup pass, where the MQ call (not the magnitude loads)
   // dominates the sparse fine bit planes of MRC fg layers.
   void EncodeMPSRun(Ctx* cx, long n) {
+    if (StubMQ()) { stub_n_ += n; return; }
     while (n > 0) {
       const QeEntry& q = kQe[cx->i];
       if (a_ >= 0x8000u + q.qe) {
@@ -122,11 +137,22 @@ class MQEncoder {
 
  private:
   void Renorm() {
-    do {
-      a_ <<= 1;
-      c_ <<= 1;
-      if (--ct_ == 0) ByteOut();
-    } while ((a_ & 0x8000) == 0);
+    // single-shift renormalization: the bit-at-a-time loop only
+    // pauses to ByteOut when ct_ hits 0, so shifting by
+    // min(needed, ct_) at a time is exactly equivalent (a_ >= 1
+    // always holds here: it is either q.qe >= 1 or a_ - q.qe with
+    // the invariant a_ > q.qe)
+    int n = __builtin_clz(a_) - 16;
+    while (n >= ct_) {
+      a_ <<= ct_;
+      c_ <<= ct_;
+      n -= ct_;
+      ct_ = 0;
+      ByteOut();   // resets ct_ to 7 or 8
+    }
+    a_ <<= n;
+    c_ <<= n;
+    ct_ -= n;
   }
 
   void EmitPending() {
@@ -171,6 +197,7 @@ class MQEncoder {
   }
 
   std::vector<uint8_t>* out_;
+  long stub_n_ = 0;
   uint32_t a_ = 0x8000, c_ = 0;
   int ct_ = 12;
   uint8_t b_ = 0;
@@ -519,7 +546,8 @@ struct CoderScratch {
   std::vector<uint64_t> occ_nbr, occ_sig;
 };
 
-struct StripeCoder {
+template <typename Enc>          // MQEncoder | DecisionRecorder
+struct StripeCoderT {
   int w, h, orient, nstripes, stride;
   const int32_t* mag;
   const uint8_t* sgn;
@@ -530,11 +558,11 @@ struct StripeCoder {
   uint64_t* occ_sig;             // bit x: word (s, x) has centre sig bits
   uint64_t wmask;
   Ctx cx[kNumCtx];
-  MQEncoder* enc;
+  Enc* enc;
   bool no_runopt;                // JP2T1_NO_RUNOPT=1: serial RL (perf A/B)
 
-  StripeCoder(const int32_t* m, const uint8_t* s, int w_, int h_, int o,
-              CoderScratch* scratch = nullptr)
+  StripeCoderT(const int32_t* m, const uint8_t* s, int w_, int h_, int o,
+               CoderScratch* scratch = nullptr)
       : w(w_), h(h_), orient(o), nstripes((h_ + 3) / 4), stride(w_ + 2),
         mag(m), sgn(s),
         wmask(w_ >= 64 ? ~0ull : ((1ull << w_) - 1)),
@@ -767,20 +795,482 @@ struct StripeCoder {
   }
 };
 
+// --- decision-stream split coding -------------------------------------
+//
+// The context-modelling pass walks depend only on the coefficient data
+// (the single exception: the cleanup pass peeks at the RL context's MPS
+// to choose its batched-run fast path), so modelling and MQ coding can
+// be split: record every (context, bit) decision as a token, then feed
+// 16 blocks' token streams through one lockstep AVX-512 coder — the MQ
+// state machine is serial per block by construction, but blocks are
+// independent (T.800 D.1), so 16 of them encode vertically in vector
+// lanes.  Token format (uint32):
+//   bits 0..4   context index (0..18)
+//   bit  5      coded bit
+//   bit  6      run flag: a cleanup-pass run of (token >> 7) zero
+//               decisions on the RL context (the batched-run fast path
+//               is state-dependent, so runs stay symbolic until the
+//               per-lane MQ state is known)
+struct DecisionRecorder {
+  std::vector<uint32_t>* dec;
+  const Ctx* base = nullptr;     // the owning coder's cx array
+
+  void Encode(Ctx* cx, int bit) {
+    dec->push_back(static_cast<uint32_t>(cx - base) | (bit ? 32u : 0u));
+  }
+  void EncodeMPSRun(Ctx* cx, long n) {
+    (void)cx;
+    dec->push_back(64u | (static_cast<uint32_t>(n) << 7));
+  }
+};
+
+// Run the pass loop in recording mode: fills `dec` with tokens,
+// `bounds[p]` with the token count after pass p, and `pass_dist[p]`
+// with cumulative distortion.  Only for uncapped blocks (the byte-cap
+// early stop needs live byte counts).  Returns npasses.
+//
+// The recorder leaves the coder's cx array untouched, so the cleanup
+// pass always sees RL mps == 0 and emits maximal run tokens; the
+// replay expands a run against the live MQ state (fast path while
+// mps == 0, one decision at a time across any LPS flips), which is
+// exactly the serial coder's per-column behaviour because run extents
+// are state-independent (they derive from occupancy + colmax only).
+static int ModelBlock(const int32_t* mag, const uint8_t* sgn, int planes,
+                      int w, int h, int orient, int max_passes,
+                      std::vector<uint32_t>* dec, long* bounds,
+                      double* pass_dist, CoderScratch* scratch) {
+  DecisionRecorder rec{dec, nullptr};
+  StripeCoderT<DecisionRecorder> sc(mag, sgn, w, h, orient, scratch);
+  rec.base = sc.cx;
+  sc.enc = &rec;
+  // bounds are LANE-relative token counts (dec may be a shared group
+  // arena that already holds other lanes' streams)
+  const long tok0 = static_cast<long>(dec->size());
+  double dist = 0;
+  int pass = 0;
+  int total = 3 * planes - 2;
+  if (max_passes >= 0 && max_passes < total) total = max_passes;
+  for (int p = planes - 1; p >= 0 && pass < total; --p) {
+    if (p < planes - 1) {
+      if (pass < total) {
+        dist += sc.SigPass(p);
+        bounds[pass] = static_cast<long>(dec->size()) - tok0;
+        pass_dist[pass] = dist;
+        ++pass;
+      }
+      if (pass < total) {
+        dist += sc.MagPass(p);
+        bounds[pass] = static_cast<long>(dec->size()) - tok0;
+        pass_dist[pass] = dist;
+        ++pass;
+      }
+    }
+    if (pass < total) {
+      dist += sc.CleanupPass(p);
+      bounds[pass] = static_cast<long>(dec->size()) - tok0;
+      pass_dist[pass] = dist;
+      ++pass;
+    }
+  }
+  return pass;
+}
+
+// Scalar token replay: byte-identical to coding the block directly
+// (the tokens ARE the direct coder's decision sequence).  Used as the
+// per-lane reference, the no-AVX-512 fallback, and for group tails.
+static long ReplayTokens(const uint32_t* toks, long n, const long* bounds,
+                         int npasses, std::vector<uint8_t>* outbuf,
+                         long* pass_rate) {
+  MQEncoder enc(outbuf);
+  Ctx cx[kNumCtx];
+  cx[0].i = 4;
+  cx[kCtxRL].i = 3;
+  cx[kCtxUni].i = 46;
+  int bp = 0;
+  for (long i = 0; i < n; ++i) {
+    const uint32_t t = toks[i];
+    if (t & 64u) {
+      long run = static_cast<long>(t >> 7);
+      Ctx* rl = &cx[kCtxRL];
+      while (run > 0) {
+        if (rl->mps == 0) {
+          enc.EncodeMPSRun(rl, run);
+          run = 0;
+        } else {
+          enc.Encode(rl, 0);   // LPS; may flip mps back
+          --run;
+        }
+      }
+    } else {
+      enc.Encode(&cx[t & 31u], (t >> 5) & 1);
+    }
+    while (bp < npasses && bounds[bp] == i + 1)
+      pass_rate[bp++] = enc.ApproxBytes();
+  }
+  while (bp < npasses)     // empty trailing passes (n == 0 edge)
+    pass_rate[bp++] = enc.ApproxBytes();
+  enc.Flush();
+  return static_cast<long>(outbuf->size());
+}
+
+// --- 16-lane vertical MQ coder (AVX-512) ------------------------------
+//
+// Per-lane state in SoA arrays so one vector step advances 16
+// independent block coders by one decision.  The scalar Lane* helpers
+// below are EXACT mirrors of MQEncoder (kept in lockstep by the
+// APT_T1_MQ byte-identity tests); they serve the divergent cases the
+// vector step punts on: run tokens, renorms that cross a byte
+// boundary, and final flushes.
+
+struct MQLanes {
+  alignas(64) uint32_t A[16];
+  alignas(64) uint32_t C[16];
+  alignas(64) uint32_t CT[16];
+  alignas(64) uint32_t CXS[kNumCtx * 16];   // (index << 1) | mps
+  std::vector<uint8_t>* out[16];
+  uint8_t b[16];
+  bool have_b[16];
+
+  void InitLane(int l, std::vector<uint8_t>* o) {
+    A[l] = 0x8000;
+    C[l] = 0;
+    CT[l] = 12;
+    out[l] = o;
+    b[l] = 0;
+    have_b[l] = false;
+    for (int k = 0; k < kNumCtx; ++k) CXS[k * 16 + l] = 0;
+    CXS[0 * 16 + l] = 4u << 1;
+    CXS[kCtxRL * 16 + l] = 3u << 1;
+    CXS[kCtxUni * 16 + l] = 46u << 1;
+  }
+};
+
+static inline void LaneEmitPending(MQLanes* L, int l) {
+  if (L->have_b[l]) L->out[l]->push_back(L->b[l]);
+  L->have_b[l] = false;
+}
+
+static inline void LaneByteOut(MQLanes* L, int l) {
+  uint32_t& c = L->C[l];
+  if (L->have_b[l] && L->b[l] == 0xFF) {
+    LaneEmitPending(L, l);
+    L->b[l] = static_cast<uint8_t>(c >> 20);
+    L->have_b[l] = true;
+    c &= 0xFFFFF;
+    L->CT[l] = 7;
+  } else {
+    if (c < 0x8000000) {
+      LaneEmitPending(L, l);
+      L->b[l] = static_cast<uint8_t>(c >> 19);
+      L->have_b[l] = true;
+      c &= 0x7FFFF;
+      L->CT[l] = 8;
+    } else {
+      if (L->have_b[l]) {
+        L->b[l] += 1;  // carry
+        if (L->b[l] == 0xFF) {
+          c &= 0x7FFFFFF;
+          LaneEmitPending(L, l);
+          L->b[l] = static_cast<uint8_t>(c >> 20);
+          L->have_b[l] = true;
+          c &= 0xFFFFF;
+          L->CT[l] = 7;
+          return;
+        }
+      }
+      LaneEmitPending(L, l);
+      L->b[l] = static_cast<uint8_t>(c >> 19);
+      L->have_b[l] = true;
+      c &= 0x7FFFF;
+      L->CT[l] = 8;
+    }
+  }
+}
+
+static inline void LaneRenorm(MQLanes* L, int l) {
+  uint32_t n = __builtin_clz(L->A[l]) - 16;
+  while (n >= L->CT[l]) {
+    L->A[l] <<= L->CT[l];
+    L->C[l] <<= L->CT[l];
+    n -= L->CT[l];
+    L->CT[l] = 0;
+    LaneByteOut(L, l);
+  }
+  L->A[l] <<= n;
+  L->C[l] <<= n;
+  L->CT[l] -= n;
+}
+
+static inline void LaneEncode(MQLanes* L, int l, int ctx, int bit) {
+  uint32_t& st = L->CXS[ctx * 16 + l];
+  const QeEntry& q = kQe[st >> 1];
+  const int mps = st & 1;
+  uint32_t& a = L->A[l];
+  if (bit == mps) {
+    a -= q.qe;
+    if ((a & 0x8000) == 0) {
+      if (a < q.qe) a = q.qe; else L->C[l] += q.qe;
+      st = (static_cast<uint32_t>(q.nmps) << 1) | mps;
+      LaneRenorm(L, l);
+    } else {
+      L->C[l] += q.qe;
+    }
+  } else {
+    a -= q.qe;
+    if (a < q.qe) L->C[l] += q.qe; else a = q.qe;
+    st = (static_cast<uint32_t>(q.nlps) << 1) | (mps ^ q.sw);
+    LaneRenorm(L, l);
+  }
+}
+
+static inline void LaneMPSRun(MQLanes* L, int l, long n) {
+  // only called while the RL context's MPS is 0 (mirror of
+  // MQEncoder::EncodeMPSRun coding MPS symbols)
+  uint32_t& st = L->CXS[kCtxRL * 16 + l];
+  uint32_t& a = L->A[l];
+  while (n > 0) {
+    const QeEntry& q = kQe[st >> 1];
+    if (a >= 0x8000u + q.qe) {
+      uint32_t k = (a - 0x8000u) / q.qe;
+      if (static_cast<long>(k) > n) k = static_cast<uint32_t>(n);
+      a -= k * q.qe;
+      L->C[l] += k * q.qe;
+      n -= k;
+      if (n == 0) break;
+    }
+    a -= q.qe;
+    if (a < q.qe) a = q.qe; else L->C[l] += q.qe;
+    st = (static_cast<uint32_t>(q.nmps) << 1) | (st & 1);
+    LaneRenorm(L, l);
+    --n;
+  }
+}
+
+static inline void LaneRunToken(MQLanes* L, int l, long run) {
+  while (run > 0) {
+    if ((L->CXS[kCtxRL * 16 + l] & 1) == 0) {
+      LaneMPSRun(L, l, run);
+      run = 0;
+    } else {
+      LaneEncode(L, l, kCtxRL, 0);
+      --run;
+    }
+  }
+}
+
+static inline void LaneFlush(MQLanes* L, int l) {
+  uint32_t& c = L->C[l];
+  uint32_t tempc = c + L->A[l] - 1;
+  c |= 0xFFFF;
+  if (c >= tempc) c -= 0x8000;
+  c <<= L->CT[l];
+  LaneByteOut(L, l);
+  c <<= L->CT[l];
+  LaneByteOut(L, l);
+  if (L->have_b[l] && L->b[l] != 0xFF) L->out[l]->push_back(L->b[l]);
+  L->have_b[l] = false;
+}
+
+static inline long LaneApproxBytes(MQLanes* L, int l) {
+  return static_cast<long>(L->out[l]->size()) + (L->have_b[l] ? 1 : 0)
+      + 1;
+}
+
+struct GroupLane {
+  long bi;            // block index in the band
+  long start, ntok;   // token range in the group arena
+  int npasses;
+  const long* bounds; // pass-end token counts (npasses entries)
+};
+
+struct T1Group {
+  std::vector<uint32_t> arena;
+  GroupLane lanes[16];
+  long bounds[16][128];
+  int n = 0;
+};
+
+#if defined(__x86_64__)
+__attribute__((target("avx512f,avx512cd,avx512bw,avx512dq,avx512vl")))
+static void EncodeGroupSimd(const uint32_t* arena, GroupLane* lanes,
+                            int nl, MQLanes* L, long* const* rates) {
+  alignas(64) uint32_t starts[16];
+  alignas(64) uint32_t nb[16];       // next pass-boundary token count
+  int nbp[16];
+  long maxtok = 0;
+  for (int l = 0; l < 16; ++l) {
+    starts[l] = l < nl ? static_cast<uint32_t>(lanes[l].start) : 0;
+    nbp[l] = 0;
+    nb[l] = 0xFFFFFFFFu;
+    if (l < nl) {
+      if (lanes[l].ntok > maxtok) maxtok = lanes[l].ntok;
+      if (lanes[l].npasses > 0)
+        nb[l] = static_cast<uint32_t>(lanes[l].bounds[0]);
+    }
+  }
+  static const struct QePacked {
+    alignas(64) uint32_t v[48];
+    QePacked() {
+      for (int i = 0; i < 47; ++i)
+        v[i] = kQe[i].qe | (static_cast<uint32_t>(kQe[i].nmps) << 16) |
+               (static_cast<uint32_t>(kQe[i].nlps) << 22) |
+               (static_cast<uint32_t>(kQe[i].sw) << 28);
+      v[47] = 0;
+    }
+  } kPacked;
+
+  const __m512i viota = _mm512_setr_epi32(0, 1, 2, 3, 4, 5, 6, 7, 8, 9,
+                                          10, 11, 12, 13, 14, 15);
+  const __m512i v31 = _mm512_set1_epi32(31);
+  const __m512i v63 = _mm512_set1_epi32(63);
+  const __m512i v1 = _mm512_set1_epi32(1);
+  const __m512i v16 = _mm512_set1_epi32(16);
+  const __m512i vhi = _mm512_set1_epi32(0x8000);
+  const __m512i vqmask = _mm512_set1_epi32(0xFFFF);
+  const __m512i vstarts = _mm512_load_epi32(starts);
+  int act = nl;   // lanes sorted by ntok desc: active = [0, act)
+
+  for (long step = 0; step < maxtok; ++step) {
+    while (act > 0 && lanes[act - 1].ntok <= step) --act;
+    const __mmask16 m = static_cast<__mmask16>((1u << act) - 1);
+    const __m512i idx =
+        _mm512_add_epi32(vstarts, _mm512_set1_epi32(
+            static_cast<int>(step)));
+    const __m512i tok = _mm512_mask_i32gather_epi32(
+        _mm512_setzero_si512(), m, idx, arena, 4);
+    const __mmask16 runm =
+        _mm512_mask_test_epi32_mask(m, tok, _mm512_set1_epi32(64));
+    const __mmask16 nm = m & ~runm;
+    if (nm) {
+      const __m512i ctx = _mm512_and_si512(tok, v31);
+      const __m512i cidx =
+          _mm512_add_epi32(_mm512_slli_epi32(ctx, 4), viota);
+      const __m512i st = _mm512_mask_i32gather_epi32(
+          _mm512_setzero_si512(), nm, cidx, L->CXS, 4);
+      const __m512i sti = _mm512_srli_epi32(st, 1);
+      const __m512i mps = _mm512_and_si512(st, v1);
+      const __m512i q = _mm512_mask_i32gather_epi32(
+          _mm512_setzero_si512(), nm, sti, kPacked.v, 4);
+      const __m512i qe = _mm512_and_si512(q, vqmask);
+      const __m512i bit =
+          _mm512_and_si512(_mm512_srli_epi32(tok, 5), v1);
+      const __mmask16 is_mps =
+          _mm512_mask_cmpeq_epi32_mask(nm, bit, mps);
+      const __mmask16 lps = nm & ~is_mps;
+      __m512i Av = _mm512_load_epi32(L->A);
+      __m512i Cv = _mm512_load_epi32(L->C);
+      __m512i CTv = _mm512_load_epi32(L->CT);
+      const __m512i a1 = _mm512_sub_epi32(Av, qe);
+      const __mmask16 hi =
+          _mm512_mask_test_epi32_mask(nm, a1, vhi);
+      const __mmask16 fast = is_mps & hi;
+      const __mmask16 a_lt = _mm512_mask_cmp_epu32_mask(
+          nm, a1, qe, _MM_CMPINT_LT);
+      const __mmask16 cinc =
+          fast | (is_mps & ~hi & ~a_lt) | (lps & a_lt);
+      Cv = _mm512_mask_add_epi32(Cv, cinc, Cv, qe);
+      const __mmask16 sel_qe =
+          (is_mps & ~hi & a_lt) | (lps & ~a_lt);
+      __m512i newA = _mm512_mask_mov_epi32(a1, sel_qe, qe);
+      // context update + renorm for every non-fast coded lane
+      const __mmask16 renorm = nm & ~fast;
+      const __m512i nmps_ =
+          _mm512_and_si512(_mm512_srli_epi32(q, 16), v63);
+      const __m512i nlps_ =
+          _mm512_and_si512(_mm512_srli_epi32(q, 22), v63);
+      const __m512i sw =
+          _mm512_and_si512(_mm512_srli_epi32(q, 28), v1);
+      const __m512i newi = _mm512_mask_mov_epi32(nlps_, is_mps, nmps_);
+      const __m512i newmps =
+          _mm512_xor_si512(mps, _mm512_maskz_mov_epi32(lps, sw));
+      const __m512i newst =
+          _mm512_or_si512(_mm512_slli_epi32(newi, 1), newmps);
+      _mm512_mask_i32scatter_epi32(L->CXS, renorm, cidx, newst, 4);
+      // single-shift renorm; lanes whose shift crosses a byte
+      // boundary (n >= ct) fall back to the scalar helper
+      const __m512i nsh = _mm512_sub_epi32(_mm512_lzcnt_epi32(newA),
+                                           v16);
+      const __mmask16 over = _mm512_mask_cmp_epu32_mask(
+          renorm, nsh, CTv, _MM_CMPINT_NLT);
+      const __mmask16 vsh = renorm & ~over;
+      newA = _mm512_mask_sllv_epi32(newA, vsh, newA, nsh);
+      Cv = _mm512_mask_sllv_epi32(Cv, vsh, Cv, nsh);
+      CTv = _mm512_mask_sub_epi32(CTv, vsh, CTv, nsh);
+      _mm512_store_epi32(L->A, _mm512_mask_mov_epi32(Av, nm, newA));
+      _mm512_store_epi32(L->C, Cv);
+      _mm512_store_epi32(L->CT, CTv);
+      for (__mmask16 r = over; r; r &= r - 1)
+        LaneRenorm(L, __builtin_ctz(r));
+    }
+    if (runm) {
+      for (__mmask16 r = runm; r; r &= r - 1) {
+        const int l = __builtin_ctz(r);
+        LaneRunToken(L, l, static_cast<long>(
+            arena[starts[l] + step] >> 7));
+      }
+    }
+    // pass-boundary byte counts (after this step's byteouts)
+    const __mmask16 bm = _mm512_mask_cmpeq_epi32_mask(
+        m, _mm512_load_epi32(nb),
+        _mm512_set1_epi32(static_cast<int>(step + 1)));
+    if (bm) {
+      for (__mmask16 r = bm; r; r &= r - 1) {
+        const int l = __builtin_ctz(r);
+        while (nbp[l] < lanes[l].npasses &&
+               lanes[l].bounds[nbp[l]] == step + 1)
+          rates[l][nbp[l]++] = LaneApproxBytes(L, l);
+        nb[l] = nbp[l] < lanes[l].npasses
+            ? static_cast<uint32_t>(lanes[l].bounds[nbp[l]])
+            : 0xFFFFFFFFu;
+      }
+    }
+  }
+  for (int l = 0; l < nl; ++l) {
+    while (nbp[l] < lanes[l].npasses)   // ntok == 0 degenerate
+      rates[l][nbp[l]++] = LaneApproxBytes(L, l);
+    LaneFlush(L, l);
+  }
+}
+#endif  // __x86_64__
+
+static bool HaveAvx512() {
+#if defined(__x86_64__)
+  static const bool ok = __builtin_cpu_supports("avx512f") &&
+                         __builtin_cpu_supports("avx512cd") &&
+                         __builtin_cpu_supports("avx512bw") &&
+                         __builtin_cpu_supports("avx512dq") &&
+                         __builtin_cpu_supports("avx512vl");
+  return ok;
+#else
+  return false;
+#endif
+}
+
+static int T1MQMode() {
+  // 0 = direct scalar per block; 1 = model+replay (tests the token
+  // split without SIMD); 2 = model + 16-lane AVX-512 group coder
+  // (the default where the ISA exists).  Re-read per band call so the
+  // in-process identity tests can toggle implementations.
+  const char* e = getenv("APT_T1_MQ");
+  if (e && strcmp(e, "scalar") == 0) return 0;
+  if (e && strcmp(e, "replay") == 0) return 1;
+  return HaveAvx512() ? 2 : 0;
+}
+
 // Shared core of jp2t1_encode_block / jp2t1_encode_band: codes one
 // block from pre-extracted magnitude/sign planes (see the extern "C"
 // doc comments below for the contract).  `scratch`, when given, reuses
 // the coder's per-block state buffers across a band's blocks.
 static long EncodeCore(const int32_t* mag, const uint8_t* sgn, int planes,
                        int w, int h, int orient, int max_passes,
-                       long max_bytes, uint8_t* out, long cap, int* nbps,
-                       int* npasses, long* pass_rate, double* pass_dist,
-                       CoderScratch* scratch) {
+                       long max_bytes, std::vector<uint8_t>* sink,
+                       int* nbps, int* npasses, long* pass_rate,
+                       double* pass_dist, CoderScratch* scratch) {
   *nbps = planes;
   *npasses = 0;
   if (planes == 0) return 0;   // empty block: no passes, no bytes
 
-  std::vector<uint8_t> buf;
+  std::vector<uint8_t>& buf = *sink;
   MQEncoder enc(&buf);
   // default: the stripe-column coder (one flags word per 4-row column);
   // APT_T1_IMPL=ref selects the per-pixel-flags coder — outputs are
@@ -792,6 +1282,7 @@ static long EncodeCore(const int32_t* mag, const uint8_t* sgn, int planes,
   const bool use_ref = impl_env && strcmp(impl_env, "ref") == 0;
   // construct only the selected coder (each allocates its full
   // per-block state)
+  using StripeCoder = StripeCoderT<MQEncoder>;
   std::unique_ptr<BlockCoder> bc;
   std::unique_ptr<StripeCoder> sc;
   if (use_ref) {
@@ -802,10 +1293,18 @@ static long EncodeCore(const int32_t* mag, const uint8_t* sgn, int planes,
     sc->enc = &enc;
   }
 
+  // JP2T1_STUB_LEVEL timing experiment (output WRONG): 2 = skip the
+  // pass loop (times extraction + coder construction), 1 = run passes
+  // with the MQ stub (see StubMQ)
+  static const int stub_level = [] {
+    const char* e = getenv("JP2T1_STUB_LEVEL");
+    return e ? atoi(e) : 0;
+  }();
   double dist = 0;
   int pass = 0;
   int total = 3 * planes - 2;
   if (max_passes >= 0 && max_passes < total) total = max_passes;
+  if (stub_level >= 2) total = 0;
 
   auto sig_pass = [&](int p) {
     return use_ref ? bc->SigPass(p) : sc->SigPass(p); };
@@ -842,10 +1341,7 @@ static long EncodeCore(const int32_t* mag, const uint8_t* sgn, int planes,
   }
   enc.Flush();
   *npasses = pass;
-  long n = static_cast<long>(buf.size());
-  if (n > cap) return -n;
-  std::memcpy(out, buf.data(), n);
-  return n;
+  return static_cast<long>(buf.size());
 }
 
 inline int PlanesOf(int32_t maxmag) {
@@ -869,9 +1365,13 @@ static long EncodeOne(const int32_t* coeffs, int w, int h, int orient,
     sgn[i] = v < 0 ? 1 : 0;
     if (m > maxmag) maxmag = m;
   }
-  return EncodeCore(mag.data(), sgn.data(), PlanesOf(maxmag), w, h,
-                    orient, max_passes, max_bytes, out, cap, nbps,
-                    npasses, pass_rate, pass_dist, nullptr);
+  std::vector<uint8_t> buf;
+  long n = EncodeCore(mag.data(), sgn.data(), PlanesOf(maxmag), w, h,
+                      orient, max_passes, max_bytes, &buf, nbps,
+                      npasses, pass_rate, pass_dist, nullptr);
+  if (n > cap) return -n;
+  std::memcpy(out, buf.data(), n);
+  return n;
 }
 
 }  // namespace
@@ -942,11 +1442,53 @@ long jp2t1_encode_band(const int32_t* band, int bw, int bh, int cbsz,
                        int* hull_picks, int max_passes) {
   const int nx = bw ? (bw + cbsz - 1) / cbsz : 0;
   const int ny = bh ? (bh + cbsz - 1) / cbsz : 0;
+  const long nblocks = static_cast<long>(nx) * ny;
   std::vector<int32_t> mag(static_cast<size_t>(cbsz) * cbsz);
   std::vector<uint8_t> sgn(static_cast<size_t>(cbsz) * cbsz);
   CoderScratch scratch;
   int hull[129];
-  long off = 0;
+  const int mq_mode = T1MQMode();
+  // per-block streams: layout into `out` happens after the grouped
+  // lanes (which finish out of block order) are all coded
+  std::vector<std::vector<uint8_t>> streams(nblocks);
+  T1Group group;
+
+  auto flush_group = [&]() {
+    if (!group.n) return;
+    // longest stream first: the lockstep loop's active set is a
+    // prefix, so sorting minimizes masked-idle lane steps
+    std::sort(group.lanes, group.lanes + group.n,
+              [](const GroupLane& x, const GroupLane& y) {
+                return x.ntok > y.ntok;
+              });
+#if defined(__x86_64__)
+    if (mq_mode == 2) {
+      MQLanes L;
+      long* rates[16];
+      for (int l = 0; l < group.n; ++l) {
+        L.InitLane(l, &streams[group.lanes[l].bi]);
+        rates[l] = pass_rate + group.lanes[l].bi * 128;
+      }
+      EncodeGroupSimd(group.arena.data(), group.lanes, group.n, &L,
+                      rates);
+      for (int l = 0; l < group.n; ++l)
+        lens[group.lanes[l].bi] =
+            static_cast<long>(streams[group.lanes[l].bi].size());
+    } else
+#endif
+    {
+      for (int l = 0; l < group.n; ++l) {
+        const GroupLane& ln = group.lanes[l];
+        lens[ln.bi] = ReplayTokens(group.arena.data() + ln.start,
+                                   ln.ntok, ln.bounds, ln.npasses,
+                                   &streams[ln.bi],
+                                   pass_rate + ln.bi * 128);
+      }
+    }
+    group.arena.clear();
+    group.n = 0;
+  };
+
   long bi = 0;
   for (int by = 0; by < ny; ++by) {
     for (int bx = 0; bx < nx; ++bx, ++bi) {
@@ -961,6 +1503,7 @@ long jp2t1_encode_band(const int32_t* band, int bw, int bh, int cbsz,
       // bit-plane count (replaces the Python-side .any() AND the
       // former separate extract-then-split double scan)
       int32_t maxmag = 0;
+      long nnz = 0;
       for (int y = 0; y < h; ++y) {
         const int32_t* src =
             band + static_cast<long>(by * cbsz + y) * bw + bx * cbsz;
@@ -971,24 +1514,61 @@ long jp2t1_encode_band(const int32_t* band, int bw, int bh, int cbsz,
           const int32_t m = v < 0 ? -v : v;
           mr[x] = m;
           sr[x] = v < 0 ? 1 : 0;
+          nnz += m != 0;
           if (m > maxmag) maxmag = m;
         }
       }
-      offs[bi] = off;
-      long n = 0;
       if (!maxmag) {
         nbps[bi] = 0;
         npasses[bi] = 0;
         lens[bi] = 0;
+        continue;
+      }
+      const long cap = caps ? caps[bi] : 0;
+      const int mp = max_passes > 0 ? max_passes : -1;
+      // density routing: sparse blocks are run-token dominated, where
+      // the lockstep coder detours to scalar per lane and the token
+      // split costs ~5-10% for nothing (measured 2026-08-20, density
+      // sweep in RESULTS.md: SIMD crosses scalar at ~10-12% nonzero,
+      // 1.54x at full density)
+      const bool dense = nnz * 8 >= static_cast<long>(w) * h;
+      if (mq_mode != 0 && cap <= 0 && (dense || mq_mode == 1)) {
+        // uncapped: record decisions, code 16 blocks per SIMD group
+        GroupLane& ln = group.lanes[group.n];
+        ln.bi = bi;
+        ln.start = static_cast<long>(group.arena.size());
+        nbps[bi] = PlanesOf(maxmag);
+        ln.npasses = ModelBlock(mag.data(), sgn.data(), nbps[bi], w, h,
+                                orient, mp, &group.arena,
+                                group.bounds[group.n],
+                                pass_dist + bi * 128, &scratch);
+        npasses[bi] = ln.npasses;
+        ln.ntok = static_cast<long>(group.arena.size()) - ln.start;
+        ln.bounds = group.bounds[group.n];
+        ++group.n;
+        if (group.n == 16) flush_group();
       } else {
-        n = EncodeCore(mag.data(), sgn.data(), PlanesOf(maxmag), w, h,
-                       orient, max_passes > 0 ? max_passes : -1,
-                       caps ? caps[bi] : 0, out + off,
-                       out_cap - off, nbps + bi, npasses + bi,
-                       pass_rate + bi * 128, pass_dist + bi * 128,
-                       &scratch);
-        if (n < 0) return -1;
-        lens[bi] = n;
+        lens[bi] = EncodeCore(mag.data(), sgn.data(), PlanesOf(maxmag),
+                              w, h, orient, mp, cap, &streams[bi],
+                              nbps + bi, npasses + bi,
+                              pass_rate + bi * 128,
+                              pass_dist + bi * 128, &scratch);
+      }
+    }
+  }
+  flush_group();
+
+  // layout sweep (block order) + PCRD hulls
+  long off = 0;
+  bi = 0;
+  for (int by = 0; by < ny; ++by) {
+    for (int bx = 0; bx < nx; ++bx, ++bi) {
+      if (caps && caps[bi] < 0) continue;
+      offs[bi] = off;
+      const long n = lens[bi];
+      if (n) {
+        if (off + n > out_cap) return -1;
+        std::memcpy(out + off, streams[bi].data(), n);
         off += n;
       }
       // PCRD hull (exactly the Python _hull_rows arithmetic: double
