@@ -42,9 +42,28 @@ def _glyph(rng, gh, gw):
     return ndimage.binary_dilation(g, np.ones((2, 2), bool))
 
 
+_ATLAS_CACHE = {}
+
+
+def _glyph_atlas(glyph_h, n=48, seed=20260820):
+    """Shared letterform atlas (VERDICT r4 weak #5: the unique-stroke
+    corpus is adversarial to JBIG2 symbol coding, which real book scans
+    reward).  Fixed seed -> every page of a 'book' shares the same
+    letterforms, like a font; instances still land at different phases
+    and under different noise, as on a real scan."""
+    key = (glyph_h, n, seed)
+    if key not in _ATLAS_CACHE:
+        rng = np.random.default_rng(seed)
+        _ATLAS_CACHE[key] = [
+            _glyph(rng, glyph_h,
+                   int(rng.integers(glyph_h // 2, glyph_h)))
+            for _ in range(n)]
+    return _ATLAS_CACHE[key]
+
+
 def synth_scan(h=600, w=440, seed=0, dpi=150,
                bleed=True, halftone=True, inverted_band=True,
-               noise_sigma=9.0, fast_paper=False):
+               noise_sigma=9.0, fast_paper=False, repeat_glyphs=False):
     """Returns (uint8 page, word_data) shaped like archive-hocr-tools
     output (one paragraph, many lines).
 
@@ -52,7 +71,11 @@ def synth_scan(h=600, w=440, seed=0, dpi=150,
     and upsample — full-page-size corpora (3300x2550 bench pages) would
     otherwise spend tens of seconds in one huge gaussian_filter.  Still
     deterministic in the seed (different draws than fast_paper=False,
-    so existing test fixtures are untouched)."""
+    so existing test fixtures are untouched).
+
+    repeat_glyphs: draw from a fixed shared letterform atlas
+    (Zipf-skewed sampling) instead of unique strokes per glyph — the
+    corpus arm where JBIG2 symbol coding can win (VERDICT r4 #7)."""
     rng = np.random.default_rng(seed)
 
     # --- paper -------------------------------------------------------
@@ -87,13 +110,19 @@ def synth_scan(h=600, w=440, seed=0, dpi=150,
         y_line = y
         max_y = y
         drew_any = False
+        atlas = _glyph_atlas(glyph_h) if repeat_glyphs else None
         while x + glyph_h < x_end:
-            gw = int(rng.integers(glyph_h // 2, glyph_h))
+            if atlas is not None:
+                # letter-frequency skew: low indices dominate (Zipf-ish)
+                g = atlas[int(len(atlas) * rng.random() ** 2)]
+                gw = g.shape[1]
             gy = int(round(y + skew * x + wobble_amp
                            * np.sin(x / 37.0)))
             if gy + glyph_h >= h:
                 break
-            g = _glyph(rng, glyph_h, gw)
+            if atlas is None:
+                gw = int(rng.integers(glyph_h // 2, glyph_h))
+                g = _glyph(rng, glyph_h, gw)
             ink_layer[gy:gy + glyph_h, x:x + gw] = np.maximum(
                 ink_layer[gy:gy + glyph_h, x:x + gw], g)
             max_y = max(max_y, gy + glyph_h)

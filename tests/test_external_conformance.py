@@ -28,6 +28,39 @@ import struct
 
 import numpy as np
 import pytest
+
+
+class TestDecoderVersionPins:
+    """Pin the external decoder builds these conformance tests rely on
+    (VERDICT r4 #9): a silent library upgrade could change decode
+    behaviour and mask a stream regression.  When a deliberate image
+    upgrade changes a version, update the pin here IN THE SAME COMMIT
+    and re-run this whole module so the new decoders re-certify every
+    stream family."""
+
+    PINS = {
+        'pillow': '12.1.0',
+        'pillow_openjpeg': '2.5.4',
+        'pillow_libtiff': '4.7.1',
+        'cv2': '5.0.0',
+    }
+
+    def test_pillow_pins(self):
+        import PIL
+        from PIL import features
+        assert PIL.__version__ == self.PINS['pillow'], \
+            'Pillow changed: re-certify conformance, then update pin'
+        assert features.version_codec('jpg_2000') == \
+            self.PINS['pillow_openjpeg'], \
+            'Pillow OpenJPEG changed: re-certify JP2 conformance'
+        assert features.version_codec('libtiff') == \
+            self.PINS['pillow_libtiff'], \
+            'Pillow libtiff changed: re-certify G4 conformance'
+
+    def test_cv2_pin(self):
+        cv2 = pytest.importorskip('cv2')
+        assert cv2.__version__ == self.PINS['cv2'], \
+            'OpenCV changed: re-certify JP2/G4/JPEG conformance'
 from PIL import Image
 
 cv2 = pytest.importorskip('cv2')

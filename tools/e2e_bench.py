@@ -28,13 +28,19 @@ E2E_BASELINE_S_PER_PAGE = 1.16
 CORPUS_VERSION = 'v1'
 
 
-def make_realistic_book(tmp=None, n_pages=8, w=2550, h=3300, dpi=400):
+def make_realistic_book(tmp=None, n_pages=8, w=2550, h=3300, dpi=400,
+                        variant='v1'):
     """Frozen realistic e2e corpus (VERDICT r3 #8): full-size scanfix
     synthetic scans (paper mottle, pseudo-glyph lines with baseline
     wobble, bleed-through, halftone figure, inverted band, dust) —
     pages 0..n-2 gray, the last page RGB (sepia colorization), all at
     400 DPI.  Deterministic in (CORPUS_VERSION, n_pages, w, h); cached
     under /tmp so repeated bench runs skip the ~1 min generation.
+
+    variant: 'v1' (frozen default, unique noise-stroke glyphs) or
+    'repglyph' (shared letterform atlas — the corpus arm where JBIG2
+    symbol coding can win, VERDICT r4 #7).  Separate cache per variant;
+    the frozen v1 corpus and its sha stay untouched.
 
     Returns (glob_pattern, hocr_path, corpus_sha1_12)."""
     import hashlib
@@ -45,9 +51,11 @@ def make_realistic_book(tmp=None, n_pages=8, w=2550, h=3300, dpi=400):
     from tests.scanfix import synth_scan
     from tests.fixtures import words_to_hocr_page, HOCR_TEMPLATE
 
+    tag = CORPUS_VERSION if variant == 'v1' else \
+        '%s_%s' % (CORPUS_VERSION, variant)
     cache = os.path.join(
         tempfile.gettempdir(),
-        'apt_bench_corpus_%s_%dp_%dx%d' % (CORPUS_VERSION, n_pages, w, h))
+        'apt_bench_corpus_%s_%dp_%dx%d' % (tag, n_pages, w, h))
     manifest = os.path.join(cache, 'manifest.json')
     if os.path.exists(manifest):
         with open(manifest) as fp:
@@ -60,7 +68,8 @@ def make_realistic_book(tmp=None, n_pages=8, w=2550, h=3300, dpi=400):
     hocr_pages = []
     for i in range(n_pages):
         img, wd = synth_scan(h=h, w=w, seed=100 + i, dpi=dpi,
-                             fast_paper=True)
+                             fast_paper=True,
+                             repeat_glyphs=(variant == 'repglyph'))
         if i == n_pages - 1:
             # RGB magazine-ish page (BASELINE.json config 2): correlated
             # sepia channels so the gray conversion and 3-channel

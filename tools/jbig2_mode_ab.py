@@ -7,7 +7,9 @@ Host-only: decompose runs on XLA-CPU (APT_PLATFORM=cpu), the JBIG2
 encoder is the in-tree C++.  The decision this records: whether
 --jbig2-symbol-coding should become the default for text masks.
 
-Usage: python tools/jbig2_mode_ab.py [n_pages]
+Usage: python tools/jbig2_mode_ab.py [n_pages] [variant]
+  variant: v1 (default) | repglyph (shared-letterform corpus arm,
+  VERDICT r4 #7 — the case symbol coding is built for)
 """
 import os
 import sys
@@ -23,6 +25,7 @@ import numpy as np
 
 def main():
     n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    variant = sys.argv[2] if len(sys.argv) > 2 else 'v1'
     from glob import glob
     from PIL import Image
     from tools.e2e_bench import make_realistic_book
@@ -32,7 +35,7 @@ def main():
     from archive_pdf_tools_tpu.codecs.jbig2 import (encode_jbig2,
                                                     decode_jbig2)
 
-    pat, hocr, sha = make_realistic_book()
+    pat, hocr, sha = make_realistic_book(variant=variant)
     files = sorted(glob(pat))[:n_pages]
     wds = [hocr_page_to_word_data(p)
            for p in hocr_page_iterator(hocr)][:n_pages]
