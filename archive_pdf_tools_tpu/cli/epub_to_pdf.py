@@ -320,6 +320,8 @@ def _extract_flow(zf, doc_path):
         path = posixpath.normpath(posixpath.join(base, src.split('#')[0]))
         return path if path in names else None
 
+    BLOCKS = ('p', 'h1', 'h2', 'h3', 'h4', 'li', 'blockquote',
+              'td', 'th', 'dt', 'dd', 'caption', 'figcaption', 'pre')
     for p in root.iter():
         if not isinstance(p.tag, str):
             continue
@@ -328,9 +330,21 @@ def _extract_flow(zf, doc_path):
             path = resolve_src(p)
             if path:
                 flow.append(('img', path, None))
-        elif local in ('p', 'h1', 'h2', 'h3', 'h4', 'li', 'blockquote'):
+        elif local in BLOCKS:
             # text only (nested imgs were already collected above in
-            # document order by this same iteration)
+            # document order by this same iteration).  A block nested
+            # inside another collected block (p in blockquote, p in td)
+            # is skipped — the ancestor's itertext already carries it.
+            anc = p.getparent() if hasattr(p, 'getparent') else None
+            nested = False
+            while anc is not None:
+                if isinstance(anc.tag, str) and \
+                        (etree.QName(anc).localname or '') in BLOCKS:
+                    nested = True
+                    break
+                anc = anc.getparent()
+            if nested:
+                continue
             text, links = _text_and_links(p)
             if text:
                 flow.append(('head' if local.startswith('h') else 'text',

@@ -158,6 +158,52 @@ class TestEpubToPdf:
         assert r.info()['Title'] == b'A Tale'
         assert 'Outlines' in r.catalog
 
+    def test_epub_degradation(self, tmp_path):
+        """docs/EPUB.md degradation contract: floats, tables, flex and
+        unsupported CSS must not crash, must emit pages, and every
+        text node must survive into the PDF text stream in document
+        order (the layout degrades, the words never do)."""
+        epub = tmp_path / 'hard.epub'
+        with zipfile.ZipFile(epub, 'w') as zf:
+            zf.writestr('mimetype', 'application/epub+zip')
+            zf.writestr('META-INF/container.xml', '''<?xml version="1.0"?>
+<container version="1.0" xmlns="urn:oasis:names:tc:opendocument:xmlns:container">
+ <rootfiles><rootfile full-path="content.opf"
+  media-type="application/oebps-package+xml"/></rootfiles></container>''')
+            zf.writestr('content.opf', '''<?xml version="1.0"?>
+<package xmlns="http://www.idpf.org/2007/opf" version="3.0">
+ <metadata xmlns:dc="http://purl.org/dc/elements/1.1/">
+  <dc:title>Hard Layout</dc:title></metadata>
+ <manifest><item id="c1" href="hard.xhtml"
+  media-type="application/xhtml+xml"/></manifest>
+ <spine><itemref idref="c1"/></spine></package>''')
+            zf.writestr('hard.xhtml', '''<html
+ xmlns="http://www.w3.org/1999/xhtml"><head><style>
+ .sidebar { float: right; width: 33%; margin: calc(1em + 2px); }
+ .grid { display: grid; grid-template-columns: 1fr 1fr; }
+ td { padding: 0.5em 1em; text-indent: 2em; }
+</style></head><body>
+ <p class="sidebar">FLOATED sidebar text</p>
+ <p>MAIN column paragraph</p>
+ <table><tr><td>CELLA</td><td>CELLB</td></tr>
+        <tr><td>CELLC</td><td>CELLD</td></tr></table>
+ <div class="grid"><p>GRIDONE</p><p>GRIDTWO</p></div>
+ <blockquote>QUOTED passage</blockquote>
+</body></html>''')
+        out = str(tmp_path / 'hard.pdf')
+        assert epub_main([str(epub), out]) == 0
+        r = PdfReader(out)
+        assert r.page_count() >= 1
+        text = b' '.join(r.page_contents(i)
+                         for i in range(r.page_count()))
+        tokens = [b'FLOATED', b'MAIN', b'CELLA', b'CELLB', b'CELLC',
+                  b'CELLD', b'GRIDONE', b'GRIDTWO', b'QUOTED']
+        pos = [text.find(t) for t in tokens]
+        assert all(p >= 0 for p in pos), (tokens, pos)
+        assert pos == sorted(pos)          # document order preserved
+        # nested blocks must not double-count (p inside blockquote)
+        assert text.count(b'QUOTED') == 1
+
 
 class TestTools:
     def _run(self, tool, *args):

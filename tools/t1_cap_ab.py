@@ -8,7 +8,7 @@ _host_encode (T1 + allocation + assembly) per APT_T1_CAPS policy on
 the SAME transformed data, interleaved ABAB, so the decision doesn't
 ride the e2e harness's tunnel noise.
 
-Usage: python tools/t1_cap_ab.py [reps]
+Usage: python tools/t1_cap_ab.py [reps] [variant]
 """
 import os
 import sys
@@ -25,12 +25,13 @@ import numpy as np
 
 def main():
     reps = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    variant = sys.argv[2] if len(sys.argv) > 2 else 'v1'
     from glob import glob
     from PIL import Image
     from tools.e2e_bench import make_realistic_book
     from archive_pdf_tools_tpu.codecs import jp2tpu as J
 
-    pat, _hocr, sha = make_realistic_book()
+    pat, _hocr, sha = make_realistic_book(variant=variant)
     files = sorted(glob(pat))[:2]
     # fg-like: the realistic page itself (noisy text); bg-like: its 3x
     # box downsample
