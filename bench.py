@@ -69,22 +69,41 @@ BASELINE_PAGES_PER_SEC = 1.0 / E2E_BASELINE_S_PER_PAGE
 
 
 def wait_for_device():
-    import jax
-    # the axon backend goes UNAVAILABLE for stretches (observed hours
-    # on 2026-08-17); wait for a live device rather than dying on the
-    # first device_put
+    # The axon backend goes UNAVAILABLE for stretches (observed hours
+    # on 2026-08-17) and a wedged backend can HANG device_put forever
+    # (observed 2026-08-20, r5: 10+ min in the first probe with no
+    # exception) — so each probe runs on a daemon thread with its own
+    # timeout and the wait gives up at the deadline instead of eating
+    # the whole bench budget before the first metric.
+    import threading
     deadline = time.time() + float(os.environ.get('BENCH_WAIT_S', '900'))
-    while True:
+
+    def probe_once(result):
         try:
+            import jax
             probe = jax.device_put(np.zeros((8, 128), np.float32))
             _ = np.asarray(probe.ravel()[:1])
-            return
+            result.append(True)
         except Exception as exc:
-            if time.time() > deadline:
-                raise
-            print('backend unavailable (%s); retrying...'
-                  % type(exc).__name__, file=sys.stderr)
-            time.sleep(60)
+            result.append(exc)
+
+    while True:
+        result = []
+        t = threading.Thread(target=probe_once, args=(result,),
+                             daemon=True)
+        t.start()
+        t.join(timeout=150)
+        if result and result[0] is True:
+            return True
+        why = ('hang' if not result
+               else type(result[0]).__name__)
+        if time.time() > deadline:
+            print('device unavailable (%s) at deadline; giving up'
+                  % why, file=sys.stderr)
+            return False
+        print('backend unavailable (%s); retrying...' % why,
+              file=sys.stderr)
+        time.sleep(30)
 
 
 def probe_link():
@@ -450,7 +469,11 @@ def main():
         emit()
 
     emit()   # a record exists even if the backend never comes up
-    wait_for_device()
+    if not wait_for_device():
+        out['skipped'].append('ALL (device unavailable/hung past '
+                              'BENCH_WAIT_S)')
+        emit()
+        return
     up, down = probe_link()
     out['link_up_mb_s'] = up
     out['link_down_mb_s'] = down

@@ -544,6 +544,8 @@ struct CoderScratch {
   std::vector<uint32_t> words;
   std::vector<uint32_t> colmax;
   std::vector<uint64_t> occ_nbr, occ_sig;
+  std::vector<uint64_t> colbs;   // nstripes x 32: bit x of [s*32+p] =
+                                 // stripe-s column x carries plane p
 };
 
 template <typename Enc>          // MQEncoder | DecisionRecorder
@@ -556,6 +558,7 @@ struct StripeCoderT {
   uint32_t* colmax;              // nstripes x w: OR of |coeff| per column
   uint64_t* occ_nbr;             // bit x: word (s, x) has sigma bits
   uint64_t* occ_sig;             // bit x: word (s, x) has centre sig bits
+  uint64_t* colbs;               // per-stripe plane-occupancy bitsets
   uint64_t wmask;
   Ctx cx[kNumCtx];
   Enc* enc;
@@ -576,19 +579,37 @@ struct StripeCoderT {
       sc.occ_nbr.resize(nstripes);
       sc.occ_sig.resize(nstripes);
     }
+    if (sc.colbs.size() < static_cast<size_t>(nstripes) * 32)
+      sc.colbs.resize(static_cast<size_t>(nstripes) * 32);
     words = sc.words.data();
     colmax = sc.colmax.data();
     occ_nbr = sc.occ_nbr.data();
     occ_sig = sc.occ_sig.data();
+    colbs = sc.colbs.data();
     std::memset(words, 0, nw * sizeof(uint32_t));
     std::memset(colmax, 0, nc * sizeof(uint32_t));
     std::memset(occ_nbr, 0, nstripes * sizeof(uint64_t));
     std::memset(occ_sig, 0, nstripes * sizeof(uint64_t));
+    std::memset(colbs, 0, nstripes * 32 * sizeof(uint64_t));
     for (int y = 0; y < h; ++y) {
       const int32_t* mr = mag + static_cast<long>(y) * w;
       uint32_t* cr = colmax + static_cast<long>(y >> 2) * w;
       for (int x = 0; x < w; ++x)
         cr[x] |= static_cast<uint32_t>(mr[x]);
+    }
+    // plane-occupancy bitsets, one ctz-skip pass over colmax: replaces
+    // the per-plane w-iteration colb rebuild the cleanup pass used to
+    // do per stripe (zero columns cost nothing here)
+    for (int s = 0; s < nstripes; ++s) {
+      const uint32_t* cm = colmax + static_cast<size_t>(s) * w;
+      uint64_t* cb = colbs + static_cast<size_t>(s) * 32;
+      for (int x = 0; x < w; ++x) {
+        uint32_t v = cm[x];
+        while (v) {
+          cb[__builtin_ctz(v)] |= 1ull << x;
+          v &= v - 1;
+        }
+      }
     }
     cx[0].i = 4;
     cx[kCtxRL].i = 3;
@@ -726,14 +747,10 @@ struct StripeCoderT {
     for (int s = 0; s < nstripes; ++s) {
       const int jmax = (4 * s + 4 <= h) ? 4 : h - 4 * s;
       uint32_t* row = W(s, 0);
-      // bit x: some coefficient of stripe column x carries plane p.
-      // colmax is the per-column OR of |coeff|, so its bit p is the
-      // OR of the column's plane-p bits — one load per column here
-      // replaces four strided magnitude loads per run-scanned column.
-      uint64_t colb = 0;
-      const uint32_t* cm = colmax + static_cast<size_t>(s) * w;
-      for (int x = 0; x < w; ++x)
-        colb |= static_cast<uint64_t>((cm[x] >> p) & 1) << x;
+      // bit x: some coefficient of stripe column x carries plane p
+      // (precomputed in the constructor from colmax, whose bit p is
+      // the OR of the column's plane-p bits)
+      const uint64_t colb = colbs[static_cast<size_t>(s) * 32 + p];
       for (int x = 0; x < w; ++x) {
         int j = 0;
         if (jmax == 4 && !((occ_nbr[s] >> x) & 1)) {
