@@ -277,7 +277,8 @@ class DocumentBuilder:
             if md.get(k):
                 self.info[Name(pdfk)] = md[k]
         now = _pdf_date()
-        self.info[Name('CreationDate')] = md.get('creationDate') or now
+        cdate = md.get('creationDate') or now
+        self.info[Name('CreationDate')] = cdate
         self.info[Name('ModDate')] = now
 
         if from_xmp is not None:
@@ -285,6 +286,17 @@ class DocumentBuilder:
             return
 
         iso_now = _now().strftime('%Y-%m-%dT%H:%M:%SZ')
+        # XMP CreateDate must equal Info /CreationDate (PDF/A metadata
+        # consistency) — when the date is carried over from a source
+        # document (--from-pdf preserves it, like the reference), the
+        # XMP stamp must derive from that value, not from the clock:
+        # stamping 'now' here failed validation whenever the recode
+        # took more than a second (caught 2026-08-20 by the strict
+        # validator on a slow CPU run)
+        import re as _re
+        m = _re.match(r'D:(\d{4})(\d{2})(\d{2})(\d{2})(\d{2})(\d{2})',
+                      cdate)
+        create_iso = ('%s-%s-%sT%s:%s:%sZ' % m.groups()) if m else iso_now
         parts = ['''<?xpacket begin="﻿" id="W5M0MpCehiHzreSzNTczkc9d"?>
 <x:xmpmeta xmlns:x="adobe:ns:meta/">
   <rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#">
@@ -295,7 +307,7 @@ class DocumentBuilder:
       <xmp:CreatorTool>%s</xmp:CreatorTool>
     </rdf:Description>
     <rdf:Description rdf:about="" xmlns:pdf="http://ns.adobe.com/pdf/1.3/">'''
-                 % (iso_now, iso_now, iso_now,
+                 % (create_iso, iso_now, iso_now,
                     xmlescape(extra.get('creatortool', PRODUCER)))]
         if 'url' in extra:
             parts.append('\n      <pdf:Keywords>%s</pdf:Keywords>'

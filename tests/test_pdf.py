@@ -38,15 +38,30 @@ def build_sample_doc(with_images=True, **meta):
             b.insert_image(idx, ef, gray=True, mask_enc=em)
     b.write_pdfa()
     b.write_basic_ua(language='en')
+    from_docinfo = meta.pop('from_docinfo', None)
     b.write_metadata(extra_metadata=dict(
         title='Test Book', author='Test Author', url='https://x.test/b',
-        language=['en'], **meta))
+        language=['en'], **meta), from_docinfo=from_docinfo)
     buf = io.BytesIO()
     b.save(buf)
     return buf.getvalue()
 
 
 class TestBuilderReader:
+    def test_preserved_creationdate_xmp_consistent(self):
+        """--from-pdf carries the source CreationDate into Info; the
+        XMP CreateDate must derive from THAT value, not the clock
+        (PDF/A consistency — caught live 2026-08-20 when a slow run
+        put >1s between builder init and metadata write)."""
+        data = build_sample_doc(
+            from_docinfo={'creationDate': 'D:19991231235958Z'})
+        r = PdfReader(data)
+        assert r.info()['CreationDate'] == b'D:19991231235958Z'
+        assert b'<xmp:CreateDate>1999-12-31T23:59:58Z' in \
+            r.xmp_metadata()
+        from archive_pdf_tools_tpu.validators import validate_pdfa
+        validate_pdfa(data)
+
     def test_roundtrip_structure(self):
         data = build_sample_doc()
         assert data.startswith(b'%PDF-1.5')
