@@ -679,13 +679,12 @@ def insert_images_mrc(builder, hocr_file, in_pdf=None, image_files=None,
     # second half's link+device time behind the first half's host
     # encode at the cost of one extra (cached) jit shape.  Documents
     # already spanning multiple batches are untouched.
-    # DEFAULT OFF pending a chip measurement: the r4 default-on
-    # shipped unmeasured (VERDICT r4 weak #4, violating the r2-era
-    # unmeasured-defaults policy) and the 2026-08-20 A/B attempts all
-    # hit backend outage windows (RESULTS.md r5).  APT_SPLIT_SMALL=1
-    # enables; tools/split_ab.py is the measurement harness.
+    # DEFAULT ON, chip-measured 2026-08-20 (tools/split_ab.py,
+    # interleaved same-process warm runs on the frozen corpus: split
+    # 1.074/0.934 s/page vs unsplit 1.114/1.315 — the split won both
+    # adjacent pairs; RESULTS.md r5).  APT_SPLIT_SMALL=0 reverts.
     if (4 <= len(jobs) <= batch_pages
-            and os.environ.get('APT_SPLIT_SMALL', '0') == '1'):
+            and os.environ.get('APT_SPLIT_SMALL', '1') != '0'):
         batch_pages = (len(jobs) + 1) // 2
 
     # producer thread loads + batches images (by shape/mode/dpi) while
