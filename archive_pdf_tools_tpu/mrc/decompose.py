@@ -150,8 +150,11 @@ def blur_weights(gray, max_radius=MAX_BLUR_RADIUS):
     int(4*sigma+0.5) inside a static max_radius buffer, normalized;
     the identity kernel when the reference would skip the blur
     (sigma_est <= 1).  Returns ((B, 2R+1) f32 taps, sigma_est)."""
-    imgf = gray.astype(jnp.float32)
-    sigma_est = estimate_noise(imgf)                     # (B,)
+    # no full-image f32 convert here: estimate_noise center-crops
+    # FIRST and diagonal_detail converts the crop (bit-identical —
+    # slice-of-convert == convert-of-slice); the blur itself reads
+    # uint8 inside the Pallas kernel
+    sigma_est = estimate_noise(gray)                     # (B,)
     sigma = sigma_est * 0.1
 
     idx = jnp.arange(-max_radius, max_radius + 1,
