@@ -89,6 +89,10 @@ def main():
     print('%-28s %-46s %9s %6s' % ('lane', 'event', 'total_ms', 'n'))
     for (pid, name), (ms, n) in rows[:30]:
         print('%-28s %-46s %9.2f %6d' % (pid[:28], name[:46], ms, n))
+    print('--- all device-lane events ---')
+    for (pid, name), (ms, n) in rows:
+        if 'TPU' in pid:
+            print('%-28s %-46s %9.2f %6d' % (pid[:28], name[:46], ms, n))
     dev_total = sum(ms for (pid, _), (ms, _n) in agg.items()
                     if 'TPU' in pid or 'device' in pid.lower())
     print('device-lane total %.2f ms over %d iters' % (dev_total, iters))
