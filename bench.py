@@ -123,17 +123,35 @@ def probe_link():
 
 
 def synth_batch(batch, h, w, rgb, noise_sigma, lines_per_page=40):
+    # image synthesis takes ~1 min of pure Python/numpy at batch 64 on
+    # this one-core host; cache the deterministic result so repeated
+    # bench runs spend their wall budget on measurements
+    cache = os.path.join(
+        '/tmp', 'apt_bench_batch_%d_%dx%d_%d_%g.npy'
+        % (batch, h, w, int(rgb), noise_sigma))
+    images = None
+    if os.path.exists(cache):
+        try:
+            images = np.load(cache)
+        except Exception:
+            images = None
     rng = np.random.default_rng(0)
-    images = np.full((batch, h, w), 235, np.uint8)
-    # text-ish strokes so the mask/denoise paths do real work
-    for b in range(batch):
-        ys = rng.integers(20, h - 60, size=400)
-        xs = rng.integers(20, w - 400, size=400)
-        for y, x in zip(ys, xs):
-            images[b, y:y + 8, x:x + int(rng.integers(80, 380))] = 40
-    noise = rng.normal(0, noise_sigma, (batch, h, w))
-    images = np.clip(images.astype(np.float32) + noise, 0, 255) \
-        .astype(np.uint8)
+    if images is None:
+        images = np.full((batch, h, w), 235, np.uint8)
+        # text-ish strokes so the mask/denoise paths do real work
+        for b in range(batch):
+            ys = rng.integers(20, h - 60, size=400)
+            xs = rng.integers(20, w - 400, size=400)
+            for y, x in zip(ys, xs):
+                images[b, y:y + 8, x:x + int(rng.integers(80, 380))] = 40
+        noise = rng.normal(0, noise_sigma, (batch, h, w))
+        images = np.clip(images.astype(np.float32) + noise, 0, 255) \
+            .astype(np.uint8)
+        try:
+            np.save(cache + '.tmp.npy', images)
+            os.replace(cache + '.tmp.npy', cache)
+        except Exception:
+            pass
     if rgb:
         # sepia-ish book scan: correlated channels, full RGB pipeline
         # (gray_601 + 3-channel radiate fills)
@@ -446,7 +464,7 @@ def bench_steady(n_pages=64):
 
 def main():
     t_start = time.perf_counter()
-    budget = float(os.environ.get('BENCH_BUDGET_S', '960'))
+    budget = float(os.environ.get('BENCH_BUDGET_S', '1200'))
     deadline = (t_start + budget) if budget > 0 else None
     here = os.path.dirname(os.path.abspath(__file__))
 
@@ -551,6 +569,18 @@ def main():
     if os.environ.get('APT_BENCH_FROMPDF', '1') != '0':
         stage('frompdf', 200, s_frompdf)
 
+    # steady64 is a headline config (BASELINE config 3): it runs before
+    # the secondary rgb/600dpi sweeps so a tight budget drops those
+    # first (the r5 in-session run lost steady to the budget gate)
+    def s_steady():
+        spp = bench_steady()
+        out['steady64_s_per_page'] = round(spp, 3)
+        out['steady64_vs_baseline'] = round(
+            E2E_BASELINE_S_PER_PAGE / spp, 2)
+
+    if os.environ.get('APT_BENCH_STEADY', '1') != '0':
+        stage('steady64', 180, s_steady)
+
     def s_rgb():
         b, m = bench_decompose(min(batch, 16), 400, True, iters)
         out['rgb_pages_per_sec'] = round(b, 3)
@@ -564,15 +594,6 @@ def main():
         out['dpi600_median'] = round(m, 3)
 
     stage('600dpi', 120, s_600)
-
-    def s_steady():
-        spp = bench_steady()
-        out['steady64_s_per_page'] = round(spp, 3)
-        out['steady64_vs_baseline'] = round(
-            E2E_BASELINE_S_PER_PAGE / spp, 2)
-
-    if os.environ.get('APT_BENCH_STEADY', '1') != '0':
-        stage('steady64', 180, s_steady)
 
 
 if __name__ == '__main__':
