@@ -3,15 +3,18 @@
 The reference delegates to PyMuPDF's ``convert_to_pdf``
 (``bin/epub-to-pdf:35-76``).  Without a full layout engine we implement
 a flow-based conversion: spine XHTML chapters are extracted with lxml
-as an ordered flow of headings, paragraphs and images; text lays out
-proportionally (Times-Roman body, Helvetica-Bold headings — standard-14
-fonts measured with their real core AFM advances, WinAnsi-encoded, so
-wraps are exact; monospace Courier fallback when no AFMs are
-available), images are embedded (JPEG passthrough where possible,
-Flate otherwise) and placed in-flow scaled to the column, chapter
-starts become PDF outline entries, and OPF metadata maps to the
-docinfo.  Covers and figures survive; fixed-layout positioning does
-not.
+as an ordered flow of headings, paragraphs, lists, blockquotes, pre
+blocks, tables and images; text lays out proportionally (Times-Roman
+body, Helvetica-Bold headings, Times-Bold/Italic/BoldItalic for inline
+b/strong/i/em runs, Courier for <pre> — standard-14 fonts measured
+with their real core AFM advances, WinAnsi-encoded, so wraps are
+exact; monospace Courier fallback when no AFMs are available), lists
+get markers and a hanging indent, tables lay out as an equal-column
+grid sharing the row baseline (th bold, rule under header rows),
+images are embedded (JPEG passthrough where possible, Flate otherwise)
+and placed in-flow scaled to the column, chapter starts become PDF
+outline entries, and OPF metadata maps to the docinfo.  The supported
+subset and degradation contract are bounded in docs/EPUB.md.
 
 Hyperlinks: the reference re-inserts every non-named link of the input
 into the output (``bin/epub-to-pdf:62-76``, ``pout.insert_link``).  We
@@ -235,21 +238,41 @@ def _anchor_href(el):
     return el.get('href') or el.get(_XLINK_HREF)
 
 
-def _text_and_links(el):
-    """Whitespace-collapsed subtree text plus anchor char ranges:
-    returns (text, [(start, end, href), ...]) where start/end index the
-    collapsed text.  Collapsing happens during accumulation (not with a
-    post-hoc re.sub) so the recorded offsets stay exact."""
+# inline style tags -> run flag bits (bit 0 bold, bit 1 italic)
+_BOLD_TAGS = frozenset(('b', 'strong'))
+_ITALIC_TAGS = frozenset(('i', 'em', 'cite', 'dfn', 'var'))
+
+
+def _text_and_links(el, pre=False):
+    """Whitespace-collapsed subtree text plus anchor char ranges and
+    inline style runs: returns (text, [(start, end, href), ...],
+    [(start, end, flags), ...]) where start/end index the collapsed
+    text and flags is bold|italic bits from b/strong/i/em/cite/dfn/var
+    nesting.  Collapsing happens during accumulation (not with a
+    post-hoc re.sub) so the recorded offsets stay exact.  With
+    pre=True, newlines survive as '\\n' and spaces are kept verbatim
+    (the <pre> contract)."""
     chars = []
+    flags = []
     links = []
+    cur_flags = [0]
 
     def emit(s):
         for ch in s:
-            if ch in ' \t\r\n\x0b\x0c\xa0':
+            if pre:
+                if ch == '\r':
+                    continue
+                if ch in '\t\x0b\x0c\xa0':
+                    ch = ' '
+                chars.append(ch)
+                flags.append(cur_flags[-1])
+            elif ch in ' \t\r\n\x0b\x0c\xa0':
                 if chars and chars[-1] != ' ':
                     chars.append(' ')
+                    flags.append(cur_flags[-1])
             else:
                 chars.append(ch)
+                flags.append(cur_flags[-1])
 
     def walk(node, is_root):
         if not isinstance(node.tag, str):   # comments, PIs
@@ -258,6 +281,9 @@ def _text_and_links(el):
             return
         local = (etree.QName(node).localname or '').lower()
         href = _anchor_href(node) if local == 'a' else None
+        add = (1 if local in _BOLD_TAGS else 0) | \
+              (2 if local in _ITALIC_TAGS else 0)
+        cur_flags.append(cur_flags[-1] | add)
         start = len(chars)
         if node.text:
             emit(node.text)
@@ -271,26 +297,71 @@ def _text_and_links(el):
                 e -= 1
             if e > s:
                 links.append((s, e, href))
+        cur_flags.pop()
         if not is_root and node.tail:
             emit(node.tail)
 
     walk(el, True)
     text = ''.join(chars)
-    lead = len(text) - len(text.lstrip(' '))
-    stripped = text.strip(' ')
+    if pre:
+        lead = len(text) - len(text.lstrip('\n'))
+        stripped = text.strip('\n').rstrip(' ')
+    else:
+        lead = len(text) - len(text.lstrip(' '))
+        stripped = text.strip(' ')
     out = []
     for s, e, href in links:
         s, e = max(0, s - lead), min(len(stripped), e - lead)
         if e > s:
             out.append((s, e, href))
-    return stripped, out
+    runs = []
+    for i, f in enumerate(flags[lead:lead + len(stripped)]):
+        if f and runs and runs[-1][1] == i and runs[-1][2] == f:
+            runs[-1] = (runs[-1][0], i + 1, f)
+        elif f:
+            runs.append((i, i + 1, f))
+    return stripped, out, runs
+
+
+def _list_marker(li):
+    """'1. '/'a) '-free simple list markers: '• ' under <ul>,
+    '<n>. ' under <ol> (n = 1-based position among li siblings)."""
+    anc = li.getparent() if hasattr(li, 'getparent') else None
+    while anc is not None and isinstance(anc.tag, str):
+        local = (etree.QName(anc).localname or '').lower()
+        if local == 'ol':
+            n = 1
+            for sib in anc:
+                if not isinstance(sib.tag, str):
+                    continue
+                if (etree.QName(sib).localname or '').lower() == 'li':
+                    if sib is li:
+                        break
+                    n += 1
+            return '%d. ' % n
+        if local == 'ul':
+            return '• '
+        anc = anc.getparent()
+    return '• '
+
+
+def _in_tag(el, names):
+    anc = el.getparent() if hasattr(el, 'getparent') else None
+    while anc is not None:
+        if isinstance(anc.tag, str) and \
+                (etree.QName(anc).localname or '').lower() in names:
+            return True
+        anc = anc.getparent()
+    return False
 
 
 def _extract_flow(zf, doc_path):
     """(title, flow) where flow is an ordered list of
-    ('text'|'head', str, links) and ('img', zip_path, None) blocks —
-    images keep their document position; links are char ranges from
-    _text_and_links."""
+    ('text'|'head'|'li'|'quote'|'pre', str, links, runs),
+    ('table', rows, None, None) and ('img', zip_path, None, None)
+    blocks — images keep their document position; links and style runs
+    are char ranges from _text_and_links; table rows are lists of
+    (text, links, runs, is_header) cells."""
     try:
         data = zf.read(doc_path)
     except KeyError:
@@ -322,33 +393,64 @@ def _extract_flow(zf, doc_path):
 
     BLOCKS = ('p', 'h1', 'h2', 'h3', 'h4', 'li', 'blockquote',
               'td', 'th', 'dt', 'dd', 'caption', 'figcaption', 'pre')
+    KIND = {'li': 'li', 'blockquote': 'quote', 'pre': 'pre'}
     for p in root.iter():
         if not isinstance(p.tag, str):
             continue
-        local = etree.QName(p).localname or ''
+        local = (etree.QName(p).localname or '').lower()
         if local in ('img', 'image'):
             path = resolve_src(p)
             if path:
-                flow.append(('img', path, None))
+                flow.append(('img', path, None, None))
+        elif local == 'table':
+            # grid layout: one flow entry per table, rows of cells;
+            # a table nested inside another table (or inside a block,
+            # e.g. a td) is flattened into the ancestor's text instead
+            if _in_tag(p, ('table',) + BLOCKS):
+                continue
+            for cap in p:
+                if isinstance(cap.tag, str) and \
+                        (etree.QName(cap).localname or '').lower() \
+                        == 'caption':
+                    ctext, clinks, cruns = _text_and_links(cap)
+                    if ctext:
+                        flow.append(('text', ctext, clinks, cruns))
+            rows = []
+            for tr in p.iter():
+                if not isinstance(tr.tag, str) or \
+                        (etree.QName(tr).localname or '').lower() != 'tr':
+                    continue
+                cells = []
+                for td in tr:
+                    if not isinstance(td.tag, str):
+                        continue
+                    tdl = (etree.QName(td).localname or '').lower()
+                    if tdl in ('td', 'th'):
+                        ctext, clinks, cruns = _text_and_links(td)
+                        cells.append((ctext, clinks, cruns, tdl == 'th'))
+                if cells:
+                    rows.append(cells)
+            if rows:
+                flow.append(('table', rows, None, None))
         elif local in BLOCKS:
             # text only (nested imgs were already collected above in
             # document order by this same iteration).  A block nested
             # inside another collected block (p in blockquote, p in td)
-            # is skipped — the ancestor's itertext already carries it.
-            anc = p.getparent() if hasattr(p, 'getparent') else None
-            nested = False
-            while anc is not None:
-                if isinstance(anc.tag, str) and \
-                        (etree.QName(anc).localname or '') in BLOCKS:
-                    nested = True
-                    break
-                anc = anc.getparent()
-            if nested:
+            # or inside a table (cells carry its text) is skipped —
+            # the ancestor's accumulated text already carries it.
+            if _in_tag(p, ('table',) + BLOCKS):
                 continue
-            text, links = _text_and_links(p)
+            text, links, runs = _text_and_links(p, pre=(local == 'pre'))
+            if local == 'li' and text:
+                mark = _list_marker(p)
+                text = mark + text
+                n = len(mark)
+                links = [(s + n, e + n, h) for s, e, h in links]
+                runs = [(s + n, e + n, f) for s, e, f in runs]
             if text:
-                flow.append(('head' if local.startswith('h') else 'text',
-                             text, links))
+                kind = ('head' if local.startswith('h')
+                        else KIND.get(local, 'text'))
+                flow.append((kind, text, links, runs))
     return title, flow
 
 
@@ -378,12 +480,19 @@ def _wrap(text, cols):
     return lines
 
 
-def _wrap_prop(text, widths, size, col_w):
+def _wrap_prop(text, widths, size, col_w, adv=None):
     """Width-measured wrap: WinAnsi bytes against per-code advances.
     Returns (line_bytes, char_start, char_end) triples indexing `text`
-    (cp1252 is single-byte, so byte and char offsets coincide)."""
-    def wlen(bs):
-        return sum(widths[b] for b in bs) * size
+    (cp1252 is single-byte, so byte and char offsets coincide).  When
+    `adv` is given it is the per-char advance in points for the WHOLE
+    text (styled runs measure with their own face); otherwise it is
+    derived from `widths`/`size` uniformly."""
+    enc = text.encode('cp1252', 'replace')
+    if adv is None:
+        adv = [widths[b] * size for b in enc]
+
+    def wlen(s, e):
+        return sum(adv[s:e])
 
     space_w = widths[32] * size
     lines = []
@@ -394,15 +503,16 @@ def _wrap_prop(text, widths, size, col_w):
         cur_s = cur_e = base
         pos = base
         for word in para.split(' '):
-            wb = word.encode('cp1252', 'replace')
+            wb = enc[pos:pos + len(word)]
             wstart = pos
             pos += len(word) + 1
-            ww = wlen(wb)
+            ww = wlen(wstart, wstart + len(wb))
             woff = 0
             while ww > col_w and len(wb) > 1:
                 # hard-break an over-wide word at the column edge
                 k = 1
-                while k < len(wb) and wlen(wb[:k + 1]) <= col_w:
+                while k < len(wb) and \
+                        wlen(wstart + woff, wstart + woff + k + 1) <= col_w:
                     k += 1
                 if cur:
                     lines.append((cur, cur_s, cur_e))
@@ -410,7 +520,7 @@ def _wrap_prop(text, widths, size, col_w):
                 lines.append((wb[:k], wstart + woff, wstart + woff + k))
                 wb = wb[k:]
                 woff += k
-                ww = wlen(wb)
+                ww = wlen(wstart + woff, wstart + woff + len(wb))
             if not cur:
                 cur, cur_w = wb, ww
                 cur_s, cur_e = wstart + woff, wstart + woff + len(wb)
@@ -424,6 +534,32 @@ def _wrap_prop(text, widths, size, col_w):
                 cur_s, cur_e = wstart + woff, wstart + woff + len(wb)
         lines.append((cur, cur_s, cur_e))
         base += len(para) + 1
+    return lines
+
+
+def _wrap_pre(text, widths, size, col_w):
+    """<pre> wrap: every newline-delimited source line is one output
+    line (spaces preserved verbatim), hard-broken at the column edge.
+    Same (line_bytes, char_start, char_end) contract as _wrap_prop."""
+    enc = text.encode('cp1252', 'replace')
+    lines = []
+    base = 0
+    for para in text.split('\n'):
+        s = base
+        end = base + len(para)
+        if s == end:
+            lines.append((b'', s, s))
+        while s < end:
+            cum = 0.0
+            e = s
+            while e < end:
+                cum += widths[enc[e]] * size
+                if cum > col_w and e > s:
+                    break
+                e += 1
+            lines.append((enc[s:e], s, e))
+            s = e
+        base = end + 1
     return lines
 
 
@@ -623,16 +759,34 @@ def main(argv=None):
                       Name('BaseFont'): Name(base),
                       Name('Encoding'): Name('WinAnsiEncoding')})
 
+    # styled body faces (inline b/strong/i/em runs) + monospace <pre>;
+    # indexed by run-flag bits (bit 0 bold, bit 1 italic)
+    style_widths = [body_widths,
+                    _afm_codewidths('Times-Bold'),
+                    _afm_codewidths('Times-Italic'),
+                    _afm_codewidths('Times-BoldItalic')]
+    mono_widths = _afm_codewidths('Courier') or [0.6] * 256
+    styled = proportional and all(wd is not None for wd in style_widths)
+
     if proportional:
         font_ref = std_font('Times-Roman')
         head_ref = std_font('Helvetica-Bold')
     else:
         font_ref = std_font('Courier')
         head_ref = font_ref
+    mono_ref = std_font('Courier') if proportional else font_ref
+    if styled:
+        style_refs = [font_ref, std_font('Times-Bold'),
+                      std_font('Times-Italic'),
+                      std_font('Times-BoldItalic')]
+    else:
+        style_refs = [font_ref] * 4
+    STYLE_FNAMES = ('F1', 'F3', 'F4', 'F5')   # by run-flag bits
     # per-style (font name, size, leading, row units)
     STYLES = {'b': ('F1', FONT_SIZE, LEADING, 1.0),
               'h': ('F2', HEAD_SIZE, HEAD_LEADING,
-                    HEAD_LEADING / LEADING)}
+                    HEAD_LEADING / LEADING),
+              'm': ('F6', 9.0, 11.0, 11.0 / LEADING)}
 
     page_refs = []
     page_dicts = []       # parallel: dict, finalized via w.set at end
@@ -641,8 +795,9 @@ def main(argv=None):
                           # spine-doc zip path resolved to a page later
     chapter_pages = []    # (title, first page index)
     doc_first_page = {}   # spine doc zip path -> first page index
-    cur_items = []        # ('line', str[, style[, links]]) |
-                          # ('img', ref, w_pt, h_pt)
+    cur_items = []        # ('line', payload, style, links, runs, adv,
+                          #  indent) | ('img', ref, w_pt, h_pt) |
+                          # ('row', cells, nlines, hdr) — see flush_page
     cur_rows = 0
     img_cache = {}        # zip path -> (xobj ref, w_px, h_px) | None
 
@@ -708,47 +863,115 @@ def main(argv=None):
         ops = []
         y = PAGE_H - MARGIN
         xobjs = {}
-        text_run = []     # (payload, [(off0, off1, spec), ...] | None)
+        text_run = []     # (payload, links, runs, adv) per line; links
+                          # = [(off0, off1, spec), ...] | None, runs =
+                          # [(off0, off1, flags), ...] | None, adv =
+                          # per-char pt advances | None
         run_style = 'b'
+        run_indent = 0.0
         links = []
 
-        def measure(payload, n):
-            """Rendered width of payload[:n] in the active style."""
+        def measure(payload, n, adv=None):
+            """Rendered width of payload[:n] in the active style (or
+            from the line's own styled advances when given)."""
+            if adv is not None:
+                return sum(adv[:n])
             if not proportional:
                 return CHAR_W * n
-            wd = head_widths if run_style == 'h' else body_widths
+            wd = (head_widths if run_style == 'h'
+                  else mono_widths if run_style == 'm' else body_widths)
             size = STYLES[run_style][1]
             return sum(wd[b] for b in payload[:n]) * size
+
+        def emit_styled(line, lruns, size):
+            """One line as /Fx-switched segments (inline bold/italic).
+            Leaves the font set back to the block style afterwards."""
+            segs = []
+            pos = 0
+            for off0, off1, fl in lruns:
+                if off0 > pos:
+                    segs.append((pos, off0, 0))
+                segs.append((off0, off1, fl))
+                pos = off1
+            if pos < len(line):
+                segs.append((pos, len(line), 0))
+            ops.append(b'T*')
+            for s0, s1, fl in segs:
+                ops.append(b'/%s %g Tf (%s) Tj' %
+                           (STYLE_FNAMES[fl].encode(), size,
+                            _esc(line[s0:s1])))
 
         def flush_text():
             nonlocal text_run, y
             if not text_run:
                 return
             fname, size, leading, _u = STYLES[run_style]
+            x_text = MARGIN + run_indent
             ops.append(b'BT /%s %g Tf %g %g Td %g TL' %
-                       (fname.encode(), size, MARGIN, y, leading))
-            for i, (line, llinks) in enumerate(text_run):
-                ops.append(b"(%s) '" % _esc(line))
-                # the ' operator moves down TL then shows: line i's
-                # baseline sits at y - leading*(i+1)
+                       (fname.encode(), size, x_text, y, leading))
+            for i, (line, llinks, lruns, adv) in enumerate(text_run):
+                if lruns and styled:
+                    emit_styled(line, lruns, size)
+                    ops.append(b'/%s %g Tf' % (fname.encode(), size))
+                else:
+                    ops.append(b"(%s) '" % _esc(line))
+                # lines advance down TL each: line i's baseline sits at
+                # y - leading*(i+1)
                 for off0, off1, spec in (llinks or ()):
                     ybase = y - leading * (i + 1)
-                    x0 = MARGIN + measure(line, off0)
-                    x1 = MARGIN + measure(line, off1)
+                    x0 = x_text + measure(line, off0, adv)
+                    x1 = x_text + measure(line, off1, adv)
                     links.append(((x0, ybase - 0.25 * size,
                                    x1, ybase + 0.85 * size),) + spec)
             ops.append(b'ET')
             y -= leading * len(text_run)
             text_run = []
 
+        def emit_row(cells, nlines, hdr):
+            """One table row: every cell a BT block at its column x,
+            all sharing the row's top baseline grid."""
+            nonlocal y
+            size, leading = FONT_SIZE, LEADING
+            for x_off, cell_lines in cells:
+                if not cell_lines:
+                    continue
+                cx = MARGIN + x_off
+                ops.append(b'BT /F1 %g Tf %g %g Td %g TL' %
+                           (size, cx, y, leading))
+                for i, (line, llinks, lruns, adv) in \
+                        enumerate(cell_lines):
+                    if lruns and styled:
+                        emit_styled(line, lruns, size)
+                        ops.append(b'/F1 %g Tf' % size)
+                    else:
+                        ops.append(b"(%s) '" % _esc(line))
+                    for off0, off1, spec in (llinks or ()):
+                        ybase = y - leading * (i + 1)
+                        x0 = cx + measure(line, off0, adv)
+                        x1 = cx + measure(line, off1, adv)
+                        links.append(((x0, ybase - 0.25 * size,
+                                       x1, ybase + 0.85 * size),) + spec)
+                ops.append(b'ET')
+            y -= leading * nlines
+            if hdr:   # rule under a header row
+                ops.append(b'q 0.5 w %g %g m %g %g l S Q' %
+                           (MARGIN, y - 2.0, MARGIN + COL_W, y - 2.0))
+
         for item in cur_items:
             if item[0] == 'line':
                 style = item[2] if len(item) > 2 else 'b'
-                if style != run_style:
+                indent = item[6] if len(item) > 6 else 0.0
+                if style != run_style or indent != run_indent:
                     flush_text()
                     run_style = style
+                    run_indent = indent
                 text_run.append((item[1],
-                                 item[3] if len(item) > 3 else None))
+                                 item[3] if len(item) > 3 else None,
+                                 item[4] if len(item) > 4 else None,
+                                 item[5] if len(item) > 5 else None))
+            elif item[0] == 'row':
+                flush_text()
+                emit_row(item[1], item[2], item[3])
             else:
                 flush_text()
                 _tag, ref, w_pt, h_pt = item
@@ -759,8 +982,13 @@ def main(argv=None):
                            (w_pt, h_pt, MARGIN, y, name.encode()))
         flush_text()
         content = w.add(Stream({}, b'\n'.join(ops), deflate=True))
-        res = {Name('Font'): {Name('F1'): font_ref,
-                              Name('F2'): head_ref}}
+        res_fonts = {Name('F1'): font_ref, Name('F2'): head_ref,
+                     Name('F6'): mono_ref}
+        if styled:
+            res_fonts[Name('F3')] = style_refs[1]
+            res_fonts[Name('F4')] = style_refs[2]
+            res_fonts[Name('F5')] = style_refs[3]
+        res = {Name('Font'): res_fonts}
         if xobjs:
             res[Name('XObject')] = xobjs
         add_page({Name('Type'): Name('Page'), Name('Parent'): pages_ref,
@@ -1121,31 +1349,130 @@ def main(argv=None):
         doc_first_page.setdefault(doc, len(page_refs))
         doc_base = posixpath.dirname(doc)
         chapter_pages.append((title or doc, len(page_refs)))
-        for kind, payload, plinks in flow:
-            if kind == 'img':
-                add_image_block(payload)
-                continue
-            style = 'h' if kind == 'head' else 'b'
-            if proportional:
-                widths = head_widths if style == 'h' else body_widths
-                size = STYLES[style][1]
-                lines = _wrap_prop(payload, widths, size, COL_W)
-            else:
-                style = 'b'
-                lines = _wrap(payload, COLS)
-            specs = [(a, b, classify_href(href, doc_base, doc))
-                     for a, b, href in (plinks or ())]
-            specs = [s for s in specs if s[2] is not None]
-            units = STYLES[style][3]
+        def styled_adv(text, pruns, widths, size):
+            """Per-char advances honoring inline bold/italic runs, or
+            None when the text is unstyled/unstylable."""
+            if not styled or not pruns:
+                return None
+            farr = [0] * len(text)
+            for s, e, f in pruns:
+                for i in range(s, min(e, len(text))):
+                    farr[i] |= f
+            enc = text.encode('cp1252', 'replace')
+            return [style_widths[farr[i]][b] * size
+                    for i, b in enumerate(enc)]
+
+        def wrapped_lines(text, plinks, pruns, widths, size, col_w,
+                          pre=False):
+            """Wrap one block -> ('line'-ready) tuples: (payload,
+            llinks, lruns, adv_line) with offsets rebased per line."""
+            adv = None if pre else styled_adv(text, pruns, widths, size)
+            lines = (_wrap_pre(text, widths, size, col_w) if pre
+                     else _wrap_prop(text, widths, size, col_w, adv=adv))
+            specs = [(a, b, spec) for a, b, spec in (plinks or ())]
+            out = []
             for line, cs, ce in lines:
                 llinks = [(max(a, cs) - cs, min(b, ce) - cs, spec)
                           for a, b, spec in specs
                           if a < ce and b > cs] or None
-                cur_items.append(('line', line, style, llinks))
-                cur_rows += units
-                if cur_rows >= ROWS:
-                    flush_page()
-            if cur_items:
+                lruns = [(max(a, cs) - cs, min(b, ce) - cs, f)
+                         for a, b, f in (pruns or ())
+                         if a < ce and b > cs] or None
+                adv_line = adv[cs:ce] if adv is not None else None
+                out.append((line, llinks, lruns, adv_line))
+            return out
+
+        for fi, (kind, payload, plinks, pruns) in enumerate(flow):
+            next_kind = flow[fi + 1][0] if fi + 1 < len(flow) else None
+            if kind == 'img':
+                add_image_block(payload)
+                continue
+            if kind == 'table' and proportional:
+                # grid layout: equal columns with a 6 pt gutter, header
+                # cells bold, every cell wrapped to its column width
+                ncols = max(len(r) for r in payload)
+                gutter = 6.0
+                cw = max((COL_W - gutter * (ncols - 1)) / ncols, 36.0)
+                size = FONT_SIZE
+                for row in payload:
+                    cells = []
+                    nlines = 0
+                    hdr = False
+                    for ci, (ctext, clinks, cruns, is_th) in \
+                            enumerate(row):
+                        hdr = hdr or is_th
+                        if is_th:
+                            cruns = [(0, len(ctext), 1)]
+                        cspecs = [(a, b, classify_href(h, doc_base, doc))
+                                  for a, b, h in (clinks or ())]
+                        cspecs = [s for s in cspecs if s[2] is not None]
+                        cl = wrapped_lines(ctext, cspecs, cruns,
+                                           body_widths, size, cw)
+                        cells.append(((cw + gutter) * ci, cl))
+                        nlines = max(nlines, len(cl))
+                    if nlines > ROWS:
+                        # degenerate over-tall row: cells fall back to
+                        # sequential paragraphs (degradation contract)
+                        for x_off, cl in cells:
+                            for ln in cl:
+                                cur_items.append(('line',) + ln[0:1]
+                                                 + ('b', ln[1], ln[2],
+                                                    ln[3], 0.0))
+                                cur_rows += 1
+                                if cur_rows >= ROWS:
+                                    flush_page()
+                        continue
+                    if cur_rows + nlines > ROWS:
+                        flush_page()
+                    cur_items.append(('row', cells, nlines, hdr))
+                    cur_rows += nlines
+                if cur_items:
+                    cur_items.append(('line', b'', 'b', None, None,
+                                      None, 0.0))
+                    cur_rows += 1
+                continue
+            if kind == 'table':     # monospace fallback: cells as rows
+                for row in payload:
+                    for ctext, _cl, _cr, _th in row:
+                        for line, cs, ce in _wrap(ctext, COLS):
+                            cur_items.append(('line', line, 'b'))
+                            cur_rows += 1
+                            if cur_rows >= ROWS:
+                                flush_page()
+                continue
+            style = ('h' if kind == 'head'
+                     else 'm' if kind == 'pre' else 'b')
+            indent = {'li': 16.0, 'quote': 24.0}.get(kind, 0.0)
+            if proportional:
+                widths = (head_widths if style == 'h'
+                          else mono_widths if style == 'm'
+                          else body_widths)
+                size = STYLES[style][1]
+                specs = [(a, b, classify_href(href, doc_base, doc))
+                         for a, b, href in (plinks or ())]
+                specs = [s for s in specs if s[2] is not None]
+                if style != 'b':
+                    pruns = None      # head/pre faces carry no runs
+                units = STYLES[style][3]
+                for line, llinks, lruns, adv_line in wrapped_lines(
+                        payload, specs, pruns, widths, size,
+                        COL_W - indent, pre=(style == 'm')):
+                    cur_items.append(('line', line, style, llinks,
+                                      lruns, adv_line, indent))
+                    cur_rows += units
+                    if cur_rows >= ROWS:
+                        flush_page()
+            else:
+                style = 'b'
+                units = STYLES[style][3]
+                for line, cs, ce in _wrap(payload, COLS):
+                    cur_items.append(('line', line, style))
+                    cur_rows += units
+                    if cur_rows >= ROWS:
+                        flush_page()
+            # single-spaced runs of list items: the blank separator
+            # only follows the LAST li of a run
+            if cur_items and not (kind == 'li' and next_kind == 'li'):
                 cur_items.append(('line', b'' if proportional else '',
                                   style))
                 cur_rows += units
