@@ -312,6 +312,15 @@ struct T1Luts {
 
 static const T1Luts kLuts;
 
+// JP2T1_STUB_DIST=1: skip the per-coefficient distortion-delta math
+// (timing experiment only — pass_dist/hulls are WRONG, streams stay
+// correct).  Separates the D(R) bookkeeping from the walk+MQ work in
+// profiles, like JP2T1_STUB_MQ does for the arithmetic coder.
+static bool StubDist() {
+  static const bool stub = getenv("JP2T1_STUB_DIST") != nullptr;
+  return stub;
+}
+
 struct BlockCoder {
   int w, h, orient;
   const int32_t* mag;     // |coeff|
@@ -362,6 +371,7 @@ struct BlockCoder {
   // squared-error reduction of coding coeff (x, y) through plane p,
   // assuming midpoint reconstruction (integer mask arithmetic)
   inline double DistDelta(int x, int y, int p) const {
+    if (StubDist()) return 0.0;
     const uint32_t v = static_cast<uint32_t>(mag[y * w + x]);
     const uint32_t step = 1u << p;
     const uint32_t kb = v & ~((step << 1) - 1);
@@ -546,6 +556,10 @@ struct CoderScratch {
   std::vector<uint64_t> occ_nbr, occ_sig;
   std::vector<uint64_t> colbs;   // nstripes x 32: bit x of [s*32+p] =
                                  // stripe-s column x carries plane p
+  // the band-batched extraction loop fills colmax itself (fused with
+  // the magnitude/sign split — one data pass instead of two); the
+  // coder constructor then skips its own build + memset
+  bool colmax_ready = false;
 };
 
 template <typename Enc>          // MQEncoder | DecisionRecorder
@@ -587,15 +601,17 @@ struct StripeCoderT {
     occ_sig = sc.occ_sig.data();
     colbs = sc.colbs.data();
     std::memset(words, 0, nw * sizeof(uint32_t));
-    std::memset(colmax, 0, nc * sizeof(uint32_t));
     std::memset(occ_nbr, 0, nstripes * sizeof(uint64_t));
     std::memset(occ_sig, 0, nstripes * sizeof(uint64_t));
     std::memset(colbs, 0, nstripes * 32 * sizeof(uint64_t));
-    for (int y = 0; y < h; ++y) {
-      const int32_t* mr = mag + static_cast<long>(y) * w;
-      uint32_t* cr = colmax + static_cast<long>(y >> 2) * w;
-      for (int x = 0; x < w; ++x)
-        cr[x] |= static_cast<uint32_t>(mr[x]);
+    if (!(scratch && scratch->colmax_ready)) {
+      std::memset(colmax, 0, nc * sizeof(uint32_t));
+      for (int y = 0; y < h; ++y) {
+        const int32_t* mr = mag + static_cast<long>(y) * w;
+        uint32_t* cr = colmax + static_cast<long>(y >> 2) * w;
+        for (int x = 0; x < w; ++x)
+          cr[x] |= static_cast<uint32_t>(mr[x]);
+      }
     }
     // plane-occupancy bitsets, one ctz-skip pass over colmax: replaces
     // the per-plane w-iteration colb rebuild the cleanup pass used to
@@ -664,6 +680,7 @@ struct StripeCoderT {
   }
 
   inline double DistDelta(int x, int y, int p) const {
+    if (StubDist()) return 0.0;
     const uint32_t v = static_cast<uint32_t>(mag[y * w + x]);
     const uint32_t step = 1u << p;
     const uint32_t kb = v & ~((step << 1) - 1);
@@ -1263,6 +1280,41 @@ static bool HaveAvx512() {
 #endif
 }
 
+#if defined(__x86_64__)
+// One block row of the extraction: |v| -> mr, sign -> sr, OR |v| into
+// the stripe's colmax row, count nonzeros, track the max.  16-wide;
+// the gprofng profile of the capped in-pipeline encode (2026-08-20)
+// put the scalar extraction + the coder constructor's second colmax
+// scan at ~45% of the whole band-encode wall — more than the pass
+// walks — so this data-prep pass is vectorized and fused.
+__attribute__((target("avx512f,avx512bw,avx512dq,avx512vl")))
+static void ExtractRowAvx512(const int32_t* src, int n, int32_t* mr,
+                             uint8_t* sr, uint32_t* cm, long* nnz,
+                             int32_t* maxmag) {
+  __m512i vmax = _mm512_setzero_si512();
+  long cnt = 0;
+  for (int x = 0; x < n; x += 16) {
+    const __mmask16 m = (n - x >= 16)
+        ? static_cast<__mmask16>(0xFFFF)
+        : static_cast<__mmask16>((1u << (n - x)) - 1);
+    const __m512i v = _mm512_maskz_loadu_epi32(m, src + x);
+    const __m512i a = _mm512_abs_epi32(v);
+    _mm512_mask_storeu_epi32(mr + x, m, a);
+    const __mmask16 neg = _mm512_mask_cmplt_epi32_mask(
+        m, v, _mm512_setzero_si512());
+    _mm_mask_storeu_epi8(sr + x, m,
+                         _mm_maskz_mov_epi8(neg, _mm_set1_epi8(1)));
+    vmax = _mm512_mask_max_epi32(vmax, m, vmax, a);
+    cnt += __builtin_popcount(_mm512_mask_test_epi32_mask(m, a, a));
+    const __m512i c = _mm512_maskz_loadu_epi32(m, cm + x);
+    _mm512_mask_storeu_epi32(cm + x, m, _mm512_or_si512(c, a));
+  }
+  *nnz += cnt;
+  const int32_t mx = _mm512_reduce_max_epi32(vmax);
+  if (mx > *maxmag) *maxmag = mx;
+}
+#endif  // __x86_64__
+
 static int T1MQMode() {
   // 0 = direct scalar per block; 1 = model+replay (tests the token
   // split without SIMD); 2 = model + 16-lane AVX-512 group coder
@@ -1463,6 +1515,12 @@ long jp2t1_encode_band(const int32_t* band, int bw, int bh, int cbsz,
   std::vector<int32_t> mag(static_cast<size_t>(cbsz) * cbsz);
   std::vector<uint8_t> sgn(static_cast<size_t>(cbsz) * cbsz);
   CoderScratch scratch;
+  // extraction fills colmax fused with the magnitude/sign split (one
+  // pass over the data); size it for the largest block up front
+  const int max_stripes = (cbsz + 3) / 4;
+  scratch.colmax.resize(static_cast<size_t>(max_stripes) * cbsz);
+  scratch.colmax_ready = true;
+  const bool use_avx = HaveAvx512();
   int hull[129];
   const int mq_mode = T1MQMode();
   // per-block streams: layout into `out` happens after the grouped
@@ -1516,21 +1574,35 @@ long jp2t1_encode_band(const int32_t* band, int bw, int bh, int cbsz,
       }
       const int w = std::min(cbsz, bw - bx * cbsz);
       const int h = std::min(cbsz, bh - by * cbsz);
-      // extraction fused with the magnitude/sign split and the
-      // bit-plane count (replaces the Python-side .any() AND the
-      // former separate extract-then-split double scan)
+      // extraction fused with the magnitude/sign split, bit-plane
+      // count AND the coder's colmax build (replaces the Python-side
+      // .any(), the former extract-then-split double scan, and the
+      // constructor's second pass over mag) — AVX-512 16-wide where
+      // the ISA exists
       int32_t maxmag = 0;
       long nnz = 0;
+      const int nstr = (h + 3) / 4;
+      std::memset(scratch.colmax.data(), 0,
+                  static_cast<size_t>(nstr) * w * sizeof(uint32_t));
       for (int y = 0; y < h; ++y) {
         const int32_t* src =
             band + static_cast<long>(by * cbsz + y) * bw + bx * cbsz;
         int32_t* mr = mag.data() + static_cast<long>(y) * w;
         uint8_t* sr = sgn.data() + static_cast<long>(y) * w;
+        uint32_t* cr = scratch.colmax.data()
+            + static_cast<long>(y >> 2) * w;
+#if defined(__x86_64__)
+        if (use_avx) {
+          ExtractRowAvx512(src, w, mr, sr, cr, &nnz, &maxmag);
+          continue;
+        }
+#endif
         for (int x = 0; x < w; ++x) {
           const int32_t v = src[x];
           const int32_t m = v < 0 ? -v : v;
           mr[x] = m;
           sr[x] = v < 0 ? 1 : 0;
+          cr[x] |= static_cast<uint32_t>(m);
           nnz += m != 0;
           if (m > maxmag) maxmag = m;
         }
