@@ -195,17 +195,24 @@ def _parse_boxes(data):
     return boxes
 
 
-def validate_jp2(stream, strict_profile=True):
+def validate_jp2(stream, strict_profile=True, collect_blocks=None):
     """Validate a .jp2 file (or raw codestream).  Returns summary facts.
 
     strict_profile=True asserts the exact profile codecs/jp2tpu.py
     emits (single layer, scalar-expounded QCD, default precincts) and
     walks every packet header; False accepts any Part-1 profile and
     checks boxes/markers only — used on third-party (Pillow/OpenJPEG)
-    streams embedded in PDFs."""
+    streams embedded in PDFs.
+
+    collect_blocks: optional list; when given (strict profile only),
+    every included code block's record is appended as a dict with the
+    body bytes, clipped dims, nbps, npasses and orientation — the
+    input of the from-spec Tier-1 decoder (jp2t1_check.decode_block),
+    so tests can T1-decode a whole codestream's blocks."""
     data = bytes(stream)
     if data[:2] == b'\xff\x4f':
-        return _validate_codestream(data, strict_profile)
+        return _validate_codestream(data, strict_profile,
+                                    collect_blocks=collect_blocks)
 
     boxes = _parse_boxes(data)
     kinds = [b[0] for b in boxes]
@@ -247,7 +254,8 @@ def validate_jp2(stream, strict_profile=True):
         _fail('colr meth %d unsupported' % meth)
 
     facts = _validate_codestream(boxes[kinds.index(b'jp2c')][1],
-                                 strict_profile)
+                                 strict_profile,
+                                 collect_blocks=collect_blocks)
     if (facts['w'], facts['h'], facts['ncomp']) != (iw, ih, nc):
         _fail('ihdr %dx%dx%d inconsistent with SIZ %dx%dx%d'
               % (iw, ih, nc, facts['w'], facts['h'], facts['ncomp']))
@@ -256,7 +264,8 @@ def validate_jp2(stream, strict_profile=True):
     return facts
 
 
-def _validate_codestream(cs, strict_profile=True):
+def _validate_codestream(cs, strict_profile=True,
+                         collect_blocks=None):
     pos = 0
     if cs[pos:pos + 2] != b'\xff\x4f':
         _fail('missing SOC')
@@ -383,7 +392,8 @@ def _validate_codestream(cs, strict_profile=True):
     # ---- tile part ----
     try:
         return _walk_tile(cs, pos, w, h, ncomp, ssiz, levels, guard,
-                          transform, prog, mct, cb_w, cb_h, eps_mu)
+                          transform, prog, mct, cb_w, cb_h, eps_mu,
+                          collect_blocks=collect_blocks)
     except Jp2ValidationError:
         if strict_profile:
             raise
@@ -400,7 +410,7 @@ def _validate_codestream(cs, strict_profile=True):
 
 
 def _walk_tile(cs, pos, w, h, ncomp, ssiz, levels, guard, transform,
-               prog, mct, cb_w, cb_h, eps_mu):
+               prog, mct, cb_w, cb_h, eps_mu, collect_blocks=None):
     if cs[pos:pos + 2] != b'\xff\x90':
         _fail('missing SOT')
     lsot, isot, psot, tpsot, tnsot = struct.unpack('>HHIBB',
@@ -436,6 +446,7 @@ def _walk_tile(cs, pos, w, h, ncomp, ssiz, levels, guard, transform,
                 continue            # no packet emitted at all
             br = _BitReader(cs, pos)
             body_lens = []
+            pending = []        # parallels body_lens: per-block facts
             if not br.bit():
                 br.align()
                 pos = br.pos
@@ -478,10 +489,27 @@ def _walk_tile(cs, pos, w, h, ncomp, ssiz, levels, guard, transform,
                     lblock[i] = lb
                     nlen = lb + int(math.floor(math.log2(npasses)))
                     body_lens.append(br.bits(nlen))
+                    if collect_blocks is not None:
+                        pending.append({
+                            'comp': c, 'res': r, 'band': bi,
+                            'bx': x, 'by': y,
+                            'w': min(cb_w, bw_ - x * cb_w),
+                            'h': min(cb_h, bh_ - y * cb_h),
+                            'nbps': mb[(r, bi)] - zbp,
+                            'npasses': npasses,
+                            # encoder orient codes: 0 = LL/LH, 1 = HL,
+                            # 2 = HH (codestream band order HL,LH,HH)
+                            'orient': 0 if r == 0 else (1, 0, 2)[bi],
+                        })
             br.align()
             pos = br.pos
-            for ln in body_lens:
+            for rec, ln in zip(pending, body_lens):
+                rec['data'] = cs[pos:pos + ln]
+                collect_blocks.append(rec)
                 pos += ln
+            if collect_blocks is None:
+                for ln in body_lens:
+                    pos += ln
             if pos > len(cs):
                 _fail('packet bodies overrun codestream')
 

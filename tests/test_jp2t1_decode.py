@@ -127,3 +127,68 @@ def test_corruption_detected():
         return                      # detected as a hard error: fine
     emag, _ = _expect(blk)
     assert not np.array_equal(np.asarray(mag).reshape(16, 16), emag)
+
+
+def test_whole_codestream_decode():
+    """Full loop: encode a page -> strict Tier-2 walk collects every
+    included block's body -> the from-spec T1 decoder reconstructs it
+    -> compare against the actual quantized band coefficients.  PCRD
+    may truncate mid-plane, so the exact per-coefficient invariant is:
+    decoded magnitude equals the source masked at the last coded plane
+    or one plane above it (which of the two depends on which pass the
+    coefficient was last coded in), and every decoded sign matches."""
+    from archive_pdf_tools_tpu.validators.jp2_check import validate_jp2
+
+    rng = np.random.default_rng(11)
+    img = np.full((256, 256), 228, np.uint8)
+    for _ in range(50):
+        y, x = rng.integers(10, 235, 2)
+        img[y:y + 5, x:x + int(rng.integers(15, 90))] = 30
+    img = np.clip(img.astype(np.int16)
+                  + rng.normal(0, 6, img.shape).astype(np.int16),
+                  0, 255).astype(np.uint8)
+
+    pages, meta = J.transform_jp2_batch(img[None], ratio=60)
+    jp2 = J.encode_jp2_from_qbands(pages[0], meta, ratio=60, workers=1,
+                                   page_idx=0)
+    blks = []
+    facts = validate_jp2(jp2, collect_blocks=blks)
+    assert facts['packet_walk'] and blks, 'no blocks collected'
+
+    bands = pages[0][0]
+    checked = 0
+    for rec in blks:
+        r, bi = rec['res'], rec['band']
+        band_index = 0 if r == 0 else 1 + 3 * (r - 1) + bi
+        arr = np.asarray(bands[band_index], np.int64)
+        x0, y0 = rec['bx'] * 64, rec['by'] * 64
+        src = arr[y0:y0 + rec['h'], x0:x0 + rec['w']]
+        assert src.shape == (rec['h'], rec['w'])
+        mag, sgn = decode_block(rec['data'], rec['w'], rec['h'],
+                                rec['orient'], rec['nbps'],
+                                rec['npasses'])
+        mag = np.asarray(mag).reshape(rec['h'], rec['w'])
+        sgn = np.asarray(sgn).reshape(rec['h'], rec['w'])
+        k = rec['npasses'] - 1
+        nbps = rec['nbps']
+        if k == 0:
+            p_cur, phase = nbps - 1, 2
+        else:
+            p_cur = nbps - 2 - (k - 1) // 3
+            phase = (k - 1) % 3
+        amag = np.abs(src)
+        m1 = (amag >> p_cur) << p_cur
+        if phase == 2:
+            ok = mag == m1
+        else:
+            m2 = (amag >> (p_cur + 1)) << (p_cur + 1)
+            ok = (mag == m1) | (mag == m2)
+        assert ok.all(), (
+            'block res=%d band=%d bx=%d by=%d: %d coeffs outside the '
+            'adjacent-plane masks' % (r, bi, rec['bx'], rec['by'],
+                                      int((~ok).sum())))
+        nz = mag > 0
+        assert np.array_equal(sgn[nz], (src < 0)[nz].astype(int)), \
+            'sign mismatch in res=%d band=%d' % (r, bi)
+        checked += 1
+    assert checked == len(blks) and checked >= 6
