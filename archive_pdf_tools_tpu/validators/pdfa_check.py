@@ -647,10 +647,19 @@ def _pdf_date_to_iso(d):
 # The main entry point.
 
 
-def validate_pdfa(path_or_bytes, strict_jbig2_decode=False):
+def validate_pdfa(path_or_bytes, strict_jbig2_decode=False,
+                  strict_jpx_decode=0):
     """Validate a PDF produced by this framework against the PDF/A-3b
     structural rules.  Raises PdfAValidationError; returns a dict of
-    summary facts (page count, image filters seen) on success."""
+    summary facts (page count, image filters seen) on success.
+
+    strict_jpx_decode=N: for every in-tree-profile JPX stream, walk
+    Tier-2 collecting code-block bodies, T1-decode up to N sampled
+    blocks with the from-spec Python decoder and require that the
+    native encoder reproduces each stream BYTE-IDENTICALLY from the
+    decoded coefficients (re-encode invariant: the first npasses
+    passes depend only on the planes those passes code, so
+    encode(decode(stream)) == stream for every truncation point)."""
     if isinstance(path_or_bytes, (bytes, bytearray)):
         data = bytes(path_or_bytes)
     else:
@@ -803,7 +812,8 @@ def validate_pdfa(path_or_bytes, strict_jbig2_decode=False):
         for xname in used_xobjs:
             xref = xdict[xname]
             image_filters.append(
-                _check_image(pdf, xref, strict_jbig2_decode))
+                _check_image(pdf, xref, strict_jbig2_decode,
+                             strict_jpx_decode))
         annots = pdf.resolve(pg.get(Name('Annots'))) or []
         for aref in annots:
             _check_annotation(pdf, pdf.resolve(aref))
@@ -882,7 +892,8 @@ def _check_font(pdf, font):
               'graph is emitted)' % subtype)
 
 
-def _check_image(pdf, xref, strict_jbig2_decode):
+def _check_image(pdf, xref, strict_jbig2_decode,
+                 strict_jpx_decode=0):
     d = pdf.resolve(xref)
     if pdf.resolve(d.get(Name('Subtype'))) != 'Image':
         # Form XObjects would need their own content check
@@ -916,16 +927,20 @@ def _check_image(pdf, xref, strict_jbig2_decode):
                       'and from-spec Python decoders disagree')
     elif filt == 'JPXDecode':
         from .jp2_check import validate_jp2, Jp2ValidationError
+        blks = [] if strict_jpx_decode else None
         try:
             # strict packet walk when the stream carries the in-tree
             # encoder's profile; box/marker checks for foreign
             # (Pillow/Kakadu/...) profiles
-            jf = validate_jp2(raw, strict_profile=False)
+            jf = validate_jp2(raw, strict_profile=False,
+                              collect_blocks=blks)
         except Jp2ValidationError as e:
             _fail('embedded JPX stream invalid: %s' % e)
         if jf['w'] != w or jf['h'] != h:
             _fail('JPX geometry %dx%d != image dict %dx%d'
                   % (jf['w'], jf['h'], w, h))
+        if strict_jpx_decode and blks and jf.get('packet_walk'):
+            _jpx_t1_cross_check(blks, strict_jpx_decode)
     elif filt == 'DCTDecode':
         if raw[:2] != b'\xff\xd8':
             _fail('DCT stream without SOI')
@@ -939,8 +954,63 @@ def _check_image(pdf, xref, strict_jbig2_decode):
         _fail('unexpected image filter %r' % filt)
     sm = d.get(Name('SMask'))
     if sm is not None:
-        _check_image(pdf, sm, strict_jbig2_decode)
+        _check_image(pdf, sm, strict_jbig2_decode, strict_jpx_decode)
     return str(filt)
+
+
+def _jpx_t1_cross_check(blks, n_sample):
+    """Decoder-independence hedge for JPEG2000 (the JBIG2 analog
+    above): T1-decode sampled blocks with the from-spec Python decoder
+    (validators/jp2t1_check.py — direct neighbourhood reads, no shared
+    flag machinery) and cross-check against the native C++ encoder.
+    A stream regression must fool both implementations at once.
+
+    The pipeline realises PCRD truncation by taking a BYTE PREFIX of
+    the full encode at a pass-end rate (codecs/jp2tpu.py r4), so a
+    stored stream is generally NOT cleanly flushed and its final 1-2
+    bytes carry data of passes past the truncation point.  The checks
+    therefore are: (a) re-encoding the decoded coefficients at the
+    same pass count must agree with the stored bytes on everything but
+    the flush-affected tail (<= 4 bytes — the MQ C register spans at
+    most 28 bits); (b) the re-encoded stream must decode back to
+    exactly the same coefficients (fixed point).  The sample prefers
+    low-work blocks (the Python decoder is O(coeffs x passes)) but
+    always includes the heaviest affordable one."""
+    import numpy as np
+    from .jp2t1_check import decode_block
+    from ..codecs import jp2tpu as _J
+
+    usable = [b for b in blks
+              if b['w'] * b['h'] * max(1, b['npasses']) <= 32 * 32 * 22]
+    usable.sort(key=lambda b: b['w'] * b['h'] * max(1, b['npasses']))
+    sample = usable[:max(0, n_sample - 1)]
+    if usable and n_sample > 1:
+        sample += [usable[-1]]          # heaviest affordable block too
+    lib = _J._get_lib()
+    for rec in sample:
+        mag, sgn = decode_block(rec['data'], rec['w'], rec['h'],
+                                rec['orient'], rec['nbps'],
+                                rec['npasses'])
+        mag = np.asarray(mag, np.int64)
+        sgn = np.asarray(sgn, np.int64)
+        coeffs = (mag * (1 - 2 * sgn)).astype(np.int32) \
+            .reshape(rec['h'], rec['w'])
+        data2, nbps2, np2, _r, _d = _J._encode_block(
+            lib, coeffs, rec['orient'], max_passes=rec['npasses'])
+        stored = bytes(rec['data'])
+        ncmp = max(0, min(len(stored), len(data2)) - 4)
+        if nbps2 != rec['nbps'] or np2 != rec['npasses'] or \
+                bytes(data2[:ncmp]) != stored[:ncmp]:
+            _fail('JPX T1 cross-check failed: re-encoding the '
+                  'from-spec decode of block res=%d band=%d (%d,%d) '
+                  'does not reproduce the stream prefix'
+                  % (rec['res'], rec['band'], rec['bx'], rec['by']))
+        mag2, sgn2 = decode_block(bytes(data2), rec['w'], rec['h'],
+                                  rec['orient'], nbps2, np2)
+        if list(mag) != list(mag2) or list(sgn) != list(sgn2):
+            _fail('JPX T1 cross-check failed: decode/encode fixed '
+                  'point broken at block res=%d band=%d (%d,%d)'
+                  % (rec['res'], rec['band'], rec['bx'], rec['by']))
 
 
 def _check_annotation(pdf, annot):

@@ -32,7 +32,8 @@ def run_recode(tmp_path, n_pages=2, rgb=False, validate=True, **kw):
         # strict from-spec PDF/A-3b checker (incl. full JBIG2 decode
         # of embedded masks — pages here are small)
         from archive_pdf_tools_tpu.validators import validate_pdfa
-        validate_pdfa(out, strict_jbig2_decode=True)
+        validate_pdfa(out, strict_jbig2_decode=True,
+                      strict_jpx_decode=3)
     return out, res, pages
 
 
@@ -376,4 +377,5 @@ class TestRealisticCorpusE2E:
         # fixtures, but MRC must still beat raw handily
         assert ratio_vs_raw > 4, ratio_vs_raw
         from archive_pdf_tools_tpu.validators import validate_pdfa
-        validate_pdfa(out, strict_jbig2_decode=True)
+        validate_pdfa(out, strict_jbig2_decode=True,
+                      strict_jpx_decode=3)
