@@ -382,6 +382,21 @@ def _extract_flow(zf, doc_path):
             break
     flow = []
     names = set(zf.namelist())
+    css_rules = _parse_doc_css(root)
+
+    def float_of(el):
+        """float:left/right from the element's effective style or a
+        nearby wrapper (<div class="figure" style="float:right">)."""
+        node = el
+        for _ in range(3):
+            if node is None or not isinstance(node.tag, str):
+                return None
+            fl = _el_style(node, css_rules).get('float')
+            if fl in ('left', 'right'):
+                return fl
+            node = node.getparent() if hasattr(node, 'getparent') \
+                else None
+        return None
 
     def resolve_src(el):
         src = el.get('src') or \
@@ -401,7 +416,7 @@ def _extract_flow(zf, doc_path):
         if local in ('img', 'image'):
             path = resolve_src(p)
             if path:
-                flow.append(('img', path, None, None))
+                flow.append(('img', path, float_of(p), None))
         elif local == 'table':
             # grid layout: one flow entry per table, rows of cells;
             # a table nested inside another table (or inside a block,
@@ -972,6 +987,18 @@ def main(argv=None):
             elif item[0] == 'row':
                 flush_text()
                 emit_row(item[1], item[2], item[3])
+            elif item[0] == 'float':
+                # floated image: drawn at the current y WITHOUT
+                # advancing it — the following narrow-wrapped lines
+                # flow beside it (their indent/width leave its room)
+                flush_text()
+                _tag, ref, w_pt, h_pt, side = item
+                name = 'Im%d' % len(xobjs)
+                xobjs[Name(name)] = ref
+                x0 = MARGIN if side == 'left' \
+                    else MARGIN + COL_W - w_pt
+                ops.append(b'q %g 0 0 %g %g %g cm /%s Do Q' %
+                           (w_pt, h_pt, x0, y - h_pt, name.encode()))
             else:
                 flush_text()
                 _tag, ref, w_pt, h_pt = item
@@ -1362,18 +1389,13 @@ def main(argv=None):
             return [style_widths[farr[i]][b] * size
                     for i, b in enumerate(enc)]
 
-        def wrapped_lines(text, plinks, pruns, widths, size, col_w,
-                          pre=False):
-            """Wrap one block -> ('line'-ready) tuples: (payload,
-            llinks, lruns, adv_line) with offsets rebased per line."""
-            adv = None if pre else styled_adv(text, pruns, widths, size)
-            lines = (_wrap_pre(text, widths, size, col_w) if pre
-                     else _wrap_prop(text, widths, size, col_w, adv=adv))
-            specs = [(a, b, spec) for a, b, spec in (plinks or ())]
+        def rebase_lines(lines, specs, pruns, adv):
+            """(line, cs, ce) triples -> (payload, llinks, lruns,
+            adv_line) with the char ranges rebased per line."""
             out = []
             for line, cs, ce in lines:
                 llinks = [(max(a, cs) - cs, min(b, ce) - cs, spec)
-                          for a, b, spec in specs
+                          for a, b, spec in (specs or ())
                           if a < ce and b > cs] or None
                 lruns = [(max(a, cs) - cs, min(b, ce) - cs, f)
                          for a, b, f in (pruns or ())
@@ -1382,11 +1404,49 @@ def main(argv=None):
                 out.append((line, llinks, lruns, adv_line))
             return out
 
+        def wrapped_lines(text, plinks, pruns, widths, size, col_w,
+                          pre=False):
+            """Wrap one block -> ('line'-ready) tuples: (payload,
+            llinks, lruns, adv_line) with offsets rebased per line."""
+            adv = None if pre else styled_adv(text, pruns, widths, size)
+            lines = (_wrap_pre(text, widths, size, col_w) if pre
+                     else _wrap_prop(text, widths, size, col_w, adv=adv))
+            specs = [(a, b, spec) for a, b, spec in (plinks or ())]
+            return rebase_lines(lines, specs, pruns, adv)
+
+        pending_float = None      # {'ref','w','h','side'} awaiting text
+
+        def flush_float():
+            """No text block followed the floated image: place it as a
+            plain full-flow image block instead."""
+            nonlocal pending_float, cur_rows
+            if pending_float is None:
+                return
+            pf, pending_float = pending_float, None
+            rows = int(-(-pf['h'] // LEADING))
+            if cur_rows + rows > ROWS:
+                flush_page()
+            cur_items.append(('img', pf['ref'], pf['w'], pf['h']))
+            cur_rows += rows
+
         for fi, (kind, payload, plinks, pruns) in enumerate(flow):
             next_kind = flow[fi + 1][0] if fi + 1 < len(flow) else None
             if kind == 'img':
+                fl = plinks       # float side ('left'/'right') or None
+                emb = embed_image(payload) if (fl and proportional) \
+                    else None
+                if emb is not None:
+                    flush_float()             # only one pending float
+                    ref, wpx, hpx = emb
+                    scale = min(COL_W * 0.45 / max(wpx, 1),
+                                (ROWS - 3) * LEADING / max(hpx, 1), 1.0)
+                    pending_float = {'ref': ref, 'w': wpx * scale,
+                                     'h': hpx * scale, 'side': fl}
+                    continue
                 add_image_block(payload)
                 continue
+            if kind not in ('text', 'li', 'quote'):
+                flush_float()
             if kind == 'table' and proportional:
                 # grid layout: equal columns with a 6 pt gutter, header
                 # cells bold, every cell wrapped to its column width
@@ -1454,6 +1514,60 @@ def main(argv=None):
                 if style != 'b':
                     pruns = None      # head/pre faces carry no runs
                 units = STYLES[style][3]
+                if pending_float is not None and style == 'b':
+                    # float layout: the image sits at the left/right
+                    # margin; this block's first fl_rows lines wrap in
+                    # the remaining width, the rest re-wraps full-width
+                    # below the image (two-phase wrap over the same
+                    # char offsets, so links/styled runs stay exact)
+                    pf, pending_float = pending_float, None
+                    gut = 10.0
+                    fl_rows = int(-(-pf['h'] // LEADING)) + 1
+                    if cur_rows + fl_rows > ROWS:
+                        flush_page()
+                    cur_items.append(('float', pf['ref'], pf['w'],
+                                      pf['h'], pf['side']))
+                    n_ind = indent + (pf['w'] + gut
+                                      if pf['side'] == 'left' else 0.0)
+                    adv = styled_adv(payload, pruns, widths, size)
+                    lines = _wrap_prop(payload, widths, size,
+                                       COL_W - indent - pf['w'] - gut,
+                                       adv=adv)
+                    head = rebase_lines(lines[:fl_rows], specs, pruns,
+                                        adv)
+                    for line, llinks, lruns, adv_line in head:
+                        cur_items.append(('line', line, style, llinks,
+                                          lruns, adv_line, n_ind))
+                        cur_rows += units
+                    for _ in range(fl_rows - len(head)):
+                        cur_items.append(('line', b'', style, None,
+                                          None, None, n_ind))
+                        cur_rows += units
+                    if len(lines) > fl_rows:
+                        cs0 = lines[fl_rows][1]
+                        t_adv = adv[cs0:] if adv is not None else None
+                        t_specs = [(max(0, a - cs0), b - cs0, sp)
+                                   for a, b, sp in specs if b > cs0]
+                        t_runs = [(max(0, a - cs0), b - cs0, f)
+                                  for a, b, f in (pruns or ())
+                                  if b > cs0] or None
+                        tl = _wrap_prop(payload[cs0:], widths, size,
+                                        COL_W - indent, adv=t_adv)
+                        for line, llinks, lruns, adv_line in \
+                                rebase_lines(tl, t_specs, t_runs,
+                                             t_adv):
+                            cur_items.append(('line', line, style,
+                                              llinks, lruns, adv_line,
+                                              indent))
+                            cur_rows += units
+                            if cur_rows >= ROWS:
+                                flush_page()
+                    if cur_items and not (kind == 'li'
+                                          and next_kind == 'li'):
+                        cur_items.append(('line', b'', style, None,
+                                          None, None, 0.0))
+                        cur_rows += units
+                    continue
                 for line, llinks, lruns, adv_line in wrapped_lines(
                         payload, specs, pruns, widths, size,
                         COL_W - indent, pre=(style == 'm')):
@@ -1476,6 +1590,7 @@ def main(argv=None):
                 cur_items.append(('line', b'' if proportional else '',
                                   style))
                 cur_rows += units
+        flush_float()             # trailing floated image in this doc
     flush_page()
 
     if not page_refs:    # empty spine: still emit one blank page

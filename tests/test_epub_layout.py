@@ -170,3 +170,111 @@ def test_table_cells_survive_in_order(tmp_path):
     pos = [c.find(t) for t in
            (b'BEFORE', b'AA1', b'BB1', b'CC2', b'DD2', b'AFTER')]
     assert all(p >= 0 for p in pos) and pos == sorted(pos)
+
+
+def _epub_with_image(path, body):
+    import io
+    from PIL import Image
+    buf = io.BytesIO()
+    Image.new('RGB', (200, 150), (200, 30, 30)).save(buf, 'JPEG')
+    with zipfile.ZipFile(path, 'w') as zf:
+        zf.writestr('mimetype', 'application/epub+zip')
+        zf.writestr('META-INF/container.xml', CONTAINER)
+        zf.writestr('content.opf', '''<?xml version="1.0"?>
+<package xmlns="http://www.idpf.org/2007/opf" version="3.0">
+ <metadata xmlns:dc="http://purl.org/dc/elements/1.1/">
+  <dc:title>F</dc:title></metadata>
+ <manifest><item id="c1" href="c1.xhtml"
+  media-type="application/xhtml+xml"/>
+ <item id="i1" href="fig.jpg" media-type="image/jpeg"/></manifest>
+ <spine><itemref idref="c1"/></spine></package>''')
+        zf.writestr('fig.jpg', buf.getvalue())
+        zf.writestr('c1.xhtml',
+                    '<?xml version="1.0"?>\n<html xmlns='
+                    '"http://www.w3.org/1999/xhtml"><body>%s'
+                    '</body></html>' % body)
+
+
+def _image_placements(c):
+    return [(float(m.group(3)), float(m.group(4)), float(m.group(1)),
+             float(m.group(2)))
+            for m in re.finditer(
+                rb'q ([\d.]+) 0 0 ([\d.]+) ([\d.]+) ([\d.]+) cm '
+                rb'/Im\d+ Do Q', c)]
+
+
+def test_float_right_image_wraps_text(tmp_path):
+    """float:right images keep their margin position while the
+    following paragraph wraps beside them, then re-flows full-width
+    below (two-phase wrap)."""
+    from archive_pdf_tools_tpu.cli.epub_to_pdf import COL_W
+    epub = str(tmp_path / 'fr.epub')
+    words = ' '.join('w%03d' % i for i in range(160))
+    _epub_with_image(epub, '<img src="fig.jpg" style="float:right"/>'
+                           '<p>%s</p>' % words)
+    out = str(tmp_path / 'out.pdf')
+    assert main([epub, out]) == 0
+    c = _content(out)
+    (x, _y, w, _h), = _image_placements(c)
+    assert abs((x + w) - (MARGIN + COL_W)) < 1.0      # right edge
+    lines = re.findall(rb"\((.*?)\) '", c)
+    body = [ln for ln in lines if re.match(rb'^w\d{3}', ln)]
+    # narrow head lines beside the image, wider tail lines below it
+    assert len(body[0]) < 0.75 * len(body[-1]), body
+    # all words survive
+    joined = b' '.join(lines)
+    assert b'w000' in joined and b'w159' in joined
+
+
+def test_float_left_image_indents_text(tmp_path):
+    epub = str(tmp_path / 'fl.epub')
+    words = ' '.join('v%03d' % i for i in range(160))
+    _epub_with_image(epub, '<img src="fig.jpg" class="fig"/>'
+                           '<p>%s</p>' % words)
+    # float via a document stylesheet class rule (not inline style)
+    import io
+    from PIL import Image
+    buf = io.BytesIO()
+    Image.new('RGB', (200, 150), (60, 60, 200)).save(buf, 'JPEG')
+    with zipfile.ZipFile(epub, 'w') as zf:
+        zf.writestr('mimetype', 'application/epub+zip')
+        zf.writestr('META-INF/container.xml', CONTAINER)
+        zf.writestr('content.opf', '''<?xml version="1.0"?>
+<package xmlns="http://www.idpf.org/2007/opf" version="3.0">
+ <metadata xmlns:dc="http://purl.org/dc/elements/1.1/">
+  <dc:title>F</dc:title></metadata>
+ <manifest><item id="c1" href="c1.xhtml"
+  media-type="application/xhtml+xml"/>
+ <item id="i1" href="fig.jpg" media-type="image/jpeg"/></manifest>
+ <spine><itemref idref="c1"/></spine></package>''')
+        zf.writestr('fig.jpg', buf.getvalue())
+        zf.writestr('c1.xhtml',
+                    '<?xml version="1.0"?>\n<html xmlns='
+                    '"http://www.w3.org/1999/xhtml"><head><style>'
+                    '.fig { float: left; }</style></head><body>'
+                    '<img src="fig.jpg" class="fig"/><p>%s</p>'
+                    '</body></html>' % words)
+    out = str(tmp_path / 'out.pdf')
+    assert main([epub, out]) == 0
+    c = _content(out)
+    (x, _y, w, _h), = _image_placements(c)
+    assert abs(x - MARGIN) < 0.01                     # left edge
+    # the narrow head lines start past the image, the tail at MARGIN
+    xs = [float(m.group(1)) for m in
+          re.finditer(rb'BT /F1 10 Tf ([\d.]+) ([\d.]+) Td', c)]
+    assert any(abs(v - (MARGIN + w + 10.0)) < 0.01 for v in xs)
+    assert any(abs(v - MARGIN) < 0.01 for v in xs)
+
+
+def test_float_without_following_text_degrades(tmp_path):
+    """A floated image with no text block after it renders as a plain
+    flow image (no content is lost)."""
+    epub = str(tmp_path / 'fd.epub')
+    _epub_with_image(epub, '<p>ONLY paragraph.</p>'
+                           '<img src="fig.jpg" style="float:right"/>'
+                           '<h2>HEADING after</h2>')
+    out = str(tmp_path / 'out.pdf')
+    assert main([epub, out]) == 0
+    c = _content(out)
+    assert len(_image_placements(c)) == 1
+    assert b'HEADING after' in c
