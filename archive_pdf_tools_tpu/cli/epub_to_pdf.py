@@ -243,7 +243,7 @@ _BOLD_TAGS = frozenset(('b', 'strong'))
 _ITALIC_TAGS = frozenset(('i', 'em', 'cite', 'dfn', 'var'))
 
 
-def _text_and_links(el, pre=False):
+def _text_and_links(el, pre=False, stop=None):
     """Whitespace-collapsed subtree text plus anchor char ranges and
     inline style runs: returns (text, [(start, end, href), ...],
     [(start, end, flags), ...]) where start/end index the collapsed
@@ -251,7 +251,10 @@ def _text_and_links(el, pre=False):
     nesting.  Collapsing happens during accumulation (not with a
     post-hoc re.sub) so the recorded offsets stay exact.  With
     pre=True, newlines survive as '\\n' and spaces are kept verbatim
-    (the <pre> contract)."""
+    (the <pre> contract).  With a ``stop`` tag set, children with
+    those local names are not descended into (their TAILS still emit)
+    — the direct-text mode used for container elements, whose block
+    children produce their own flow entries."""
     chars = []
     flags = []
     links = []
@@ -280,6 +283,10 @@ def _text_and_links(el, pre=False):
                 emit(node.tail)
             return
         local = (etree.QName(node).localname or '').lower()
+        if not is_root and stop is not None and local in stop:
+            if node.tail:
+                emit(node.tail)
+            return
         href = _anchor_href(node) if local == 'a' else None
         add = (1 if local in _BOLD_TAGS else 0) | \
               (2 if local in _ITALIC_TAGS else 0)
@@ -406,9 +413,22 @@ def _extract_flow(zf, doc_path):
         path = posixpath.normpath(posixpath.join(base, src.split('#')[0]))
         return path if path in names else None
 
-    BLOCKS = ('p', 'h1', 'h2', 'h3', 'h4', 'li', 'blockquote',
-              'td', 'th', 'dt', 'dd', 'caption', 'figcaption', 'pre')
+    BLOCKS = ('p', 'h1', 'h2', 'h3', 'h4', 'h5', 'h6', 'li',
+              'blockquote', 'td', 'th', 'dt', 'dd', 'caption',
+              'figcaption', 'pre')
     KIND = {'li': 'li', 'blockquote': 'quote', 'pre': 'pre'}
+    # container elements: only their DIRECT text (bare text in a
+    # <div>, tails after nested blocks) becomes a flow entry — the
+    # nested blocks produce their own entries.  Without this, text
+    # outside p/h*/li/... was silently dropped (real-world EPUBs carry
+    # bare-div paragraphs all the time).
+    CONTAINERS = ('div', 'section', 'article', 'aside', 'header',
+                  'footer', 'main', 'center', 'figure', 'body',
+                  'details', 'summary')
+    DIRECT_STOP = frozenset(BLOCKS + CONTAINERS +
+                            ('table', 'ul', 'ol', 'dl', 'nav',
+                             'script', 'style', 'template', 'head',
+                             'title', 'svg', 'math'))
     for p in root.iter():
         if not isinstance(p.tag, str):
             continue
@@ -466,6 +486,15 @@ def _extract_flow(zf, doc_path):
                 kind = ('head' if local.startswith('h')
                         else KIND.get(local, 'text'))
                 flow.append((kind, text, links, runs))
+        elif local in CONTAINERS:
+            # bare text directly inside a container (and tails after
+            # its nested blocks); nested blocks/containers emit their
+            # own entries via this same iteration
+            if _in_tag(p, ('table',) + BLOCKS):
+                continue
+            text, links, runs = _text_and_links(p, stop=DIRECT_STOP)
+            if text:
+                flow.append(('text', text, links, runs))
     return title, flow
 
 

@@ -278,3 +278,23 @@ def test_float_without_following_text_degrades(tmp_path):
     c = _content(out)
     assert len(_image_placements(c)) == 1
     assert b'HEADING after' in c
+
+
+def test_bare_container_text_and_h5_h6(tmp_path):
+    """Text directly inside <div>/<section> (no <p>), h5/h6 headings
+    and tails after nested blocks must all survive — real-world EPUBs
+    carry bare-div paragraphs constantly (was silently dropped)."""
+    epub = str(tmp_path / 'bd.epub')
+    _epub(epub, '<div>BAREDIV text</div><h5>H5HEAD</h5>'
+                '<h6>H6HEAD</h6>'
+                '<div>intro INTEXT<p>NESTEDP</p>TAILTEXT</div>'
+                '<section>SECTIONTEXT</section>')
+    out = str(tmp_path / 'out.pdf')
+    assert main([epub, out]) == 0
+    c = _content(out)
+    for t in (b'BAREDIV', b'H5HEAD', b'H6HEAD', b'INTEXT',
+              b'NESTEDP', b'TAILTEXT', b'SECTIONTEXT'):
+        assert t in c, t
+    assert c.count(b'NESTEDP') == 1     # no double extraction
+    # h5/h6 render as headings (Helvetica-Bold F2)
+    assert re.search(rb'/F2 14 Tf.*\(H5HEAD\)', c, re.S)
