@@ -270,7 +270,7 @@ def _text_and_links(el, pre=False, stop=None):
                 chars.append(ch)
                 flags.append(cur_flags[-1])
             elif ch in ' \t\r\n\x0b\x0c\xa0':
-                if chars and chars[-1] != ' ':
+                if chars and chars[-1] not in ' \n':
                     chars.append(' ')
                     flags.append(cur_flags[-1])
             else:
@@ -285,6 +285,14 @@ def _text_and_links(el, pre=False, stop=None):
         local = (etree.QName(node).localname or '').lower()
         if not is_root and stop is not None and local in stop:
             if node.tail:
+                emit(node.tail)
+            return
+        if local == 'br':
+            # a hard line break: a literal '\n' survives collapsing
+            # and the wrap functions start a new line at it
+            chars.append('\n')
+            flags.append(cur_flags[-1])
+            if not is_root and node.tail:
                 emit(node.tail)
             return
         href = _anchor_href(node) if local == 'a' else None
@@ -314,8 +322,8 @@ def _text_and_links(el, pre=False, stop=None):
         lead = len(text) - len(text.lstrip('\n'))
         stripped = text.strip('\n').rstrip(' ')
     else:
-        lead = len(text) - len(text.lstrip(' '))
-        stripped = text.strip(' ')
+        lead = len(text) - len(text.lstrip(' \n'))
+        stripped = text.strip(' \n')
     out = []
     for s, e, href in links:
         s, e = max(0, s - lead), min(len(stripped), e - lead)

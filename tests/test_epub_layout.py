@@ -298,3 +298,14 @@ def test_bare_container_text_and_h5_h6(tmp_path):
     assert c.count(b'NESTEDP') == 1     # no double extraction
     # h5/h6 render as headings (Helvetica-Bold F2)
     assert re.search(rb'/F2 14 Tf.*\(H5HEAD\)', c, re.S)
+
+
+def test_br_line_breaks(tmp_path):
+    """<br/> becomes a hard line break (was: words glued together)."""
+    epub = str(tmp_path / 'br.epub')
+    _epub(epub, '<p>line one<br/>line two</p>')
+    out = str(tmp_path / 'out.pdf')
+    assert main([epub, out]) == 0
+    c = _content(out)
+    assert b'oneline' not in c
+    assert b"(line one) '" in c and b"(line two) '" in c
