@@ -12,6 +12,8 @@ baseline grid.
 import re
 import zipfile
 
+import pytest
+
 from archive_pdf_tools_tpu.cli.epub_to_pdf import main, MARGIN
 from archive_pdf_tools_tpu.pdf.reader import PdfReader
 
@@ -309,3 +311,40 @@ def test_br_line_breaks(tmp_path):
     c = _content(out)
     assert b'oneline' not in c
     assert b"(line one) '" in c and b"(line two) '" in c
+
+
+@pytest.mark.parametrize('case', ['no_mimetype', 'missing_spine_doc',
+                                  'broken_xml'])
+def test_malformed_epub_never_crashes(tmp_path, case):
+    """Degradation contract at the container level: a missing
+    mimetype, a spine itemref whose document is absent, or
+    non-well-formed XHTML must still produce a PDF (blank page /
+    HTML-parser recovery), exit 0."""
+    epub = str(tmp_path / (case + '.epub'))
+    cont = ('<container xmlns="urn:oasis:names:tc:opendocument:'
+            'xmlns:container"><rootfiles><rootfile full-path="c.opf"'
+            '/></rootfiles></container>')
+    with zipfile.ZipFile(epub, 'w') as zf:
+        zf.writestr('META-INF/container.xml', cont)
+        if case == 'no_mimetype':
+            zf.writestr('c.opf', '<package xmlns="http://www.idpf.org'
+                        '/2007/opf"><spine><itemref idref="x"/>'
+                        '</spine></package>')
+        elif case == 'missing_spine_doc':
+            zf.writestr('c.opf', '<package xmlns="http://www.idpf.org'
+                        '/2007/opf"><manifest><item id="g" '
+                        'href="gone.xhtml"/></manifest>'
+                        '<spine><itemref idref="g"/></spine></package>')
+        else:
+            zf.writestr('c.opf', '<package xmlns="http://www.idpf.org'
+                        '/2007/opf"><manifest><item id="g" '
+                        'href="bad.xhtml" media-type="application/'
+                        'xhtml+xml"/></manifest>'
+                        '<spine><itemref idref="g"/></spine></package>')
+            zf.writestr('bad.xhtml', '<html><body><p>RECOVERED text')
+    out = str(tmp_path / 'out.pdf')
+    assert main([epub, out]) == 0
+    r = PdfReader(out)
+    assert r.page_count() >= 1
+    if case == 'broken_xml':
+        assert b'RECOVERED' in r.page_contents(0)
