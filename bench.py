@@ -557,6 +557,16 @@ def main():
     # e2e runs FIRST among the big stages: it is the number that must
     # beat the reference and the one the r4 timeout lost
     def s_e2e():
+        # per-stage link probe: the tunnel swings on ~10-min scales
+        # (crawl phases measured 0.1-5 MB/s up on 2026-08-20 while the
+        # start-of-run probe saw normal speeds) — record the weather
+        # NEXT TO the number it explains
+        try:
+            up2, down2 = probe_link()
+            out['e2e_link_up_mb_s'] = up2
+            out['e2e_link_down_mb_s'] = down2
+        except Exception:
+            pass
         # bad tunnel weather makes warm runs slow AND noisy: more
         # warms past ~8 min won't find a better number but WILL eat
         # the whole budget (observed 2026-08-20 15:00 run: e2e wall
@@ -580,6 +590,12 @@ def main():
     # drops the secondary pipeline/frompdf/rgb/600dpi stages first
     # (the 2026-08-20 15:00 run lost steady to e2e+pipeline overruns)
     def s_steady():
+        try:
+            up2, down2 = probe_link()
+            out['steady64_link_up_mb_s'] = up2
+            out['steady64_link_down_mb_s'] = down2
+        except Exception:
+            pass
         spp = bench_steady()
         out['steady64_s_per_page'] = round(spp, 3)
         out['steady64_vs_baseline'] = round(
