@@ -18,21 +18,12 @@ from ..const import (VERSION, IMAGE_MODE_MRC, IMAGE_MODE_SKIP,
                      COMPRESSOR_CCITT, DENOISE_NONE, DENOISE_FAST,
                      DENOISE_BREGMAN)
 
-_J2K_DEFAULTS = {
-    # impl -> (bg, fg, hq_bg, hq_fg)   (bin/recode_pdf:204-270)
-    JPEG2000_IMPL_KAKADU: ('-slope 44250', '-slope 44500',
-                           '-slope 43500', '-slope 44500'),
-    JPEG2000_IMPL_OPENJPEG: ('-r 500', '-r 750', '-r 100', '-r 300'),
-    JPEG2000_IMPL_GROK: ('-r 500', '-r 750', '-r 100', '-r 300'),
-    JPEG2000_IMPL_PILLOW: (
-        'quality_mode:"rates";quality_layers:[500]',
-        'quality_mode:"rates";quality_layers:[750]',
-        'quality_mode:"rates";quality_layers:[100]',
-        'quality_mode:"rates";quality_layers:[300]'),
-    JPEG2000_IMPL_TPU: ('ratio:500', 'ratio:750',
-                        'ratio:100', 'ratio:300'),
-}
-_JPEG_DEFAULTS = ('-S30', '-S20', '-S40', '-S30')   # bin/recode_pdf:274-287
+# impl -> (bg, fg, hq_bg, hq_fg)   (bin/recode_pdf:204-287); the
+# tables live with the codec facade so recode()'s API defaulting
+# shares them
+from ..codecs.jpeg2000 import (DEFAULT_COMPRESSION_FLAGS as
+                               _J2K_DEFAULTS,
+                               DEFAULT_JPEG_FLAGS as _JPEG_DEFAULTS)
 
 _J2K_BINARIES = {
     JPEG2000_IMPL_KAKADU: ('kdu_compress', 'kdu_expand'),

@@ -40,6 +40,27 @@ _BINARIES = {
     JPEG2000_IMPL_GROK: (GRK_COMPRESS, GRK_DECOMPRESS),
 }
 
+# per-codec default compression flag strings (bg, fg, hq_bg, hq_fg) —
+# the bin/recode_pdf defaults table (reference bin/recode_pdf:204-290).
+# Shared by the CLI's flag resolution AND recode()'s API defaulting
+# (the reference's recode() crashes on flags=None — jpeg2000.py:58
+# reads flags[0] — so its Python API is unusable without replicating
+# the CLI's table; ours fills these in).
+DEFAULT_COMPRESSION_FLAGS = {
+    JPEG2000_IMPL_KAKADU: ('-slope 44250', '-slope 44500',
+                           '-slope 43500', '-slope 44500'),
+    JPEG2000_IMPL_OPENJPEG: ('-r 500', '-r 750', '-r 100', '-r 300'),
+    JPEG2000_IMPL_GROK: ('-r 500', '-r 750', '-r 100', '-r 300'),
+    JPEG2000_IMPL_PILLOW: (
+        'quality_mode:"rates";quality_layers:[500]',
+        'quality_mode:"rates";quality_layers:[750]',
+        'quality_mode:"rates";quality_layers:[100]',
+        'quality_mode:"rates";quality_layers:[300]'),
+    JPEG2000_IMPL_TPU: ('ratio:500', 'ratio:750',
+                        'ratio:100', 'ratio:300'),
+}
+DEFAULT_JPEG_FLAGS = ('-S30', '-S20', '-S40', '-S30')
+
 
 def impl_available(impl):
     if impl == JPEG2000_IMPL_PILLOW:

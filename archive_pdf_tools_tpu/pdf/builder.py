@@ -129,20 +129,46 @@ class DocumentBuilder:
             d[Name('DecodeParms')] = {
                 Name('K'): -1, Name('Columns'): enc.width,
                 Name('Rows'): enc.height, Name('BlackIs1'): True}
-        elif fmt == 'png':
-            raise ValueError('decode png masks before insertion')
+        elif fmt == 'flate1':
+            d[Name('BitsPerComponent')] = 1
+            d[Name('ColorSpace')] = Name('DeviceGray')
+            d[Name('Filter')] = Name('FlateDecode')
+            if getattr(enc, 'decode', None):
+                d[Name('Decode')] = list(enc.decode)
         else:
             raise ValueError('unknown stream format %r' % (fmt,))
         if smask_ref is not None:
             d[Name('SMask')] = smask_ref
         return d
 
+    @staticmethod
+    def _png_to_flate1(enc):
+        """PNG masks (recode(jbig2=False), reference recode.py:376)
+        become Flate 1-bit images at insertion — the raw-splice writer
+        has no PNG filter, and PDF has no PNG container anyway (the
+        reference gets this conversion for free from PyMuPDF)."""
+        if getattr(enc, 'fmt', None) != 'png':
+            return enc
+        import io
+        import zlib
+        import types
+        import numpy as np
+        from PIL import Image
+        with Image.open(io.BytesIO(enc.data)) as im:
+            m = np.asarray(im.convert('1'), dtype=bool)
+        data = zlib.compress(np.packbits(m, axis=-1).tobytes(), 6)
+        return types.SimpleNamespace(
+            data=data, fmt='flate1', width=enc.width, height=enc.height,
+            decode=getattr(enc, 'decode', None))
+
     def insert_image(self, page_idx, enc, gray=True, mask_enc=None):
         """Raw-stream image insertion (``pdfhacks.py:106-177`` analog).
         Returns the image XObject Ref."""
         page = self.pages[page_idx]
+        enc = self._png_to_flate1(enc)
         smask_ref = None
         if mask_enc is not None:
+            mask_enc = self._png_to_flate1(mask_enc)
             smask = Stream(self._image_dict(mask_enc, True), mask_enc.data)
             smask_ref = self.w.add(smask)
         xobj = Stream(self._image_dict(enc, gray, smask_ref), enc.data)

@@ -856,6 +856,30 @@ def recode(from_pdf=None, from_imagestack=None, dpi=None, hocr_file=None,
     errors = set()
     start_time = time()
 
+    # API ergonomics: the CLI resolves per-codec default compression
+    # flags before calling in (cli/recode_pdf.py); plain recode()
+    # callers get the same defaults here — the reference's API crashes
+    # on flags=None (its jpeg2000.py:58 reads flags[0]); ours applies
+    # the documented table (codecs/jpeg2000.py).
+    if image_mode == IMAGE_MODE_MRC and (
+            bg_compression_flags is None or fg_compression_flags is None
+            or hq_bg_compression_flags is None
+            or hq_fg_compression_flags is None):
+        from ..codecs.jpeg2000 import (DEFAULT_COMPRESSION_FLAGS,
+                                       DEFAULT_JPEG_FLAGS)
+        if mrc_image_format == COMPRESSOR_JPEG2000:
+            dflt = DEFAULT_COMPRESSION_FLAGS[jpeg2000_implementation]
+        else:
+            dflt = DEFAULT_JPEG_FLAGS
+        if bg_compression_flags is None:
+            bg_compression_flags = dflt[0].split(' ')
+        if fg_compression_flags is None:
+            fg_compression_flags = dflt[1].split(' ')
+        if hq_bg_compression_flags is None:
+            hq_bg_compression_flags = dflt[2].split(' ')
+        if hq_fg_compression_flags is None:
+            hq_fg_compression_flags = dflt[3].split(' ')
+
     profiler_cm = None
     if profile_dir:
         import jax
