@@ -182,13 +182,22 @@ def _parse_doc_css(root):
 
 
 def _css_len(v, default=None):
+    """CSS length -> px.  px/pt parse exactly; em/rem resolve at the
+    CSS initial font size (16 px) — a flat approximation (no cascade),
+    but book CSS uses em mostly for text-indent/margins where 16 px/em
+    is the right scale."""
     if not v:
         return default
-    m = re.match(r'^(-?[\d.]+)\s*(px|pt)?\s*$', v)
+    m = re.match(r'^(-?[\d.]+)\s*(px|pt|em|rem)?\s*$', v)
     if not m:
         return default
     val = float(m.group(1))
-    return val if m.group(2) != 'pt' else val / _PX_TO_PT
+    unit = m.group(2)
+    if unit == 'pt':
+        return val / _PX_TO_PT
+    if unit in ('em', 'rem'):
+        return val * 16.0
+    return val
 
 
 def _el_style(el, rules):
@@ -372,11 +381,14 @@ def _in_tag(el, names):
 
 def _extract_flow(zf, doc_path):
     """(title, flow) where flow is an ordered list of
-    ('text'|'head'|'li'|'quote'|'pre', str, links, runs),
-    ('table', rows, None, None) and ('img', zip_path, None, None)
-    blocks — images keep their document position; links and style runs
-    are char ranges from _text_and_links; table rows are lists of
-    (text, links, runs, is_header) cells."""
+    ('text'|'head'|'li'|'quote'|'pre', str, links, runs, meta),
+    ('table', rows, None, None, None) and
+    ('img', zip_path, float_side, None, None) blocks — images keep
+    their document position; links and style runs are char ranges from
+    _text_and_links; table rows are lists of
+    (text, links, runs, is_header, colspan) cells; meta is None or a
+    dict with 'align' ('center'|'right') and/or 'indent_pt'
+    (first-line text-indent)."""
     try:
         data = zf.read(doc_path)
     except KeyError:
@@ -413,6 +425,39 @@ def _extract_flow(zf, doc_path):
                 else None
         return None
 
+    def align_of(el):
+        """'center'|'right'|None from text-align (effective style), the
+        deprecated align= attribute, or a <center> ancestor — nearest
+        explicit value wins, walking up a few levels (title pages set
+        it on a wrapper div as often as on the block itself)."""
+        node = el
+        for _ in range(4):
+            if node is None or not isinstance(node.tag, str):
+                return None
+            ta = (_el_style(node, css_rules).get('text-align')
+                  or node.get('align') or '').strip().lower()
+            if ta in ('center', 'right'):
+                return ta
+            if ta in ('left', 'justify'):   # explicit: stop the walk
+                return None
+            if (etree.QName(node).localname or '').lower() == 'center':
+                return 'center'
+            node = node.getparent() if hasattr(node, 'getparent') \
+                else None
+        return None
+
+    def block_meta(el):
+        """Per-block layout meta dict (or None): text-align and the
+        first-line text-indent in pt."""
+        meta = {}
+        al = align_of(el)
+        if al:
+            meta['align'] = al
+        ti = _css_len(_el_style(el, css_rules).get('text-indent'))
+        if ti and ti > 0:
+            meta['indent_pt'] = ti * _PX_TO_PT
+        return meta or None
+
     def resolve_src(el):
         src = el.get('src') or \
             el.get('{http://www.w3.org/1999/xlink}href') or el.get('href')
@@ -444,7 +489,7 @@ def _extract_flow(zf, doc_path):
         if local in ('img', 'image'):
             path = resolve_src(p)
             if path:
-                flow.append(('img', path, float_of(p), None))
+                flow.append(('img', path, float_of(p), None, None))
         elif local == 'table':
             # grid layout: one flow entry per table, rows of cells;
             # a table nested inside another table (or inside a block,
@@ -457,7 +502,8 @@ def _extract_flow(zf, doc_path):
                         == 'caption':
                     ctext, clinks, cruns = _text_and_links(cap)
                     if ctext:
-                        flow.append(('text', ctext, clinks, cruns))
+                        flow.append(('text', ctext, clinks, cruns,
+                                     block_meta(cap)))
             rows = []
             for tr in p.iter():
                 if not isinstance(tr.tag, str) or \
@@ -470,11 +516,16 @@ def _extract_flow(zf, doc_path):
                     tdl = (etree.QName(td).localname or '').lower()
                     if tdl in ('td', 'th'):
                         ctext, clinks, cruns = _text_and_links(td)
-                        cells.append((ctext, clinks, cruns, tdl == 'th'))
+                        try:
+                            span = max(1, int(td.get('colspan') or 1))
+                        except ValueError:
+                            span = 1
+                        cells.append((ctext, clinks, cruns,
+                                      tdl == 'th', span))
                 if cells:
                     rows.append(cells)
             if rows:
-                flow.append(('table', rows, None, None))
+                flow.append(('table', rows, None, None, None))
         elif local in BLOCKS:
             # text only (nested imgs were already collected above in
             # document order by this same iteration).  A block nested
@@ -493,7 +544,7 @@ def _extract_flow(zf, doc_path):
             if text:
                 kind = ('head' if local.startswith('h')
                         else KIND.get(local, 'text'))
-                flow.append((kind, text, links, runs))
+                flow.append((kind, text, links, runs, block_meta(p)))
         elif local in CONTAINERS:
             # bare text directly inside a container (and tails after
             # its nested blocks); nested blocks/containers emit their
@@ -502,7 +553,7 @@ def _extract_flow(zf, doc_path):
                 continue
             text, links, runs = _text_and_links(p, stop=DIRECT_STOP)
             if text:
-                flow.append(('text', text, links, runs))
+                flow.append(('text', text, links, runs, block_meta(p)))
     return title, flow
 
 
@@ -1466,7 +1517,8 @@ def main(argv=None):
             cur_items.append(('img', pf['ref'], pf['w'], pf['h']))
             cur_rows += rows
 
-        for fi, (kind, payload, plinks, pruns) in enumerate(flow):
+        for fi, (kind, payload, plinks, pruns, bmeta) in \
+                enumerate(flow):
             next_kind = flow[fi + 1][0] if fi + 1 < len(flow) else None
             if kind == 'img':
                 fl = plinks       # float side ('left'/'right') or None
@@ -1487,7 +1539,7 @@ def main(argv=None):
             if kind == 'table' and proportional:
                 # grid layout: equal columns with a 6 pt gutter, header
                 # cells bold, every cell wrapped to its column width
-                ncols = max(len(r) for r in payload)
+                ncols = max(sum(c[4] for c in r) for r in payload)
                 gutter = 6.0
                 cw = max((COL_W - gutter * (ncols - 1)) / ncols, 36.0)
                 size = FONT_SIZE
@@ -1495,17 +1547,21 @@ def main(argv=None):
                     cells = []
                     nlines = 0
                     hdr = False
-                    for ci, (ctext, clinks, cruns, is_th) in \
-                            enumerate(row):
+                    coli = 0
+                    for ctext, clinks, cruns, is_th, span in row:
                         hdr = hdr or is_th
                         if is_th:
                             cruns = [(0, len(ctext), 1)]
                         cspecs = [(a, b, classify_href(h, doc_base, doc))
                                   for a, b, h in (clinks or ())]
                         cspecs = [s for s in cspecs if s[2] is not None]
+                        # a colspan-N cell owns N columns plus the
+                        # gutters between them
+                        cell_w = cw * span + gutter * (span - 1)
                         cl = wrapped_lines(ctext, cspecs, cruns,
-                                           body_widths, size, cw)
-                        cells.append(((cw + gutter) * ci, cl))
+                                           body_widths, size, cell_w)
+                        cells.append(((cw + gutter) * coli, cl))
+                        coli += span
                         nlines = max(nlines, len(cl))
                     if nlines > ROWS:
                         # degenerate over-tall row: cells fall back to
@@ -1530,7 +1586,7 @@ def main(argv=None):
                 continue
             if kind == 'table':     # monospace fallback: cells as rows
                 for row in payload:
-                    for ctext, _cl, _cr, _th in row:
+                    for ctext, _cl, _cr, _th, _sp in row:
                         for line, cs, ce in _wrap(ctext, COLS):
                             cur_items.append(('line', line, 'b'))
                             cur_rows += 1
@@ -1605,14 +1661,66 @@ def main(argv=None):
                                           None, None, 0.0))
                         cur_rows += units
                     continue
-                for line, llinks, lruns, adv_line in wrapped_lines(
-                        payload, specs, pruns, widths, size,
-                        COL_W - indent, pre=(style == 'm')):
-                    cur_items.append(('line', line, style, llinks,
-                                      lruns, adv_line, indent))
-                    cur_rows += units
-                    if cur_rows >= ROWS:
-                        flush_page()
+                def _line_w(line, adv_line):
+                    if adv_line is not None:
+                        return sum(adv_line)
+                    return sum(widths[b] for b in line) * size
+
+                align = (bmeta or {}).get('align')
+                ti_pt = 0.0 if align \
+                    else (bmeta or {}).get('indent_pt', 0.0)
+                ti_pt = min(ti_pt, (COL_W - indent) * 0.5)
+                if ti_pt > 0 and style != 'm':
+                    # first-line text-indent: two-phase wrap (first
+                    # line narrower and shifted, remainder re-wrapped
+                    # full width) — the same offset-rebasing pattern
+                    # as the float wrap above, so links/runs stay exact
+                    adv = styled_adv(payload, pruns, widths, size)
+                    l1 = _wrap_prop(payload, widths, size,
+                                    COL_W - indent - ti_pt, adv=adv)
+                    for line, llinks, lruns, adv_line in rebase_lines(
+                            l1[:1], specs, pruns, adv):
+                        cur_items.append(('line', line, style, llinks,
+                                          lruns, adv_line,
+                                          indent + ti_pt))
+                        cur_rows += units
+                        if cur_rows >= ROWS:
+                            flush_page()
+                    if len(l1) > 1:
+                        cs0 = l1[1][1]
+                        t_adv = adv[cs0:] if adv is not None else None
+                        t_specs = [(max(0, a - cs0), b - cs0, sp)
+                                   for a, b, sp in specs if b > cs0]
+                        t_runs = [(max(0, a - cs0), b - cs0, f)
+                                  for a, b, f in (pruns or ())
+                                  if b > cs0] or None
+                        tl = _wrap_prop(payload[cs0:], widths, size,
+                                        COL_W - indent, adv=t_adv)
+                        for line, llinks, lruns, adv_line in \
+                                rebase_lines(tl, t_specs, t_runs,
+                                             t_adv):
+                            cur_items.append(('line', line, style,
+                                              llinks, lruns, adv_line,
+                                              indent))
+                            cur_rows += units
+                            if cur_rows >= ROWS:
+                                flush_page()
+                else:
+                    for line, llinks, lruns, adv_line in wrapped_lines(
+                            payload, specs, pruns, widths, size,
+                            COL_W - indent, pre=(style == 'm')):
+                        ind = indent
+                        if align:
+                            rem = (COL_W - indent) - _line_w(line,
+                                                             adv_line)
+                            if rem > 0:
+                                ind = indent + (rem / 2 if align ==
+                                                'center' else rem)
+                        cur_items.append(('line', line, style, llinks,
+                                          lruns, adv_line, ind))
+                        cur_rows += units
+                        if cur_rows >= ROWS:
+                            flush_page()
             else:
                 style = 'b'
                 units = STYLES[style][3]

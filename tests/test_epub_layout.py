@@ -348,3 +348,75 @@ def test_malformed_epub_never_crashes(tmp_path, case):
     assert r.page_count() >= 1
     if case == 'broken_xml':
         assert b'RECOVERED' in r.page_contents(0)
+
+
+def _td_x(content, needle):
+    """The Td x of the BT block whose text contains `needle`."""
+    for chunk in content.split(b'BT')[1:]:
+        if needle in chunk:
+            m = re.search(rb'/F\d [\d.]+ Tf ([\d.-]+) [\d.-]+ Td',
+                          chunk)
+            if m:
+                return float(m.group(1))
+    return None
+
+
+def test_text_align_center_and_right(tmp_path):
+    """text-align: center/right (style, align= attribute, <center>)
+    shift each line within the column; left stays at the margin."""
+    epub = str(tmp_path / 'al.epub')
+    _epub(epub, '<h1 style="text-align:center">CENTERTITLE</h1>'
+                '<p align="right">RIGHTLINE</p>'
+                '<center><p>OLDCENTER</p></center>'
+                '<p>LEFTLINE</p>')
+    out = str(tmp_path / 'out.pdf')
+    assert main([epub, out]) == 0
+    c = _content(out)
+    x_center = _td_x(c, b'CENTERTITLE')
+    x_right = _td_x(c, b'RIGHTLINE')
+    x_old = _td_x(c, b'OLDCENTER')
+    x_left = _td_x(c, b'LEFTLINE')
+    assert x_left == MARGIN
+    # centered short lines sit strictly inside the column, left of
+    # the column midpoint (x + w/2 == margin + COL_W/2)
+    assert MARGIN + 60 < x_center < MARGIN + 504 / 2
+    assert MARGIN + 60 < x_old < MARGIN + 504 / 2
+    # right-aligned: x = margin + COL_W - w, far right for short text
+    assert x_right > MARGIN + 350
+
+
+def test_text_indent_first_line(tmp_path):
+    """CSS text-indent (em units) indents only the FIRST line of the
+    paragraph; continuation lines return to the margin."""
+    epub = str(tmp_path / 'ti.epub')
+    words = ' '.join('word%02d' % i for i in range(40))
+    _epub(epub, '<p style="text-indent:2em">%s</p>' % words)
+    out = str(tmp_path / 'out.pdf')
+    assert main([epub, out]) == 0
+    c = _content(out)
+    # 2em = 32 css px = 24 pt
+    assert _td_x(c, b'word00') == MARGIN + 24.0
+    assert _td_x(c, b'word20') == MARGIN
+    # every word survives the two-phase wrap
+    for i in range(40):
+        assert (b'word%02d' % i) in c
+
+
+def test_table_colspan(tmp_path):
+    """A colspan-N cell owns N grid columns: the spanning header lays
+    out at full table width while the data row splits into columns."""
+    epub = str(tmp_path / 'cs.epub')
+    _epub(epub, '<table><tr><th colspan="2">WIDE SPANNING HEADER '
+                'CELL OVER BOTH COLUMNS STAYS ON ONE LINE</th></tr>'
+                '<tr><td>LEFTCELL</td><td>RIGHTCELL</td></tr>'
+                '</table>')
+    out = str(tmp_path / 'out.pdf')
+    assert main([epub, out]) == 0
+    c = _content(out)
+    # data columns: cw = (COL_W - 6)/2 = 249, second cell at +255
+    assert _td_x(c, b'LEFTCELL') == MARGIN
+    assert _td_x(c, b'RIGHTCELL') == MARGIN + 255.0
+    # the spanning cell wraps at 504 pt, not 249: the whole header
+    # renders as ONE text segment (it would split at one column wide)
+    assert re.search(rb'\(WIDE SPANNING HEADER CELL OVER BOTH '
+                     rb'COLUMNS STAYS ON ONE LINE\)', c)
