@@ -35,6 +35,7 @@ import zipfile
 from lxml import etree
 
 from ..pdf.writer import PdfWriter, Name, Stream
+from ..pdf.embedfont import EmbeddedTTF
 
 PAGE_W, PAGE_H = 612.0, 792.0
 MARGIN = 54.0
@@ -112,6 +113,75 @@ def _spine_docs(zf, opf_path):
     return docs, meta
 
 
+def _encryption_map(zf):
+    """META-INF/encryption.xml -> {zip path: algorithm URI}.  EPUBs
+    ship their @font-face fonts 'mangled' this way routinely (IDPF
+    and Adobe font obfuscation — not real encryption)."""
+    try:
+        root = etree.fromstring(zf.read('META-INF/encryption.xml'))
+    except (KeyError, etree.XMLSyntaxError):
+        return {}
+    out = {}
+    for ed in root.iter():
+        if not isinstance(ed.tag, str) or \
+                (etree.QName(ed).localname or '') != 'EncryptedData':
+            continue
+        algo = path = None
+        for el in ed.iter():
+            ln = etree.QName(el).localname or ''
+            if ln == 'EncryptionMethod':
+                algo = el.get('Algorithm')
+            elif ln == 'CipherReference':
+                path = el.get('URI')
+        if algo and path:
+            out[posixpath.normpath(path)] = algo
+    return out
+
+
+def _package_uid(zf, opf_path):
+    """The package's Unique Identifier string (the obfuscation key
+    source): the dc:identifier whose id matches package
+    unique-identifier, else the first identifier."""
+    try:
+        root = etree.fromstring(zf.read(opf_path))
+    except Exception:
+        return ''
+    uid_id = root.get('unique-identifier') or ''
+    first = ''
+    for el in root.iter():
+        if isinstance(el.tag, str) and \
+                (etree.QName(el).localname or '') == 'identifier':
+            txt = ''.join(el.itertext()).strip()
+            first = first or txt
+            if uid_id and (el.get('id') or '') == uid_id:
+                return txt
+    return first
+
+
+def _deobfuscate_font(data, algo, uid):
+    """Undo IDPF (XOR of the first 1040 bytes with SHA-1 of the
+    whitespace-stripped Unique Identifier) or Adobe (first 1024 bytes
+    with the 16 UUID bytes) font obfuscation.  Unknown algorithms
+    return the data unchanged (the sfnt signature check downstream
+    rejects it)."""
+    import hashlib
+    if 'idpf.org' in (algo or ''):
+        key = hashlib.sha1(
+            re.sub(r'\s+', '', uid).encode('utf-8')).digest()
+        n = 1040
+    elif 'adobe.com' in (algo or ''):
+        hexs = re.sub(r'[^0-9a-fA-F]', '', uid.rsplit(':', 1)[-1])
+        if len(hexs) < 32:
+            return data
+        key = bytes.fromhex(hexs[:32])
+        n = 1024
+    else:
+        return data
+    head = bytes(b ^ key[i % len(key)]
+                 for i, b in enumerate(data[:n]))
+    return head + data[n:]
+
+
 # --- fixed-layout (pre-paginated) support ----------------------------
 
 _PX_TO_PT = 0.75          # CSS reference pixel at 96 dpi -> PDF points
@@ -161,24 +231,83 @@ def _strip_at_rules(css):
     return ''.join(out)
 
 
-def _parse_doc_css(root):
-    """Minimal CSS subset from <style> blocks: single simple selectors
-    (#id, .class, tag) -> property dict.  Fixed-layout generators
-    typically emit one rule per positioned element."""
+def _doc_css_sources(root, zf=None, base=''):
+    """All CSS text reachable from the document, in document order:
+    <link rel="stylesheet"> targets read from the zip, then <style>
+    blocks.  Returns [(css_base_dir, css_text), ...] — the base is the
+    directory url() references resolve against (the CSS file's own for
+    linked sheets, the document's for inline blocks)."""
+    out = []
+    for el in root.iter():
+        if not isinstance(el.tag, str):
+            continue
+        local = (etree.QName(el).localname or '').lower()
+        if local == 'link' and zf is not None:
+            rel = (el.get('rel') or '').lower()
+            typ = (el.get('type') or '').lower()
+            if 'stylesheet' not in rel and typ != 'text/css':
+                continue
+            href = el.get('href')
+            if not href or href.startswith(('http:', 'https:',
+                                            'data:')):
+                continue
+            path = posixpath.normpath(
+                posixpath.join(base, href.split('#')[0]))
+            try:
+                out.append((posixpath.dirname(path),
+                            zf.read(path).decode('utf-8', 'replace')))
+            except KeyError:
+                pass
+        elif local == 'style':
+            out.append((base, ' '.join(el.itertext())))
+    return out
+
+
+def _font_faces(css, base, names):
+    """@font-face rules -> [{'family', 'path', 'weight', 'style'}]
+    for src url() targets that exist in the zip (`names`)."""
+    faces = []
+    for m in re.finditer(r'@font-face\s*\{([^}]*)\}', css):
+        decls = _parse_inline_style(m.group(1))
+        fam = (decls.get('font-family') or '').strip('\'" ').lower()
+        src = decls.get('src') or ''
+        mu = re.search(r'url\(\s*[\'"]?([^\'")]+)[\'"]?\s*\)', src)
+        if not fam or not mu:
+            continue
+        url = mu.group(1)
+        if url.startswith(('http:', 'https:', 'data:')):
+            continue
+        path = posixpath.normpath(
+            posixpath.join(base, url.split('#')[0]))
+        if path in names:
+            faces.append({'family': fam, 'path': path,
+                          'weight': (decls.get('font-weight') or
+                                     'normal').strip().lower(),
+                          'style': (decls.get('font-style') or
+                                    'normal').strip().lower()})
+    return faces
+
+
+def _parse_doc_css(root, zf=None, base=''):
+    """Minimal CSS subset from <style> blocks and (when a zip is
+    given) <link rel=stylesheet> files: single simple selectors
+    (#id, .class, tag) -> property dict, plus the document's
+    @font-face list.  Returns (rules, faces).  Fixed-layout
+    generators typically emit one rule per positioned element."""
     rules = {}
-    for st in root.iter():
-        if isinstance(st.tag, str) and \
-                (etree.QName(st).localname or '') == 'style':
-            css = ' '.join(st.itertext())
-            css = re.sub(r'/\*.*?\*/', ' ', css, flags=re.S)
-            css = _strip_at_rules(css)
-            for m in re.finditer(r'([^{}]+)\{([^}]*)\}', css):
-                decls = _parse_inline_style(m.group(2))
-                for sel in m.group(1).split(','):
-                    sel = sel.strip()
-                    if re.match(r'^[#.]?[\w-]+$', sel):
-                        rules.setdefault(sel, {}).update(decls)
-    return rules
+    faces = []
+    names = set(zf.namelist()) if zf is not None else ()
+    for css_base, css in _doc_css_sources(root, zf, base):
+        css = re.sub(r'/\*.*?\*/', ' ', css, flags=re.S)
+        faces.extend(_font_faces(css, css_base, names))
+        css = _strip_at_rules(css)
+        for m in re.finditer(r'([^{}]+)\{([^}]*)\}', css):
+            decls = _parse_inline_style(m.group(2))
+            for sel in m.group(1).split(','):
+                sel = sel.strip()
+                if re.match(r'^[#.]?[\w-]+$', sel):
+                    rules.setdefault(sel, {}).update(decls)
+    return rules, faces
 
 
 def _css_len(v, default=None):
@@ -379,8 +508,30 @@ def _in_tag(el, names):
     return False
 
 
+def _body_font_path(rules, faces):
+    """Zip path of the @font-face font the document's body text asks
+    for: the regular-weight face of the first font-family entry on
+    body/p/html that has a declared face; None when the body renders
+    with the standard-14 substitutes."""
+    if not faces:
+        return None
+    for sel in ('body', 'p', 'html'):
+        fam_list = (rules.get(sel) or {}).get('font-family')
+        if not fam_list:
+            continue
+        for fam in fam_list.split(','):
+            fam = fam.strip().strip('\'"').lower()
+            cands = [f for f in faces if f['family'] == fam]
+            if not cands:
+                continue
+            regular = [f for f in cands if f['style'] == 'normal'
+                       and f['weight'] in ('normal', '400', 'regular')]
+            return (regular or cands)[0]['path']
+    return None
+
+
 def _extract_flow(zf, doc_path):
-    """(title, flow) where flow is an ordered list of
+    """(title, flow, body_font) where flow is an ordered list of
     ('text'|'head'|'li'|'quote'|'pre', str, links, runs, meta),
     ('table', rows, None, None, None) and
     ('img', zip_path, float_side, None, None) blocks — images keep
@@ -388,11 +539,12 @@ def _extract_flow(zf, doc_path):
     _text_and_links; table rows are lists of
     (text, links, runs, is_header, colspan) cells; meta is None or a
     dict with 'align' ('center'|'right') and/or 'indent_pt'
-    (first-line text-indent)."""
+    (first-line text-indent); body_font is the zip path of the
+    @font-face font the body text asks for (or None)."""
     try:
         data = zf.read(doc_path)
     except KeyError:
-        return '', []
+        return '', [], None
     try:
         # EPUB content documents are XHTML: XML rules, utf-8 default,
         # XML declaration honored
@@ -409,7 +561,7 @@ def _extract_flow(zf, doc_path):
             break
     flow = []
     names = set(zf.namelist())
-    css_rules = _parse_doc_css(root)
+    css_rules, css_faces = _parse_doc_css(root, zf, base)
 
     def float_of(el):
         """float:left/right from the element's effective style or a
@@ -554,7 +706,7 @@ def _extract_flow(zf, doc_path):
             text, links, runs = _text_and_links(p, stop=DIRECT_STOP)
             if text:
                 flow.append(('text', text, links, runs, block_meta(p)))
-    return title, flow
+    return title, flow, _body_font_path(css_rules, css_faces)
 
 
 def _wrap(text, cols):
@@ -609,6 +761,10 @@ def _wrap_prop(text, widths, size, col_w, adv=None):
             wb = enc[pos:pos + len(word)]
             wstart = pos
             pos += len(word) + 1
+            # the separator space is a real char of the line: charge
+            # its own advance (styled/embedded faces differ from the
+            # base face's widths[32])
+            sp_w = adv[wstart - 1] if wstart > base else space_w
             ww = wlen(wstart, wstart + len(wb))
             woff = 0
             while ww > col_w and len(wb) > 1:
@@ -627,9 +783,9 @@ def _wrap_prop(text, widths, size, col_w, adv=None):
             if not cur:
                 cur, cur_w = wb, ww
                 cur_s, cur_e = wstart + woff, wstart + woff + len(wb)
-            elif cur_w + space_w + ww <= col_w:
+            elif cur_w + sp_w + ww <= col_w:
                 cur += b' ' + wb
-                cur_w += space_w + ww
+                cur_w += sp_w + ww
                 cur_e = wstart + woff + len(wb)
             else:
                 lines.append((cur, cur_s, cur_e))
@@ -844,10 +1000,14 @@ def main(argv=None):
     zf = zipfile.ZipFile(args.infile)
     xps = is_xps(args.infile, zf)
     cbz = not xps and is_cbz(args.infile, zf)
+    enc_map, pkg_uid = {}, ''
     if xps or cbz:
         docs, meta = [], (_xps_meta(zf) if xps else {})
     else:
-        docs, meta = _spine_docs(zf, _opf_path(zf))
+        opf = _opf_path(zf)
+        docs, meta = _spine_docs(zf, opf)
+        enc_map = _encryption_map(zf)
+        pkg_uid = _package_uid(zf, opf)
 
     w = PdfWriter()
     catalog_ref = w.reserve()
@@ -885,11 +1045,36 @@ def main(argv=None):
     else:
         style_refs = [font_ref] * 4
     STYLE_FNAMES = ('F1', 'F3', 'F4', 'F5')   # by run-flag bits
-    # per-style (font name, size, leading, row units)
+    # per-style (font name, size, leading, row units); 'e' = the
+    # document's own @font-face body font, embedded Type0/Identity-H
     STYLES = {'b': ('F1', FONT_SIZE, LEADING, 1.0),
               'h': ('F2', HEAD_SIZE, HEAD_LEADING,
                     HEAD_LEADING / LEADING),
-              'm': ('F6', 9.0, 11.0, 11.0 / LEADING)}
+              'm': ('F6', 9.0, 11.0, 11.0 / LEADING),
+              'e': ('F7', FONT_SIZE, LEADING, 1.0)}
+
+    efonts = {}          # zip path -> EmbeddedTTF | None (parse fail)
+    cur_efont = None     # the embedded body font of the doc whose
+                         # items are currently in cur_items
+
+    def embedded_font(path):
+        """EmbeddedTTF for a zip font path (deobfuscated when
+        encryption.xml says so), cached; None on any failure — the
+        caller falls back to the standard-14 faces."""
+        if path in efonts:
+            return efonts[path]
+        ef = None
+        try:
+            data = zf.read(path)
+            algo = enc_map.get(path)
+            if algo:
+                data = _deobfuscate_font(data, algo, pkg_uid)
+            ef = EmbeddedTTF(data)
+            ef.register(w)
+        except Exception:
+            ef = None
+        efonts[path] = ef
+        return ef
 
     page_refs = []
     page_dicts = []       # parallel: dict, finalized via w.set at end
@@ -986,9 +1171,12 @@ def main(argv=None):
             size = STYLES[run_style][1]
             return sum(wd[b] for b in payload[:n]) * size
 
-        def emit_styled(line, lruns, size):
+        def emit_styled(line, lruns, size, efont=None):
             """One line as /Fx-switched segments (inline bold/italic).
-            Leaves the font set back to the block style afterwards."""
+            Roman segments show in the embedded body font (Identity-H
+            hex) when one is active; styled segments keep the
+            standard-14 faces.  Leaves the font set back to the block
+            style afterwards."""
             segs = []
             pos = 0
             for off0, off1, fl in lruns:
@@ -1000,9 +1188,13 @@ def main(argv=None):
                 segs.append((pos, len(line), 0))
             ops.append(b'T*')
             for s0, s1, fl in segs:
-                ops.append(b'/%s %g Tf (%s) Tj' %
-                           (STYLE_FNAMES[fl].encode(), size,
-                            _esc(line[s0:s1])))
+                if fl == 0 and efont is not None:
+                    ops.append(b'/F7 %g Tf %s Tj'
+                               % (size, efont.hexstr(line[s0:s1])))
+                else:
+                    ops.append(b'/%s %g Tf (%s) Tj' %
+                               (STYLE_FNAMES[fl].encode(), size,
+                                _esc(line[s0:s1])))
 
         def flush_text():
             nonlocal text_run, y
@@ -1014,8 +1206,11 @@ def main(argv=None):
                        (fname.encode(), size, x_text, y, leading))
             for i, (line, llinks, lruns, adv) in enumerate(text_run):
                 if lruns and styled:
-                    emit_styled(line, lruns, size)
+                    emit_styled(line, lruns, size,
+                                cur_efont if run_style == 'e' else None)
                     ops.append(b'/%s %g Tf' % (fname.encode(), size))
+                elif run_style == 'e' and line:
+                    ops.append(b"%s '" % cur_efont.hexstr(line))
                 else:
                     ops.append(b"(%s) '" % _esc(line))
                 # lines advance down TL each: line i's baseline sits at
@@ -1103,6 +1298,8 @@ def main(argv=None):
             res_fonts[Name('F3')] = style_refs[1]
             res_fonts[Name('F4')] = style_refs[2]
             res_fonts[Name('F5')] = style_refs[3]
+        if cur_efont is not None:
+            res_fonts[Name('F7')] = cur_efont.type0_ref
         res = {Name('Font'): res_fonts}
         if xobjs:
             res[Name('XObject')] = xobjs
@@ -1148,7 +1345,7 @@ def main(argv=None):
             root = etree.fromstring(data,
                                     etree.HTMLParser(encoding='utf-8'))
         base = posixpath.dirname(doc)
-        rules = _parse_doc_css(root)
+        rules, _faces = _parse_doc_css(root, zf, base)
         vp = _viewport(root)
         names = set(zf.namelist())
         title = ''
@@ -1457,16 +1654,28 @@ def main(argv=None):
                 if title:
                     chapter_pages.append((title, start))
             continue
-        title, flow = _extract_flow(zf, doc)
+        title, flow, body_font = _extract_flow(zf, doc)
         if not flow:
             continue
-        flush_page()
+        flush_page()      # previous doc's leftovers, its own efont
+        cur_efont = embedded_font(body_font) \
+            if (body_font and proportional and styled) else None
         doc_first_page.setdefault(doc, len(page_refs))
         doc_base = posixpath.dirname(doc)
         chapter_pages.append((title or doc, len(page_refs)))
-        def styled_adv(text, pruns, widths, size):
-            """Per-char advances honoring inline bold/italic runs, or
-            None when the text is unstyled/unstylable."""
+        def styled_adv(text, pruns, widths, size, efont=None):
+            """Per-char advances honoring inline bold/italic runs (and
+            the embedded body font for roman chars when one is
+            active), or None when the text is unstyled/unstylable."""
+            if efont is not None:
+                farr = [0] * len(text)
+                for s, e, f in (pruns or ()):
+                    for i in range(s, min(e, len(text))):
+                        farr[i] |= f
+                enc = text.encode('cp1252', 'replace')
+                return [style_widths[farr[i]][enc[i]] * size if farr[i]
+                        else efont.adv(text[i]) * size
+                        for i in range(len(text))]
             if not styled or not pruns:
                 return None
             farr = [0] * len(text)
@@ -1477,9 +1686,12 @@ def main(argv=None):
             return [style_widths[farr[i]][b] * size
                     for i, b in enumerate(enc)]
 
-        def rebase_lines(lines, specs, pruns, adv):
+        def rebase_lines(lines, specs, pruns, adv, src=None):
             """(line, cs, ce) triples -> (payload, llinks, lruns,
-            adv_line) with the char ranges rebased per line."""
+            adv_line) with the char ranges rebased per line.  With
+            `src` (embedded-font blocks) the payload is the unicode
+            slice src[cs:ce] instead of the cp1252 line bytes, so the
+            emitter can map chars to glyph ids losslessly."""
             out = []
             for line, cs, ce in lines:
                 llinks = [(max(a, cs) - cs, min(b, ce) - cs, spec)
@@ -1489,18 +1701,21 @@ def main(argv=None):
                          for a, b, f in (pruns or ())
                          if a < ce and b > cs] or None
                 adv_line = adv[cs:ce] if adv is not None else None
-                out.append((line, llinks, lruns, adv_line))
+                out.append((src[cs:ce] if src is not None else line,
+                            llinks, lruns, adv_line))
             return out
 
         def wrapped_lines(text, plinks, pruns, widths, size, col_w,
-                          pre=False):
+                          pre=False, efont=None):
             """Wrap one block -> ('line'-ready) tuples: (payload,
             llinks, lruns, adv_line) with offsets rebased per line."""
-            adv = None if pre else styled_adv(text, pruns, widths, size)
+            adv = None if pre else styled_adv(text, pruns, widths,
+                                              size, efont)
             lines = (_wrap_pre(text, widths, size, col_w) if pre
                      else _wrap_prop(text, widths, size, col_w, adv=adv))
             specs = [(a, b, spec) for a, b, spec in (plinks or ())]
-            return rebase_lines(lines, specs, pruns, adv)
+            return rebase_lines(lines, specs, pruns, adv,
+                                src=text if efont is not None else None)
 
         pending_float = None      # {'ref','w','h','side'} awaiting text
 
@@ -1595,6 +1810,9 @@ def main(argv=None):
                 continue
             style = ('h' if kind == 'head'
                      else 'm' if kind == 'pre' else 'b')
+            if style == 'b' and cur_efont is not None:
+                style = 'e'       # the doc's own embedded body font
+            efont = cur_efont if style == 'e' else None
             indent = {'li': 16.0, 'quote': 24.0}.get(kind, 0.0)
             if proportional:
                 widths = (head_widths if style == 'h'
@@ -1604,10 +1822,10 @@ def main(argv=None):
                 specs = [(a, b, classify_href(href, doc_base, doc))
                          for a, b, href in (plinks or ())]
                 specs = [s for s in specs if s[2] is not None]
-                if style != 'b':
+                if style in ('h', 'm'):
                     pruns = None      # head/pre faces carry no runs
                 units = STYLES[style][3]
-                if pending_float is not None and style == 'b':
+                if pending_float is not None and style in ('b', 'e'):
                     # float layout: the image sits at the left/right
                     # margin; this block's first fl_rows lines wrap in
                     # the remaining width, the rest re-wraps full-width
@@ -1622,12 +1840,14 @@ def main(argv=None):
                                       pf['h'], pf['side']))
                     n_ind = indent + (pf['w'] + gut
                                       if pf['side'] == 'left' else 0.0)
-                    adv = styled_adv(payload, pruns, widths, size)
+                    adv = styled_adv(payload, pruns, widths, size,
+                                     efont)
                     lines = _wrap_prop(payload, widths, size,
                                        COL_W - indent - pf['w'] - gut,
                                        adv=adv)
                     head = rebase_lines(lines[:fl_rows], specs, pruns,
-                                        adv)
+                                        adv, src=payload
+                                        if efont is not None else None)
                     for line, llinks, lruns, adv_line in head:
                         cur_items.append(('line', line, style, llinks,
                                           lruns, adv_line, n_ind))
@@ -1648,7 +1868,9 @@ def main(argv=None):
                                         COL_W - indent, adv=t_adv)
                         for line, llinks, lruns, adv_line in \
                                 rebase_lines(tl, t_specs, t_runs,
-                                             t_adv):
+                                             t_adv, src=payload[cs0:]
+                                             if efont is not None
+                                             else None):
                             cur_items.append(('line', line, style,
                                               llinks, lruns, adv_line,
                                               indent))
@@ -1675,11 +1897,13 @@ def main(argv=None):
                     # line narrower and shifted, remainder re-wrapped
                     # full width) — the same offset-rebasing pattern
                     # as the float wrap above, so links/runs stay exact
-                    adv = styled_adv(payload, pruns, widths, size)
+                    adv = styled_adv(payload, pruns, widths, size,
+                                     efont)
                     l1 = _wrap_prop(payload, widths, size,
                                     COL_W - indent - ti_pt, adv=adv)
                     for line, llinks, lruns, adv_line in rebase_lines(
-                            l1[:1], specs, pruns, adv):
+                            l1[:1], specs, pruns, adv, src=payload
+                            if efont is not None else None):
                         cur_items.append(('line', line, style, llinks,
                                           lruns, adv_line,
                                           indent + ti_pt))
@@ -1698,7 +1922,9 @@ def main(argv=None):
                                         COL_W - indent, adv=t_adv)
                         for line, llinks, lruns, adv_line in \
                                 rebase_lines(tl, t_specs, t_runs,
-                                             t_adv):
+                                             t_adv, src=payload[cs0:]
+                                             if efont is not None
+                                             else None):
                             cur_items.append(('line', line, style,
                                               llinks, lruns, adv_line,
                                               indent))
@@ -1708,7 +1934,8 @@ def main(argv=None):
                 else:
                     for line, llinks, lruns, adv_line in wrapped_lines(
                             payload, specs, pruns, widths, size,
-                            COL_W - indent, pre=(style == 'm')):
+                            COL_W - indent, pre=(style == 'm'),
+                            efont=efont):
                         ind = indent
                         if align:
                             rem = (COL_W - indent) - _line_w(line,
@@ -1797,6 +2024,9 @@ def main(argv=None):
         info[Name('Title')] = meta['title']
     if 'creator' in meta:
         info[Name('Author')] = meta['creator']
+    for ef in efonts.values():
+        if ef is not None:
+            ef.finalize(w)     # /W + ToUnicode from the glyphs used
     info_ref = w.add(info)
     with open(args.outfile, 'wb') as fp:
         w.save(fp, catalog_ref, info_ref)
