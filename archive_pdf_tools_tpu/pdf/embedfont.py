@@ -11,9 +11,11 @@ reader recover the original characters.
 
 fontTools parses the font (same dependency split as ``pdf/glyphs.py``:
 fontTools is the independent font-program parser, the PDF-side logic
-is ours).  Only TrueType-outline sfnts are accepted; CFF/OpenType
-(``OTTO``) and WOFF inputs raise ``ValueError`` and the caller falls
-back to standard-14 substitutes (documented degradation).
+is ours).  TrueType-outline sfnts embed as CIDFontType2/FontFile2;
+CFF-flavored OpenType (``OTTO``) as CIDFontType0 with FontFile3
+``/OpenType``.  WOFF and unparsable inputs raise ``ValueError`` and
+the caller falls back to standard-14 substitutes (documented
+degradation).
 """
 
 import io
@@ -35,8 +37,13 @@ class EmbeddedTTF:
     def __init__(self, data):
         if not HAVE_FONTTOOLS:
             raise ValueError('fontTools unavailable')
-        if data[:4] not in (b'\x00\x01\x00\x00', b'true', b'ttcf'):
-            raise ValueError('not a TrueType-outline sfnt')
+        if data[:4] not in (b'\x00\x01\x00\x00', b'true', b'ttcf',
+                            b'OTTO'):
+            raise ValueError('not an sfnt font program')
+        # CFF-flavored OpenType embeds as FontFile3 /OpenType under a
+        # CIDFontType0 (PDF 32000-1 9.9; a non-CID-keyed CFF treats
+        # CIDs as glyph indices, which is exactly what we emit)
+        self._is_otf = data[:4] == b'OTTO'
         font = TTFont(io.BytesIO(data), fontNumber=0, lazy=True)
         self._data = data
         cmap = font.getBestCmap()
@@ -116,9 +123,16 @@ class EmbeddedTTF:
     def register(self, writer):
         """Reserve the font object graph; returns the Type0 ref to put
         in page /Font resources.  Call finalize() before save."""
-        ff_ref = writer.add(Stream(
-            {Name('Length1'): len(self._data)}, self._data,
-            deflate=True))
+        if self._is_otf:
+            ff_ref = writer.add(Stream(
+                {Name('Subtype'): Name('OpenType')}, self._data,
+                deflate=True))
+            ff_key = 'FontFile3'
+        else:
+            ff_ref = writer.add(Stream(
+                {Name('Length1'): len(self._data)}, self._data,
+                deflate=True))
+            ff_key = 'FontFile2'
         d = self._descr
         descr_ref = writer.add({
             Name('Type'): Name('FontDescriptor'),
@@ -130,7 +144,7 @@ class EmbeddedTTF:
             Name('Descent'): d['descent'],
             Name('CapHeight'): d['cap'],
             Name('StemV'): 80,
-            Name('FontFile2'): ff_ref})
+            Name(ff_key): ff_ref})
         self._descr_ref = descr_ref
         self._cid_ref = writer.reserve()
         self._tou_ref = writer.reserve()
@@ -158,17 +172,20 @@ class EmbeddedTTF:
         for start, ws in wout:
             warr.append(start)
             warr.append(ws)
-        writer.set(self._cid_ref, {
+        cid = {
             Name('Type'): Name('Font'),
-            Name('Subtype'): Name('CIDFontType2'),
+            Name('Subtype'): Name('CIDFontType0' if self._is_otf
+                                  else 'CIDFontType2'),
             Name('BaseFont'): Name(self.ps_name),
             Name('CIDSystemInfo'): {Name('Registry'): 'Adobe',
                                     Name('Ordering'): 'Identity',
                                     Name('Supplement'): 0},
             Name('FontDescriptor'): self._descr_ref,
             Name('DW'): 1000,
-            Name('W'): warr,
-            Name('CIDToGIDMap'): Name('Identity')})
+            Name('W'): warr}
+        if not self._is_otf:     # CIDToGIDMap is Type2-only
+            cid[Name('CIDToGIDMap')] = Name('Identity')
+        writer.set(self._cid_ref, cid)
         pairs = sorted((gid, uv) for gid, (uv, _w) in self._used.items())
         bf = []
         for gid, uv in pairs:

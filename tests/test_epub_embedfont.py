@@ -2,7 +2,7 @@
 
 The reference renders EPUB @font-face fonts through PyMuPDF's HTML
 engine (``/root/reference/bin/epub-to-pdf:44``); ours embeds the
-book's TrueType font as a Type0/Identity-H CIDFontType2 (raw sfnt in
+book's TrueType (or CFF-OpenType) font as a Type0/Identity-H CIDFontType2 (raw sfnt in
 FontFile2), measures wraps with its real hmtx advances, and emits a
 ToUnicode CMap so text stays extractable.  IDPF- and Adobe-obfuscated
 fonts (META-INF/encryption.xml) are de-obfuscated first.
@@ -85,7 +85,7 @@ def _type0_font(r):
         if str(r.resolve(f.get('Subtype'))) == 'Type0':
             desc = r.resolve(r.resolve(f['DescendantFonts'])[0])
             fd = r.resolve(desc['FontDescriptor'])
-            ff = r.resolve(fd['FontFile2'])
+            ff = r.resolve(fd.get('FontFile2') or fd['FontFile3'])
             tou = r.resolve(f['ToUnicode'])
             return f, desc, ff.decoded(), \
                 tou.decoded().decode('ascii')
@@ -208,3 +208,31 @@ def test_linked_stylesheet_rules_apply(tmp_path):
     from tests.test_epub_layout import _td_x
     assert _td_x(c, b'LEFTP') == MARGIN
     assert _td_x(c, b'CENTERED') > MARGIN + 60
+
+
+OTF_PATH = '/opt/venv/lib/python3.12/site-packages/pygame/tests/fixtures/fonts/test_fixed.otf'
+
+
+@pytest.mark.skipif(not os.path.exists(OTF_PATH),
+                    reason='no OTF fixture on this box')
+def test_embedded_otf_body_font(tmp_path):
+    """CFF-flavored OpenType embeds as CIDFontType0 + FontFile3
+    /OpenType; extraction roundtrips through our rasterizer's OTTO
+    path (pdf/glyphs.py) — an internal cross-implementation check."""
+    from archive_pdf_tools_tpu.pdf.textextract import (
+        extract_page_glyphs, group_words)
+    with open(OTF_PATH, 'rb') as fp:
+        data = fp.read()
+    epub = str(tmp_path / 'otf.epub')
+    _epub_with_font(epub, '<p>otf body words here</p>', data)
+    out = str(tmp_path / 'out.pdf')
+    assert main([epub, out]) == 0
+    r = PdfReader(out)
+    t0, desc, ff, tou = _type0_font(r)
+    assert t0 is not None
+    assert ff == data
+    assert str(r.resolve(desc['Subtype'])) == 'CIDFontType0'
+    assert 'CIDToGIDMap' not in desc
+    glyphs, _w, _h = extract_page_glyphs(r, 0)
+    words = [w[0] for w in group_words(glyphs)]
+    assert 'body' in words and 'words' in words
