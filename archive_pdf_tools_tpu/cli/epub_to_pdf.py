@@ -182,6 +182,21 @@ def _deobfuscate_font(data, algo, uid):
     return head + data[n:]
 
 
+def _deodttf(data, part_name):
+    """Undo XPS font obfuscation (ECMA-388 10.2.1.2: the first 32
+    bytes are XORed with the part name's GUID bytes in reverse
+    order).  Returns the data unchanged when the name carries no
+    GUID."""
+    m = re.search(r'([0-9a-fA-F]{8}-(?:[0-9a-fA-F]{4}-){3}'
+                  r'[0-9a-fA-F]{12})', posixpath.basename(part_name))
+    if not m:
+        return data
+    key = bytes.fromhex(m.group(1).replace('-', ''))
+    head = bytes(b ^ key[15 - (i % 16)]
+                 for i, b in enumerate(data[:32]))
+    return head + data[32:]
+
+
 # --- fixed-layout (pre-paginated) support ----------------------------
 
 _PX_TO_PT = 0.75          # CSS reference pixel at 96 dpi -> PDF points
@@ -1076,6 +1091,30 @@ def main(argv=None):
         efonts[path] = ef
         return ef
 
+    efont_names = {}     # EmbeddedTTF -> stable pdf resource name
+
+    def efont_name(ef):
+        if ef not in efont_names:
+            efont_names[ef] = 'F%d' % (8 + len(efont_names))
+        return efont_names[ef]
+
+    def xps_font(path):
+        """EmbeddedTTF for an XPS font part (.odttf deobfuscated by
+        part-name GUID), cached; None on failure -> standard-14."""
+        if path in efonts:
+            return efonts[path]
+        ef = None
+        try:
+            data = zf.read(path)
+            if path.lower().endswith('.odttf'):
+                data = _deodttf(data, path)
+            ef = EmbeddedTTF(data)
+            ef.register(w)
+        except Exception:
+            ef = None
+        efonts[path] = ef
+        return ef
+
     page_refs = []
     page_dicts = []       # parallel: dict, finalized via w.set at end
     page_links = []       # parallel: [(rect, kind, target), ...] where
@@ -1478,6 +1517,7 @@ def main(argv=None):
         ops = []
         xobjs = {}
         links = []
+        page_efonts = {}      # pdf font name -> type0 ref (this page)
 
         def nav_spec(el):
             """FixedPage.NavigateUri -> link spec: absolute scheme =
@@ -1538,18 +1578,37 @@ def main(argv=None):
                 x, y = topdf(m, float(el.get('OriginX') or 0),
                              float(el.get('OriginY') or 0))
                 col = _xps_color(el.get('Fill')) or (0.0, 0.0, 0.0)
-                ops.append(b'BT /F1 %g Tf %g %g %g rg %g %g Td (%s) '
-                           b'Tj ET' % (size, col[0], col[1], col[2],
-                                       x, y, _esc(text)))
-                spec = nav_spec(el)
-                if spec is not None:
-                    # advance estimate: standard-14 body metrics when
-                    # available (the embedded XPS font isn't used)
+                # the run's own font: FontUri part embedded (odttf
+                # deobfuscated); fallback to the standard-14 body face
+                ef = None
+                furi = el.get('FontUri')
+                if furi and not furi.startswith(('http:', 'https:')):
+                    fpath = furi.lstrip('/') if furi.startswith('/') \
+                        else posixpath.normpath(
+                            posixpath.join(base, furi))
+                    fpath = fpath.split('#')[0]
+                    if fpath in names:
+                        ef = xps_font(fpath)
+                if ef is not None:
+                    fname = efont_name(ef)
+                    page_efonts[fname] = ef.type0_ref
+                    ops.append(b'BT /%s %g Tf %g %g %g rg %g %g Td '
+                               b'%s Tj ET'
+                               % (fname.encode(), size, col[0], col[1],
+                                  col[2], x, y, ef.hexstr(text)))
+                    tw = sum(ef.adv(c) for c in text) * size
+                else:
+                    ops.append(b'BT /F1 %g Tf %g %g %g rg %g %g Td '
+                               b'(%s) Tj ET'
+                               % (size, col[0], col[1], col[2],
+                                  x, y, _esc(text)))
                     if proportional:
                         tw = sum(body_widths[b] for b in
                                  text.encode('cp1252', 'replace')) * size
                     else:
                         tw = 0.55 * size * len(text)
+                spec = nav_spec(el)
+                if spec is not None:
                     links.append(((x, y - 0.25 * size,
                                    x + tw, y + 0.85 * size),) + spec)
                 return
@@ -1612,7 +1671,10 @@ def main(argv=None):
 
         walk(root, (1.0, 0.0, 0.0, 1.0, 0.0, 0.0))
         content = w.add(Stream({}, b'\n'.join(ops), deflate=True))
-        res = {Name('Font'): {Name('F1'): font_ref}}
+        fonts_res = {Name('F1'): font_ref}
+        for fname, ref in page_efonts.items():
+            fonts_res[Name(fname)] = ref
+        res = {Name('Font'): fonts_res}
         if xobjs:
             res[Name('XObject')] = xobjs
         add_page({

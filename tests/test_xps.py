@@ -129,3 +129,88 @@ def test_cbz(tmp_path):
     # sorted member order: p1 first
     assert r.page_size(0) == (60.0, 45.0)       # 80x60 px at 0.75
     assert r.page_size(1) == (75.0, 112.5)
+
+
+# --- embedded XPS fonts (.odttf) -------------------------------------
+
+def _odttf(data, guid):
+    """ECMA-388 10.2.1.2 obfuscation (an involution: XOR the first 32
+    bytes with the part-name GUID bytes in reverse order)."""
+    key = bytes.fromhex(guid.replace('-', ''))
+    head = bytes(b ^ key[15 - (i % 16)] for i, b in enumerate(data[:32]))
+    return head + data[32:]
+
+
+def _xps_with_font(path, font_member, font_bytes):
+    fpage = ('<FixedPage xmlns="%s" Width="816" Height="1056">'
+             '<Glyphs OriginX="96" OriginY="192" FontRenderingEmSize="32"'
+             ' UnicodeString="Hello XPS" Fill="#FF000000" FontUri="/%s"/>'
+             '</FixedPage>') % (XPS_NS, font_member)
+    with zipfile.ZipFile(path, 'w') as zf:
+        zf.writestr('FixedDocSeq.fdseq',
+                    '<FixedDocumentSequence xmlns="%s">'
+                    '<DocumentReference Source="/Documents/1/'
+                    'FixedDoc.fdoc"/></FixedDocumentSequence>' % XPS_NS)
+        zf.writestr('Documents/1/FixedDoc.fdoc',
+                    '<FixedDocument xmlns="%s">'
+                    '<PageContent Source="Pages/1.fpage"/>'
+                    '</FixedDocument>' % XPS_NS)
+        zf.writestr('Documents/1/Pages/1.fpage', fpage)
+        zf.writestr(font_member, font_bytes)
+
+
+def _dejavu():
+    import matplotlib, os
+    p = os.path.join(os.path.dirname(matplotlib.__file__), 'mpl-data',
+                     'fonts', 'ttf', 'DejaVuSans.ttf')
+    with open(p, 'rb') as fp:
+        return fp.read()
+
+
+def test_xps_embedded_odttf(tmp_path):
+    """A GUID-named .odttf part embeds as a Type0 font: the stream is
+    de-obfuscated (FontFile2 equals the clear sfnt), the Glyphs run
+    uses the embedded face (hex strings, not the F1 fallback), and
+    text extraction recovers the words through ToUnicode."""
+    import re as _re
+    data = _dejavu()
+    guid = '1bd118ab-4137-4a33-a7e1-30e8b9e5c9f4'
+    member = 'Resources/%s.odttf' % guid
+    src = str(tmp_path / 'doc.xps')
+    _xps_with_font(src, member, _odttf(data, guid))
+    out = str(tmp_path / 'out.pdf')
+    assert main([src, out]) == 0
+    r = PdfReader(out)
+    c = r.page_contents(0)
+    assert _re.search(rb'/F8 24 Tf', c)
+    assert b'(Hello XPS)' not in c          # hex-encoded, not literal
+    page = r.pages()[0]
+    fonts = r.resolve(r.resolve(page['Resources'])['Font'])
+    t0 = r.resolve(fonts['F8'])
+    assert str(r.resolve(t0.get('Subtype'))) == 'Type0'
+    desc = r.resolve(r.resolve(t0['DescendantFonts'])[0])
+    fd = r.resolve(desc['FontDescriptor'])
+    assert r.resolve(fd['FontFile2']).decoded() == data
+    from archive_pdf_tools_tpu.pdf.textextract import (
+        extract_page_glyphs, group_words)
+    glyphs, _w, _h = extract_page_glyphs(r, 0)
+    words = [w[0] for w in group_words(glyphs)]
+    assert 'Hello' in words and 'XPS' in words
+
+
+def test_xps_plain_ttf_fonturi(tmp_path):
+    """A FontUri naming a clear .ttf (no GUID, no obfuscation) embeds
+    as-is."""
+    data = _dejavu()
+    src = str(tmp_path / 'doc.xps')
+    _xps_with_font(src, 'Resources/body.ttf', data)
+    out = str(tmp_path / 'out.pdf')
+    assert main([src, out]) == 0
+    r = PdfReader(out)
+    assert b'/F8 24 Tf' in r.page_contents(0)
+    page = r.pages()[0]
+    fonts = r.resolve(r.resolve(page['Resources'])['Font'])
+    desc = r.resolve(r.resolve(
+        r.resolve(fonts['F8'])['DescendantFonts'])[0])
+    fd = r.resolve(desc['FontDescriptor'])
+    assert r.resolve(fd['FontFile2']).decoded() == data
