@@ -344,6 +344,18 @@ def _css_len(v, default=None):
     return val
 
 
+def _page_break(st, side):
+    """True when the effective style forces a page boundary on that
+    side (CSS 2.1 ``page-break-before/after: always`` or the CSS 3
+    fragmentation spelling ``break-before/after: page``; ``left`` and
+    ``right`` degrade to a plain break — we paginate single-sided)."""
+    for key in ('page-break-' + side, 'break-' + side):
+        if (st.get(key) or '').strip().lower() in \
+                ('always', 'page', 'left', 'right'):
+            return True
+    return False
+
+
 def _el_style(el, rules):
     """Effective style: tag rule, then class rules, then #id, then the
     inline style attribute (ascending priority)."""
@@ -548,14 +560,16 @@ def _body_font_path(rules, faces):
 def _extract_flow(zf, doc_path):
     """(title, flow, body_font) where flow is an ordered list of
     ('text'|'head'|'li'|'quote'|'pre', str, links, runs, meta),
-    ('table', rows, None, None, None) and
-    ('img', zip_path, float_side, None, None) blocks — images keep
-    their document position; links and style runs are char ranges from
-    _text_and_links; table rows are lists of
+    ('table', rows, None, None, None),
+    ('img', zip_path, float_side, None, None),
+    ('hr', ...) horizontal-rule and ('pb', ...) forced-page-break
+    markers — images keep their document position; links and style
+    runs are char ranges from _text_and_links; table rows are lists of
     (text, links, runs, is_header, colspan) cells; meta is None or a
-    dict with 'align' ('center'|'right') and/or 'indent_pt'
-    (first-line text-indent); body_font is the zip path of the
-    @font-face font the body text asks for (or None)."""
+    dict with 'align' ('center'|'right'), 'indent_pt' (first-line
+    text-indent) and/or 'ml_pt'/'mr_pt' (left/right block margins,
+    CSS margin+padding plus nested-list depth); body_font is the zip
+    path of the @font-face font the body text asks for (or None)."""
     try:
         data = zf.read(doc_path)
     except KeyError:
@@ -614,15 +628,35 @@ def _extract_flow(zf, doc_path):
         return None
 
     def block_meta(el):
-        """Per-block layout meta dict (or None): text-align and the
-        first-line text-indent in pt."""
+        """Per-block layout meta dict (or None): text-align, the
+        first-line text-indent, and left/right block margins (margin +
+        padding, px/pt/em) in pt."""
         meta = {}
         al = align_of(el)
         if al:
             meta['align'] = al
-        ti = _css_len(_el_style(el, css_rules).get('text-indent'))
+        st = _el_style(el, css_rules)
+        ti = _css_len(st.get('text-indent'))
         if ti and ti > 0:
             meta['indent_pt'] = ti * _PX_TO_PT
+        def side_len(kind, side):
+            # longhand wins over the 1-4 value shorthand (CSS order:
+            # top right bottom left; 2-3 values mirror right onto left)
+            v = st.get('%s-%s' % (kind, side))
+            if v is None:
+                sh = (st.get(kind) or '').split()
+                if sh:
+                    v = sh[1] if len(sh) >= 2 else sh[0]
+                    if side == 'left' and len(sh) == 4:
+                        v = sh[3]
+            return _css_len(v, 0) or 0
+
+        ml = side_len('margin', 'left') + side_len('padding', 'left')
+        mr = side_len('margin', 'right') + side_len('padding', 'right')
+        if ml > 0:
+            meta['ml_pt'] = ml * _PX_TO_PT
+        if mr > 0:
+            meta['mr_pt'] = mr * _PX_TO_PT
         return meta or None
 
     def resolve_src(el):
@@ -653,7 +687,18 @@ def _extract_flow(zf, doc_path):
         if not isinstance(p.tag, str):
             continue
         local = (etree.QName(p).localname or '').lower()
-        if local in ('img', 'image'):
+        if local in BLOCKS or local in CONTAINERS or \
+                local in ('table', 'hr'):
+            # forced page boundary BEFORE this element (containers
+            # included: chapter divs carry page-break-before as often
+            # as their first heading does)
+            if not _in_tag(p, ('table',) + BLOCKS) and \
+                    _page_break(_el_style(p, css_rules), 'before'):
+                flow.append(('pb', None, None, None, None))
+        if local == 'hr':
+            if not _in_tag(p, ('table',) + BLOCKS):
+                flow.append(('hr', None, None, None, None))
+        elif local in ('img', 'image'):
             path = resolve_src(p)
             if path:
                 flow.append(('img', path, float_of(p), None, None))
@@ -699,19 +744,44 @@ def _extract_flow(zf, doc_path):
             # inside another collected block (p in blockquote, p in td)
             # or inside a table (cells carry its text) is skipped —
             # the ancestor's accumulated text already carries it.
-            if _in_tag(p, ('table',) + BLOCKS):
-                continue
-            text, links, runs = _text_and_links(p, pre=(local == 'pre'))
+            # EXCEPTION: li under li (nested lists) — each item gets
+            # its own line; the outer item's text stops at the nested
+            # ul/ol so nothing double-collects.
+            if local == 'li':
+                if _in_tag(p, ('table',) +
+                           tuple(b for b in BLOCKS if b != 'li')):
+                    continue
+                text, links, runs = _text_and_links(
+                    p, stop=frozenset(('ul', 'ol')))
+            else:
+                if _in_tag(p, ('table',) + BLOCKS):
+                    continue
+                text, links, runs = _text_and_links(
+                    p, pre=(local == 'pre'))
+            meta = block_meta(p)
             if local == 'li' and text:
                 mark = _list_marker(p)
                 text = mark + text
                 n = len(mark)
                 links = [(s + n, e + n, h) for s, e, h in links]
                 runs = [(s + n, e + n, f) for s, e, f in runs]
+                depth = 0
+                anc = p.getparent() if hasattr(p, 'getparent') else None
+                while anc is not None and isinstance(anc.tag, str):
+                    if (etree.QName(anc).localname or '').lower() in \
+                            ('ul', 'ol'):
+                        depth += 1
+                    anc = anc.getparent()
+                if depth > 1:       # nesting beyond the first list
+                    meta = dict(meta or {})
+                    meta['ml_pt'] = meta.get('ml_pt', 0.0) + \
+                        16.0 * min(depth - 1, 4)
             if text:
                 kind = ('head' if local.startswith('h')
                         else KIND.get(local, 'text'))
-                flow.append((kind, text, links, runs, block_meta(p)))
+                flow.append((kind, text, links, runs, meta))
+                if _page_break(_el_style(p, css_rules), 'after'):
+                    flow.append(('pb', None, None, None, None))
         elif local in CONTAINERS:
             # bare text directly inside a container (and tails after
             # its nested blocks); nested blocks/containers emit their
@@ -1306,6 +1376,13 @@ def main(argv=None):
                                  item[3] if len(item) > 3 else None,
                                  item[4] if len(item) > 4 else None,
                                  item[5] if len(item) > 5 else None))
+            elif item[0] == 'rule':
+                # <hr>: a hairline across the column, one row tall
+                flush_text()
+                ry = y - LEADING * 0.5
+                ops.append(b'q 0.5 w %g %g m %g %g l S Q' %
+                           (MARGIN, ry, MARGIN + COL_W, ry))
+                y -= LEADING
             elif item[0] == 'row':
                 flush_text()
                 emit_row(item[1], item[2], item[3])
@@ -1797,6 +1874,17 @@ def main(argv=None):
         for fi, (kind, payload, plinks, pruns, bmeta) in \
                 enumerate(flow):
             next_kind = flow[fi + 1][0] if fi + 1 < len(flow) else None
+            if kind == 'pb':          # forced page boundary
+                flush_float()
+                flush_page()
+                continue
+            if kind == 'hr':          # horizontal rule, one row tall
+                flush_float()
+                if cur_rows + 1 > ROWS:
+                    flush_page()
+                cur_items.append(('rule',))
+                cur_rows += 1
+                continue
             if kind == 'img':
                 fl = plinks       # float side ('left'/'right') or None
                 emb = embed_image(payload) if (fl and proportional) \
@@ -1877,6 +1965,14 @@ def main(argv=None):
             efont = cur_efont if style == 'e' else None
             indent = {'li': 16.0, 'quote': 24.0}.get(kind, 0.0)
             if proportional:
+                # CSS block margins (and nested-list depth) narrow the
+                # column from either side; clamps keep >= 72 pt of text
+                bm = bmeta or {}
+                indent = min(indent + bm.get('ml_pt', 0.0),
+                             COL_W * 0.6)
+                r_marg = min(bm.get('mr_pt', 0.0),
+                             max(COL_W - indent - 72.0, 0.0))
+                avail = COL_W - indent - r_marg
                 widths = (head_widths if style == 'h'
                           else mono_widths if style == 'm'
                           else body_widths)
@@ -1905,7 +2001,7 @@ def main(argv=None):
                     adv = styled_adv(payload, pruns, widths, size,
                                      efont)
                     lines = _wrap_prop(payload, widths, size,
-                                       COL_W - indent - pf['w'] - gut,
+                                       avail - pf['w'] - gut,
                                        adv=adv)
                     head = rebase_lines(lines[:fl_rows], specs, pruns,
                                         adv, src=payload
@@ -1927,7 +2023,7 @@ def main(argv=None):
                                   for a, b, f in (pruns or ())
                                   if b > cs0] or None
                         tl = _wrap_prop(payload[cs0:], widths, size,
-                                        COL_W - indent, adv=t_adv)
+                                        avail, adv=t_adv)
                         for line, llinks, lruns, adv_line in \
                                 rebase_lines(tl, t_specs, t_runs,
                                              t_adv, src=payload[cs0:]
@@ -1953,7 +2049,7 @@ def main(argv=None):
                 align = (bmeta or {}).get('align')
                 ti_pt = 0.0 if align \
                     else (bmeta or {}).get('indent_pt', 0.0)
-                ti_pt = min(ti_pt, (COL_W - indent) * 0.5)
+                ti_pt = min(ti_pt, avail * 0.5)
                 if ti_pt > 0 and style != 'm':
                     # first-line text-indent: two-phase wrap (first
                     # line narrower and shifted, remainder re-wrapped
@@ -1962,7 +2058,7 @@ def main(argv=None):
                     adv = styled_adv(payload, pruns, widths, size,
                                      efont)
                     l1 = _wrap_prop(payload, widths, size,
-                                    COL_W - indent - ti_pt, adv=adv)
+                                    avail - ti_pt, adv=adv)
                     for line, llinks, lruns, adv_line in rebase_lines(
                             l1[:1], specs, pruns, adv, src=payload
                             if efont is not None else None):
@@ -1981,7 +2077,7 @@ def main(argv=None):
                                   for a, b, f in (pruns or ())
                                   if b > cs0] or None
                         tl = _wrap_prop(payload[cs0:], widths, size,
-                                        COL_W - indent, adv=t_adv)
+                                        avail, adv=t_adv)
                         for line, llinks, lruns, adv_line in \
                                 rebase_lines(tl, t_specs, t_runs,
                                              t_adv, src=payload[cs0:]
@@ -1996,11 +2092,11 @@ def main(argv=None):
                 else:
                     for line, llinks, lruns, adv_line in wrapped_lines(
                             payload, specs, pruns, widths, size,
-                            COL_W - indent, pre=(style == 'm'),
+                            avail, pre=(style == 'm'),
                             efont=efont):
                         ind = indent
                         if align:
-                            rem = (COL_W - indent) - _line_w(line,
+                            rem = avail - _line_w(line,
                                                              adv_line)
                             if rem > 0:
                                 ind = indent + (rem / 2 if align ==

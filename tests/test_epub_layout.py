@@ -420,3 +420,123 @@ def test_table_colspan(tmp_path):
     # renders as ONE text segment (it would split at one column wide)
     assert re.search(rb'\(WIDE SPANNING HEADER CELL OVER BOTH '
                      rb'COLUMNS STAYS ON ONE LINE\)', c)
+
+
+# --- block margins, nested lists, hr, forced page breaks -------------
+
+def test_block_margins(tmp_path):
+    """CSS margin-left/right (+ padding) indent the block and narrow
+    the wrap; the clamp keeps at least 72 pt of column."""
+    epub = str(tmp_path / 'm.epub')
+    _epub(epub, '<p>ref paragraph</p>'
+                '<p style="margin-left: 48px">MLBLOCK text here</p>'
+                '<p style="margin: 0 32px">SHBLOCK shorthand</p>')
+    out = str(tmp_path / 'out.pdf')
+    assert main([epub, out]) == 0
+    c = _content(out)
+    # 48 px = 36 pt -> text starts at MARGIN+36
+    m = re.search(rb'BT /F1 10 Tf ([\d.]+) [\d.]+ Td [\d.]+ TL\n'
+                  rb'\(MLBLOCK', c)
+    assert m and float(m.group(1)) == MARGIN + 36.0
+    # shorthand 'margin: 0 32px' -> left 24 pt
+    m = re.search(rb'BT /F1 10 Tf ([\d.]+) [\d.]+ Td [\d.]+ TL\n'
+                  rb'\(SHBLOCK', c)
+    assert m and float(m.group(1)) == MARGIN + 24.0
+    # the unstyled paragraph stays at the margin
+    m = re.search(rb'BT /F1 10 Tf ([\d.]+) [\d.]+ Td [\d.]+ TL\n'
+                  rb'\(ref paragraph', c)
+    assert m and float(m.group(1)) == MARGIN
+
+
+def test_margin_narrows_wrap(tmp_path):
+    """A wide right margin forces earlier wraps than the full column."""
+    words = ' '.join('wordy%02d' % i for i in range(40))
+    epub = str(tmp_path / 'w.epub')
+    _epub(epub, '<p>%s</p><p style="margin-right: 200pt">%s</p>'
+          % (words, words))
+    out = str(tmp_path / 'out.pdf')
+    assert main([epub, out]) == 0
+    c = _content(out)
+    # the margined copy needs strictly more lines for the same words:
+    # group consecutive text lines into paragraphs at blank separators
+    paras, cur = [], 0
+    for ln in c.split(b'\n'):
+        if ln.startswith(b'('):
+            if ln.startswith(b'()'):
+                if cur:
+                    paras.append(cur)
+                cur = 0
+            else:
+                cur += 1
+    if cur:
+        paras.append(cur)
+    assert len(paras) == 2 and paras[1] > paras[0]
+
+
+def test_nested_list_items(tmp_path):
+    """Nested <ul>/<ol> items get their own lines, indented one step
+    (16 pt) deeper per level; the outer item's text stops at the
+    nested list (no double-collection)."""
+    epub = str(tmp_path / 'n.epub')
+    _epub(epub, '<ul><li>OUTERITEM'
+                '<ol><li>INNERONE</li><li>INNERTWO</li></ol>'
+                'tailtext</li><li>SECONDOUTER</li></ul>')
+    out = str(tmp_path / 'out.pdf')
+    assert main([epub, out]) == 0
+    c = _content(out)
+    # outer at the li indent, inner one step deeper
+    mo = re.search(rb'BT /F1 10 Tf ([\d.]+) [\d.]+ Td [\d.]+ TL\n'
+                   rb'\(\xe2\x80\xa2 OUTERITEM', c)
+    # cp1252 bullet byte is \x95
+    mo = mo or re.search(rb'Tf ([\d.]+) [\d.]+ Td [\d.]+ TL\n'
+                         rb'\(\x95 OUTERITEM', c)
+    assert mo and float(mo.group(1)) == MARGIN + 16.0
+    mi = re.search(rb'Tf ([\d.]+) [\d.]+ Td [\d.]+ TL\n'
+                   rb'\(1. INNERONE', c)
+    assert mi and float(mi.group(1)) == MARGIN + 32.0
+    # inner items are NOT flattened into the outer item's line
+    assert not re.search(rb'OUTERITEM[^\n]*INNERONE', c)
+    # ordered markers number inner items independently
+    assert b'(2. INNERTWO' in c
+    # document order survives
+    order = [c.find(t) for t in (b'OUTERITEM', b'INNERONE',
+                                 b'INNERTWO', b'SECONDOUTER')]
+    assert all(p >= 0 for p in order) and order == sorted(order)
+
+
+def test_hr_rule(tmp_path):
+    epub = str(tmp_path / 'h.epub')
+    _epub(epub, '<p>above</p><hr/><p>below</p>')
+    out = str(tmp_path / 'out.pdf')
+    assert main([epub, out]) == 0
+    c = _content(out)
+    m = re.search(rb'q 0.5 w ([\d.]+) ([\d.]+) m ([\d.]+) [\d.]+ l '
+                  rb'S Q', c)
+    assert m, 'no rule drawn'
+    assert float(m.group(1)) == MARGIN
+    # the rule sits between the two paragraphs' baselines
+    ya = float(re.search(rb'Tf [\d.]+ ([\d.]+) Td [\d.]+ TL\n\(above',
+                         c).group(1))
+    yb = float(re.search(rb'Tf [\d.]+ ([\d.]+) Td [\d.]+ TL\n\(below',
+                         c).group(1))
+    assert yb < float(m.group(2)) < ya
+
+
+def test_forced_page_breaks(tmp_path):
+    """page-break-before on a chapter div and page-break-after on a
+    block both force page boundaries (CSS 2 and CSS 3 spellings)."""
+    epub = str(tmp_path / 'p.epub')
+    _epub(epub, '<p>pageone text</p>'
+                '<div style="page-break-before: always">'
+                '<p>pagetwo text</p></div>'
+                '<p style="break-after: page">still pagetwo</p>'
+                '<p>pagethree text</p>')
+    out = str(tmp_path / 'out.pdf')
+    assert main([epub, out]) == 0
+    r = PdfReader(out)
+    assert r.page_count() == 3
+    assert b'pageone' in r.page_contents(0)
+    p2 = r.page_contents(1)
+    assert b'pagetwo' in p2 and b'still pagetwo' in p2
+    assert b'pageone' not in p2
+    assert b'pagethree' in r.page_contents(2)
