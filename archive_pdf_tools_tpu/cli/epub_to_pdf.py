@@ -211,6 +211,43 @@ def _parse_inline_style(s):
     return out
 
 
+_NAMED_COLORS = {
+    'black': (0, 0, 0), 'white': (1, 1, 1), 'red': (1, 0, 0),
+    'green': (0, 0.5, 0), 'blue': (0, 0, 1), 'gray': (0.5, 0.5, 0.5),
+    'grey': (0.5, 0.5, 0.5), 'silver': (0.75, 0.75, 0.75),
+    'maroon': (0.5, 0, 0), 'navy': (0, 0, 0.5), 'olive': (0.5, 0.5, 0),
+    'purple': (0.5, 0, 0.5), 'teal': (0, 0.5, 0.5),
+    'brown': (0.65, 0.16, 0.16), 'orange': (1, 0.65, 0),
+    'darkred': (0.55, 0, 0), 'darkblue': (0, 0, 0.55),
+    'darkgreen': (0, 0.39, 0), 'darkgray': (0.66, 0.66, 0.66),
+    'dimgray': (0.41, 0.41, 0.41), 'lightgray': (0.83, 0.83, 0.83),
+}
+
+_LINK_RGB = (0.0, 0.0, 0.8)       # browser-default anchor blue
+
+
+def _css_color(v):
+    """CSS color -> (r, g, b) floats, or None (unparsable/inherit).
+    #rgb, #rrggbb, rgb(...), and the common named colors."""
+    v = (v or '').strip().lower()
+    if not v:
+        return None
+    if v in _NAMED_COLORS:
+        return _NAMED_COLORS[v]
+    m = re.match(r'^#([0-9a-f]{3})$', v)
+    if m:
+        return tuple(int(c * 2, 16) / 255.0 for c in m.group(1))
+    m = re.match(r'^#([0-9a-f]{6})$', v)
+    if m:
+        h = m.group(1)
+        return tuple(int(h[i:i + 2], 16) / 255.0 for i in (0, 2, 4))
+    m = re.match(r'^rgba?\(\s*(\d+)\s*,\s*(\d+)\s*,\s*(\d+)', v)
+    if m:
+        return tuple(min(int(m.group(i)), 255) / 255.0
+                     for i in (1, 2, 3))
+    return None
+
+
 def _strip_at_rules(css):
     """Unwrap conditional-group at-rules (@media/@supports) so their
     nested rules parse like top-level ones, and drop all other at-rules
@@ -503,6 +540,26 @@ def _text_and_links(el, pre=False, stop=None):
     return stripped, out, runs
 
 
+def _merge_link_runs(runs, lnks, n):
+    """Merge style runs (bold=1|italic=2 bits) with link char ranges
+    (bit 4) into one segment list for the emitter, so anchors render
+    in link blue through any styled face."""
+    f = [0] * n
+    for s, e, fl in (runs or ()):
+        for i in range(s, min(e, n)):
+            f[i] |= fl
+    for s, e, _spec in (lnks or ()):
+        for i in range(s, min(e, n)):
+            f[i] |= 4
+    out = []
+    for i, fl in enumerate(f):
+        if fl and out and out[-1][1] == i and out[-1][2] == fl:
+            out[-1] = (out[-1][0], i + 1, fl)
+        elif fl:
+            out.append((i, i + 1, fl))
+    return out
+
+
 def _list_marker(li):
     """'1. '/'a) '-free simple list markers: '• ' under <ul>,
     '<n>. ' under <ol> (n = 1-based position among li siblings)."""
@@ -653,6 +710,18 @@ def _extract_flow(zf, doc_path):
 
         ml = side_len('margin', 'left') + side_len('padding', 'left')
         mr = side_len('margin', 'right') + side_len('padding', 'right')
+        # text color inherits: nearest explicit ancestor value wins
+        node = el
+        for _ in range(4):
+            if node is None or not isinstance(node.tag, str):
+                break
+            col = _css_color(_el_style(node, css_rules).get('color'))
+            if col is not None:
+                if col != (0, 0, 0):
+                    meta['color'] = col
+                break
+            node = node.getparent() if hasattr(node, 'getparent') \
+                else None
         if ml > 0:
             meta['ml_pt'] = ml * _PX_TO_PT
         if mr > 0:
@@ -1266,6 +1335,7 @@ def main(argv=None):
                           # per-char pt advances | None
         run_style = 'b'
         run_indent = 0.0
+        run_color = None
         links = []
 
         def measure(payload, n, adv=None):
@@ -1297,13 +1367,19 @@ def main(argv=None):
                 segs.append((pos, len(line), 0))
             ops.append(b'T*')
             for s0, s1, fl in segs:
-                if fl == 0 and efont is not None:
+                face = fl & 3          # bold|italic bits pick the face
+                if fl & 4:             # link segment: anchor blue
+                    ops.append(b'%g %g %g rg' % _LINK_RGB)
+                if face == 0 and efont is not None:
                     ops.append(b'/F7 %g Tf %s Tj'
                                % (size, efont.hexstr(line[s0:s1])))
                 else:
                     ops.append(b'/%s %g Tf (%s) Tj' %
-                               (STYLE_FNAMES[fl].encode(), size,
+                               (STYLE_FNAMES[face].encode(), size,
                                 _esc(line[s0:s1])))
+                if fl & 4:             # back to the block color
+                    ops.append(b'%g %g %g rg' %
+                               (run_color or (0, 0, 0)))
 
         def flush_text():
             nonlocal text_run, y
@@ -1311,11 +1387,19 @@ def main(argv=None):
                 return
             fname, size, leading, _u = STYLES[run_style]
             x_text = MARGIN + run_indent
+            if run_color:
+                # rg is graphics state (BT/ET does not reset it):
+                # scope the block color with q/Q so following content
+                # goes back to black
+                ops.append(b'q %g %g %g rg' % run_color)
             ops.append(b'BT /%s %g Tf %g %g Td %g TL' %
                        (fname.encode(), size, x_text, y, leading))
+            post = []     # stroked decorations drawn after ET
             for i, (line, llinks, lruns, adv) in enumerate(text_run):
-                if lruns and styled:
-                    emit_styled(line, lruns, size,
+                if (lruns or llinks) and styled:
+                    emit_styled(line,
+                                _merge_link_runs(lruns, llinks,
+                                                 len(line)), size,
                                 cur_efont if run_style == 'e' else None)
                     ops.append(b'/%s %g Tf' % (fname.encode(), size))
                 elif run_style == 'e' and line:
@@ -1330,7 +1414,14 @@ def main(argv=None):
                     x1 = x_text + measure(line, off1, adv)
                     links.append(((x0, ybase - 0.25 * size,
                                    x1, ybase + 0.85 * size),) + spec)
+                    uy = ybase - 0.15 * size
+                    post.append(b'q %g %g %g RG 0.4 w %g %g m %g %g l'
+                                b' S Q' %
+                                (_LINK_RGB + (x0, uy, x1, uy)))
             ops.append(b'ET')
+            if run_color:
+                ops.append(b'Q')
+            ops.extend(post)
             y -= leading * len(text_run)
             text_run = []
 
@@ -1345,10 +1436,13 @@ def main(argv=None):
                 cx = MARGIN + x_off
                 ops.append(b'BT /F1 %g Tf %g %g Td %g TL' %
                            (size, cx, y, leading))
+                post = []
                 for i, (line, llinks, lruns, adv) in \
                         enumerate(cell_lines):
-                    if lruns and styled:
-                        emit_styled(line, lruns, size)
+                    if (lruns or llinks) and styled:
+                        emit_styled(line,
+                                    _merge_link_runs(lruns, llinks,
+                                                     len(line)), size)
                         ops.append(b'/F1 %g Tf' % size)
                     else:
                         ops.append(b"(%s) '" % _esc(line))
@@ -1358,7 +1452,12 @@ def main(argv=None):
                         x1 = cx + measure(line, off1, adv)
                         links.append(((x0, ybase - 0.25 * size,
                                        x1, ybase + 0.85 * size),) + spec)
+                        uy = ybase - 0.15 * size
+                        post.append(b'q %g %g %g RG 0.4 w %g %g m '
+                                    b'%g %g l S Q' %
+                                    (_LINK_RGB + (x0, uy, x1, uy)))
                 ops.append(b'ET')
+                ops.extend(post)
             y -= leading * nlines
             if hdr:   # rule under a header row
                 ops.append(b'q 0.5 w %g %g m %g %g l S Q' %
@@ -1368,10 +1467,13 @@ def main(argv=None):
             if item[0] == 'line':
                 style = item[2] if len(item) > 2 else 'b'
                 indent = item[6] if len(item) > 6 else 0.0
-                if style != run_style or indent != run_indent:
+                color = item[7] if len(item) > 7 else None
+                if style != run_style or indent != run_indent or \
+                        color != run_color:
                     flush_text()
                     run_style = style
                     run_indent = indent
+                    run_color = color
                 text_run.append((item[1],
                                  item[3] if len(item) > 3 else None,
                                  item[4] if len(item) > 4 else None,
@@ -1385,6 +1487,8 @@ def main(argv=None):
                 y -= LEADING
             elif item[0] == 'row':
                 flush_text()
+                run_color = None     # cells render black (emit_styled
+                                     # restores to run_color)
                 emit_row(item[1], item[2], item[3])
             elif item[0] == 'float':
                 # floated image: drawn at the current y WITHOUT
@@ -1968,6 +2072,7 @@ def main(argv=None):
                 # CSS block margins (and nested-list depth) narrow the
                 # column from either side; clamps keep >= 72 pt of text
                 bm = bmeta or {}
+                colr = bm.get('color')      # block text color | None
                 indent = min(indent + bm.get('ml_pt', 0.0),
                              COL_W * 0.6)
                 r_marg = min(bm.get('mr_pt', 0.0),
@@ -2008,7 +2113,8 @@ def main(argv=None):
                                         if efont is not None else None)
                     for line, llinks, lruns, adv_line in head:
                         cur_items.append(('line', line, style, llinks,
-                                          lruns, adv_line, n_ind))
+                                          lruns, adv_line, n_ind,
+                                          colr))
                         cur_rows += units
                     for _ in range(fl_rows - len(head)):
                         cur_items.append(('line', b'', style, None,
@@ -2031,7 +2137,7 @@ def main(argv=None):
                                              else None):
                             cur_items.append(('line', line, style,
                                               llinks, lruns, adv_line,
-                                              indent))
+                                              indent, colr))
                             cur_rows += units
                             if cur_rows >= ROWS:
                                 flush_page()
@@ -2064,7 +2170,7 @@ def main(argv=None):
                             if efont is not None else None):
                         cur_items.append(('line', line, style, llinks,
                                           lruns, adv_line,
-                                          indent + ti_pt))
+                                          indent + ti_pt, colr))
                         cur_rows += units
                         if cur_rows >= ROWS:
                             flush_page()
@@ -2085,7 +2191,7 @@ def main(argv=None):
                                              else None):
                             cur_items.append(('line', line, style,
                                               llinks, lruns, adv_line,
-                                              indent))
+                                              indent, colr))
                             cur_rows += units
                             if cur_rows >= ROWS:
                                 flush_page()
@@ -2102,7 +2208,7 @@ def main(argv=None):
                                 ind = indent + (rem / 2 if align ==
                                                 'center' else rem)
                         cur_items.append(('line', line, style, llinks,
-                                          lruns, adv_line, ind))
+                                          lruns, adv_line, ind, colr))
                         cur_rows += units
                         if cur_rows >= ROWS:
                             flush_page()

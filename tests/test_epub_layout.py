@@ -540,3 +540,59 @@ def test_forced_page_breaks(tmp_path):
     assert b'pagetwo' in p2 and b'still pagetwo' in p2
     assert b'pageone' not in p2
     assert b'pagethree' in r.page_contents(2)
+
+
+def test_block_text_color(tmp_path):
+    """CSS color on a block (or inherited from a wrapper) renders the
+    text in that fill color, scoped with q/Q so following content goes
+    back to black."""
+    epub = str(tmp_path / 'c.epub')
+    _epub(epub, '<p style="color: #800000">DARKRED text</p>'
+                '<div style="color: rgb(0, 128, 0)">'
+                '<p>INHERITED green</p></div>'
+                '<p>plain black after</p>')
+    out = str(tmp_path / 'out.pdf')
+    assert main([epub, out]) == 0
+    c = _content(out)
+    m = re.search(rb'q ([\d.]+) 0 0 rg\nBT[^\x00]*?DARKRED', c)
+    assert m and abs(float(m.group(1)) - 128 / 255.0) < 1e-3
+    assert re.search(rb'q 0 ([\d.]+) 0 rg\nBT[^\x00]*?INHERITED', c)
+    # the black paragraph is NOT inside a colored q scope
+    m = re.search(rb'\(plain black after', c)
+    assert m
+    pre = c[:m.start()]
+    assert pre.rfind(b' rg\nBT') < pre.rfind(b'Q\n')
+
+
+def test_link_text_blue_underlined(tmp_path):
+    """Anchors render in the conventional link blue with an underline
+    rule (matching browser/PyMuPDF default HTML styling), and the
+    annotation still carries the URI."""
+    epub = str(tmp_path / 'l.epub')
+    _epub(epub, '<p>go to <a href="https://example.com/x">THE SITE'
+                '</a> now</p>')
+    out = str(tmp_path / 'out.pdf')
+    assert main([epub, out]) == 0
+    c = _content(out)
+    # blue fill around the anchor segment, black restored after
+    m = re.search(rb'0 0 0.8 rg\n/F1 10 Tf \(THE SITE\) Tj\n'
+                  rb'0 0 0 rg', c)
+    assert m, c[:800]
+    # an underline stroke in link blue
+    assert re.search(rb'q 0 0 0.8 RG 0.4 w [\d.]+ [\d.]+ m '
+                     rb'[\d.]+ [\d.]+ l S Q', c)
+    r = PdfReader(out)
+    a = r.resolve(r.resolve(r.pages()[0]['Annots'])[0])
+    assert r.resolve(r.resolve(a['A'])['URI']) == \
+        b'https://example.com/x'
+
+
+def test_link_in_bold_run_keeps_face_and_blue(tmp_path):
+    epub = str(tmp_path / 'lb.epub')
+    _epub(epub, '<p><b>bold <a href="https://e.org/">BLINK</a> tail'
+                '</b></p>')
+    out = str(tmp_path / 'out.pdf')
+    assert main([epub, out]) == 0
+    c = _content(out)
+    # the linked segment keeps the bold face AND gets the link color
+    assert re.search(rb'0 0 0.8 rg\n/F3 10 Tf \(BLINK\) Tj', c)
