@@ -440,9 +440,22 @@ def _anchor_href(el):
     return el.get('href') or el.get(_XLINK_HREF)
 
 
-# inline style tags -> run flag bits (bit 0 bold, bit 1 italic)
+# inline style tags -> run flag bits (bit 0 bold, bit 1 italic; bit 2
+# is reserved for link segments by _merge_link_runs; bits 3/4 mark
+# sup/sub runs, rendered smaller with a Ts rise)
 _BOLD_TAGS = frozenset(('b', 'strong'))
 _ITALIC_TAGS = frozenset(('i', 'em', 'cite', 'dfn', 'var'))
+_SUPSUB_SCALE = 0.65              # em scale of sup/sub runs
+_SUP_RISE, _SUB_RISE = 0.33, -0.15    # baseline shift, em of full size
+
+
+def _flag_face(fl):
+    """bold|italic face index of a run flag word."""
+    return fl & 3
+
+
+def _flag_scale(fl):
+    return _SUPSUB_SCALE if fl & 24 else 1.0
 
 
 def _text_and_links(el, pre=False, stop=None):
@@ -499,7 +512,9 @@ def _text_and_links(el, pre=False, stop=None):
             return
         href = _anchor_href(node) if local == 'a' else None
         add = (1 if local in _BOLD_TAGS else 0) | \
-              (2 if local in _ITALIC_TAGS else 0)
+              (2 if local in _ITALIC_TAGS else 0) | \
+              (8 if local == 'sup' else 0) | \
+              (16 if local == 'sub' else 0)
         cur_flags.append(cur_flags[-1] | add)
         start = len(chars)
         if node.text:
@@ -1367,16 +1382,23 @@ def main(argv=None):
                 segs.append((pos, len(line), 0))
             ops.append(b'T*')
             for s0, s1, fl in segs:
-                face = fl & 3          # bold|italic bits pick the face
+                face = _flag_face(fl)  # bold|italic bits pick the face
+                seg_size = size * _flag_scale(fl)
                 if fl & 4:             # link segment: anchor blue
                     ops.append(b'%g %g %g rg' % _LINK_RGB)
+                if fl & 24:            # sup/sub baseline shift
+                    rise = size * (_SUP_RISE if fl & 8 else _SUB_RISE)
+                    ops.append(b'%g Ts' % rise)
                 if face == 0 and efont is not None:
                     ops.append(b'/F7 %g Tf %s Tj'
-                               % (size, efont.hexstr(line[s0:s1])))
+                               % (seg_size,
+                                  efont.hexstr(line[s0:s1])))
                 else:
                     ops.append(b'/%s %g Tf (%s) Tj' %
-                               (STYLE_FNAMES[face].encode(), size,
+                               (STYLE_FNAMES[face].encode(), seg_size,
                                 _esc(line[s0:s1])))
+                if fl & 24:
+                    ops.append(b'0 Ts')
                 if fl & 4:             # back to the block color
                     ops.append(b'%g %g %g rg' %
                                (run_color or (0, 0, 0)))
@@ -1916,8 +1938,13 @@ def main(argv=None):
                     for i in range(s, min(e, len(text))):
                         farr[i] |= f
                 enc = text.encode('cp1252', 'replace')
-                return [style_widths[farr[i]][enc[i]] * size if farr[i]
-                        else efont.adv(text[i]) * size
+                # face-0 chars (incl. sup/sub-only runs) stay in the
+                # embedded face; bold/italic fall back to standard-14
+                return [style_widths[_flag_face(farr[i])][enc[i]] *
+                        size * _flag_scale(farr[i])
+                        if _flag_face(farr[i])
+                        else efont.adv(text[i]) * size *
+                        _flag_scale(farr[i])
                         for i in range(len(text))]
             if not styled or not pruns:
                 return None
@@ -1926,7 +1953,8 @@ def main(argv=None):
                 for i in range(s, min(e, len(text))):
                     farr[i] |= f
             enc = text.encode('cp1252', 'replace')
-            return [style_widths[farr[i]][b] * size
+            return [style_widths[_flag_face(farr[i])][b] * size *
+                    _flag_scale(farr[i])
                     for i, b in enumerate(enc)]
 
         def rebase_lines(lines, specs, pruns, adv, src=None):

@@ -596,3 +596,21 @@ def test_link_in_bold_run_keeps_face_and_blue(tmp_path):
     c = _content(out)
     # the linked segment keeps the bold face AND gets the link color
     assert re.search(rb'0 0 0.8 rg\n/F3 10 Tf \(BLINK\) Tj', c)
+
+
+def test_sup_sub_runs(tmp_path):
+    """<sup>/<sub> render smaller with a Ts baseline shift (footnote
+    markers), and advances account for the reduced size."""
+    epub = str(tmp_path / 'ss.epub')
+    _epub(epub, '<p>energy E = mc<sup>2</sup> and H<sub>2</sub>O '
+                'plus a note<sup><a href="#fn1">17</a></sup> end</p>')
+    out = str(tmp_path / 'out.pdf')
+    assert main([epub, out]) == 0
+    c = _content(out)
+    # sup: raised, 6.5 pt; sub: lowered
+    assert re.search(rb'3\.3 Ts\n/F1 6\.5 Tf \(2\) Tj\n0 Ts', c)
+    assert re.search(rb'-1\.5 Ts\n/F1 6\.5 Tf \(2\) Tj\n0 Ts', c)
+    # footnote-style linked sup keeps the shift (internal # anchor is
+    # dropped as a link spec but the text must survive)
+    assert re.search(rb'3\.3 Ts\n/F1 6\.5 Tf \(17\) Tj', c)
+    assert b'(energy E = mc' in c and b' end' in c
