@@ -393,6 +393,34 @@ def _page_break(st, side):
     return False
 
 
+_FS_KEYWORDS = {'xx-small': 0.6, 'x-small': 0.75, 'small': 0.89,
+                'medium': 1.0, 'large': 1.2, 'x-large': 1.5,
+                'xx-large': 2.0}
+
+
+def _css_font_size(v, base_pt):
+    """CSS font-size -> pt.  px/pt are absolute; em/rem/% scale the
+    BODY size (base_pt) — truer for book CSS than the 16 px initial
+    (body text here is 10 pt); absolute keywords per CSS 2.1."""
+    v = (v or '').strip().lower()
+    if not v:
+        return None
+    if v in _FS_KEYWORDS:
+        return base_pt * _FS_KEYWORDS[v]
+    m = re.match(r'^(-?[\d.]+)\s*(px|pt|em|rem|%)\s*$', v)
+    if not m:
+        return None
+    val = float(m.group(1))
+    unit = m.group(2)
+    if unit == 'pt':
+        return val
+    if unit == 'px':
+        return val * _PX_TO_PT
+    if unit == '%':
+        return base_pt * val / 100.0
+    return base_pt * val              # em / rem
+
+
 def _el_style(el, rules):
     """Effective style: tag rule, then class rules, then #id, then the
     inline style attribute (ascending priority)."""
@@ -725,16 +753,27 @@ def _extract_flow(zf, doc_path):
 
         ml = side_len('margin', 'left') + side_len('padding', 'left')
         mr = side_len('margin', 'right') + side_len('padding', 'right')
-        # text color inherits: nearest explicit ancestor value wins
+        # color and font-size inherit: nearest explicit ancestor wins
         node = el
+        need_col, need_fs = True, True
         for _ in range(4):
-            if node is None or not isinstance(node.tag, str):
+            if node is None or not isinstance(node.tag, str) or \
+                    not (need_col or need_fs):
                 break
-            col = _css_color(_el_style(node, css_rules).get('color'))
-            if col is not None:
-                if col != (0, 0, 0):
-                    meta['color'] = col
-                break
+            nst = st if node is el else _el_style(node, css_rules)
+            if need_col:
+                col = _css_color(nst.get('color'))
+                if col is not None:
+                    if col != (0, 0, 0):
+                        meta['color'] = col
+                    need_col = False
+            if need_fs:
+                fs = _css_font_size(nst.get('font-size'), FONT_SIZE)
+                if fs is not None:
+                    fs = min(max(fs, 5.0), 36.0)
+                    if abs(fs - FONT_SIZE) > 0.01:
+                        meta['size_pt'] = fs
+                    need_fs = False
             node = node.getparent() if hasattr(node, 'getparent') \
                 else None
         if ml > 0:
@@ -1351,6 +1390,7 @@ def main(argv=None):
         run_style = 'b'
         run_indent = 0.0
         run_color = None
+        run_size = None     # per-block font-size override | None
         links = []
 
         def measure(payload, n, adv=None):
@@ -1408,6 +1448,8 @@ def main(argv=None):
             if not text_run:
                 return
             fname, size, leading, _u = STYLES[run_style]
+            if run_size:
+                size, leading = run_size, run_size * 1.3
             x_text = MARGIN + run_indent
             if run_color:
                 # rg is graphics state (BT/ET does not reset it):
@@ -1490,12 +1532,14 @@ def main(argv=None):
                 style = item[2] if len(item) > 2 else 'b'
                 indent = item[6] if len(item) > 6 else 0.0
                 color = item[7] if len(item) > 7 else None
+                osize = item[8] if len(item) > 8 else None
                 if style != run_style or indent != run_indent or \
-                        color != run_color:
+                        color != run_color or osize != run_size:
                     flush_text()
                     run_style = style
                     run_indent = indent
                     run_color = color
+                    run_size = osize
                 text_run.append((item[1],
                                  item[3] if len(item) > 3 else None,
                                  item[4] if len(item) > 4 else None,
@@ -2110,12 +2154,19 @@ def main(argv=None):
                           else mono_widths if style == 'm'
                           else body_widths)
                 size = STYLES[style][1]
+                # per-block CSS font-size overrides the style size
+                # (body/embedded/heading faces; pre keeps Courier 9)
+                osize = bm.get('size_pt') \
+                    if style in ('b', 'e', 'h') else None
+                if osize:
+                    size = osize
                 specs = [(a, b, classify_href(href, doc_base, doc))
                          for a, b, href in (plinks or ())]
                 specs = [s for s in specs if s[2] is not None]
                 if style in ('h', 'm'):
                     pruns = None      # head/pre faces carry no runs
-                units = STYLES[style][3]
+                units = (size * 1.3 / LEADING) if osize \
+                    else STYLES[style][3]
                 if pending_float is not None and style in ('b', 'e'):
                     # float layout: the image sits at the left/right
                     # margin; this block's first fl_rows lines wrap in
@@ -2142,7 +2193,7 @@ def main(argv=None):
                     for line, llinks, lruns, adv_line in head:
                         cur_items.append(('line', line, style, llinks,
                                           lruns, adv_line, n_ind,
-                                          colr))
+                                          colr, osize))
                         cur_rows += units
                     for _ in range(fl_rows - len(head)):
                         cur_items.append(('line', b'', style, None,
@@ -2165,7 +2216,7 @@ def main(argv=None):
                                              else None):
                             cur_items.append(('line', line, style,
                                               llinks, lruns, adv_line,
-                                              indent, colr))
+                                              indent, colr, osize))
                             cur_rows += units
                             if cur_rows >= ROWS:
                                 flush_page()
@@ -2198,7 +2249,8 @@ def main(argv=None):
                             if efont is not None else None):
                         cur_items.append(('line', line, style, llinks,
                                           lruns, adv_line,
-                                          indent + ti_pt, colr))
+                                          indent + ti_pt, colr,
+                                          osize))
                         cur_rows += units
                         if cur_rows >= ROWS:
                             flush_page()
@@ -2219,7 +2271,7 @@ def main(argv=None):
                                              else None):
                             cur_items.append(('line', line, style,
                                               llinks, lruns, adv_line,
-                                              indent, colr))
+                                              indent, colr, osize))
                             cur_rows += units
                             if cur_rows >= ROWS:
                                 flush_page()
@@ -2236,7 +2288,8 @@ def main(argv=None):
                                 ind = indent + (rem / 2 if align ==
                                                 'center' else rem)
                         cur_items.append(('line', line, style, llinks,
-                                          lruns, adv_line, ind, colr))
+                                          lruns, adv_line, ind, colr,
+                                          osize))
                         cur_rows += units
                         if cur_rows >= ROWS:
                             flush_page()

@@ -614,3 +614,49 @@ def test_sup_sub_runs(tmp_path):
     # dropped as a link spec but the text must survive)
     assert re.search(rb'3\.3 Ts\n/F1 6\.5 Tf \(17\) Tj', c)
     assert b'(energy E = mc' in c and b' end' in c
+
+
+def test_block_font_size(tmp_path):
+    """Per-block CSS font-size: px/pt absolute, em/% scale the 10 pt
+    body, keywords per CSS 2.1; leading scales with the size."""
+    epub = str(tmp_path / 'fs.epub')
+    _epub(epub, '<p>normal ten point</p>'
+                '<p style="font-size: 14pt">FOURTEEN point</p>'
+                '<p style="font-size: 0.8em">EIGHTPT relative</p>'
+                '<div style="font-size: 120%"><p>INHERITED twelve'
+                '</p></div>'
+                '<p style="font-size: x-large">KEYWORD fifteen</p>')
+    out = str(tmp_path / 'out.pdf')
+    assert main([epub, out]) == 0
+    c = _content(out)
+    m = re.search(rb'BT /F1 (\S+) Tf [\d.]+ [\d.]+ Td (\S+) TL\n'
+                  rb'\(FOURTEEN', c)
+    assert m and float(m.group(1)) == 14.0
+    assert abs(float(m.group(2)) - 14 * 1.3) < 0.01
+    for frag, want in ((rb'EIGHTPT', 8.0), (rb'INHERITED', 12.0),
+                       (rb'KEYWORD', 15.0), (rb'normal ten', 10.0)):
+        m = re.search(rb'BT /F1 (\S+) Tf [^\n]+ TL\n\(' + frag, c)
+        assert m and float(m.group(1)) == want, (frag, m)
+
+
+def test_font_size_wraps_narrower(tmp_path):
+    """Bigger text wraps into more lines for the same words."""
+    words = ' '.join('verse%02d' % i for i in range(30))
+    epub = str(tmp_path / 'fw.epub')
+    _epub(epub, '<p>%s</p><p style="font-size: 20pt">%s</p>'
+          % (words, words))
+    out = str(tmp_path / 'out.pdf')
+    assert main([epub, out]) == 0
+    c = _content(out)
+    paras, cur = [], 0
+    for ln in c.split(b'\n'):
+        if ln.startswith(b'('):
+            if ln.startswith(b'()'):
+                if cur:
+                    paras.append(cur)
+                cur = 0
+            else:
+                cur += 1
+    if cur:
+        paras.append(cur)
+    assert len(paras) == 2 and paras[1] > 1.5 * paras[0]
