@@ -635,11 +635,17 @@ def _in_tag(el, names):
     return False
 
 
+_REG_WEIGHTS = ('normal', '400', 'regular', '500')
+_BOLD_WEIGHTS = ('bold', '600', '700', '800', '900', 'bolder')
+
+
 def _body_font_path(rules, faces):
-    """Zip path of the @font-face font the document's body text asks
-    for: the regular-weight face of the first font-family entry on
-    body/p/html that has a declared face; None when the body renders
-    with the standard-14 substitutes."""
+    """Variant zip paths of the @font-face family the document's body
+    text asks for: {face_bits: path} where face bits are the run flags
+    (0 regular, 1 bold, 2 italic, 3 bold-italic; missing variants
+    absent), from the first font-family entry on body/p/html that has
+    a declared face; None when the body renders with the standard-14
+    substitutes."""
     if not faces:
         return None
     for sel in ('body', 'p', 'html'):
@@ -651,9 +657,19 @@ def _body_font_path(rules, faces):
             cands = [f for f in faces if f['family'] == fam]
             if not cands:
                 continue
-            regular = [f for f in cands if f['style'] == 'normal'
-                       and f['weight'] in ('normal', '400', 'regular')]
-            return (regular or cands)[0]['path']
+
+            def pick(styles, weights):
+                m = [f for f in cands if f['style'] in styles
+                     and f['weight'] in weights]
+                return m[0]['path'] if m else None
+
+            it = ('italic', 'oblique')
+            out = {0: pick(('normal',), _REG_WEIGHTS)
+                   or cands[0]['path'],
+                   1: pick(('normal',), _BOLD_WEIGHTS),
+                   2: pick(it, _REG_WEIGHTS),
+                   3: pick(it, _BOLD_WEIGHTS)}
+            return {k: v for k, v in out.items() if v}
     return None
 
 
@@ -1262,6 +1278,10 @@ def main(argv=None):
               'e': ('F7', FONT_SIZE, LEADING, 1.0)}
 
     efonts = {}          # zip path -> EmbeddedTTF | None (parse fail)
+    cur_efam = {}        # face bits -> EmbeddedTTF variant (bold/
+                         # italic @font-face declarations of the body
+                         # family); {} when no embedded font is active
+    EFAM_FNAMES = {1: 'F7B', 2: 'F7I', 3: 'F7J'}
     cur_efont = None     # the embedded body font of the doc whose
                          # items are currently in cur_items
 
@@ -1429,10 +1449,15 @@ def main(argv=None):
                 if fl & 24:            # sup/sub baseline shift
                     rise = size * (_SUP_RISE if fl & 8 else _SUB_RISE)
                     ops.append(b'%g Ts' % rise)
-                if face == 0 and efont is not None:
-                    ops.append(b'/F7 %g Tf %s Tj'
-                               % (seg_size,
-                                  efont.hexstr(line[s0:s1])))
+                vf = None
+                if efont is not None:
+                    vf = cur_efam.get(face) if face else efont
+                if vf is not None:
+                    vname = b'F7' if face == 0 \
+                        else EFAM_FNAMES[face].encode()
+                    ops.append(b'/%s %g Tf %s Tj'
+                               % (vname, seg_size,
+                                  vf.hexstr(line[s0:s1])))
                 else:
                     ops.append(b'/%s %g Tf (%s) Tj' %
                                (STYLE_FNAMES[face].encode(), seg_size,
@@ -1586,6 +1611,9 @@ def main(argv=None):
             res_fonts[Name('F5')] = style_refs[3]
         if cur_efont is not None:
             res_fonts[Name('F7')] = cur_efont.type0_ref
+            for fb, nm in EFAM_FNAMES.items():
+                if fb in cur_efam:
+                    res_fonts[Name(nm)] = cur_efam[fb].type0_ref
         res = {Name('Font'): res_fonts}
         if xobjs:
             res[Name('XObject')] = xobjs
@@ -1967,8 +1995,13 @@ def main(argv=None):
         if not flow:
             continue
         flush_page()      # previous doc's leftovers, its own efont
-        cur_efont = embedded_font(body_font) \
-            if (body_font and proportional and styled) else None
+        cur_efam = {}
+        if body_font and proportional and styled:
+            for face_bits, fpath in body_font.items():
+                ef = embedded_font(fpath)
+                if ef is not None:
+                    cur_efam[face_bits] = ef
+        cur_efont = cur_efam.get(0)
         doc_first_page.setdefault(doc, len(page_refs))
         doc_base = posixpath.dirname(doc)
         chapter_pages.append((title or doc, len(page_refs)))
@@ -1983,13 +2016,19 @@ def main(argv=None):
                         farr[i] |= f
                 enc = text.encode('cp1252', 'replace')
                 # face-0 chars (incl. sup/sub-only runs) stay in the
-                # embedded face; bold/italic fall back to standard-14
-                return [style_widths[_flag_face(farr[i])][enc[i]] *
-                        size * _flag_scale(farr[i])
-                        if _flag_face(farr[i])
-                        else efont.adv(text[i]) * size *
-                        _flag_scale(farr[i])
-                        for i in range(len(text))]
+                # embedded face; bold/italic use the family's declared
+                # variant when it embedded, else standard-14
+                out = []
+                for i in range(len(text)):
+                    face = _flag_face(farr[i])
+                    sc = _flag_scale(farr[i])
+                    vf = cur_efam.get(face) if face else efont
+                    if vf is not None:
+                        out.append(vf.adv(text[i]) * size * sc)
+                    else:
+                        out.append(style_widths[face][enc[i]] *
+                                   size * sc)
+                return out
             if not styled or not pruns:
                 return None
             farr = [0] * len(text)

@@ -236,3 +236,86 @@ def test_embedded_otf_body_font(tmp_path):
     glyphs, _w, _h = extract_page_glyphs(r, 0)
     words = [w[0] for w in group_words(glyphs)]
     assert 'body' in words and 'words' in words
+
+
+# --- @font-face bold/italic variants ---------------------------------
+
+OPF_VARIANTS = '''<?xml version="1.0"?>
+<package xmlns="http://www.idpf.org/2007/opf" version="3.0"
+ unique-identifier="uid">
+ <metadata xmlns:dc="http://purl.org/dc/elements/1.1/">
+  <dc:identifier id="uid">%s</dc:identifier>
+  <dc:title>Variant fonts</dc:title></metadata>
+ <manifest><item id="c1" href="c1.xhtml"
+  media-type="application/xhtml+xml"/>
+  <item id="css" href="style.css" media-type="text/css"/>
+  <item id="f1" href="fonts/R.ttf"
+  media-type="application/x-font-ttf"/>
+  <item id="f2" href="fonts/B.ttf"
+  media-type="application/x-font-ttf"/>
+  <item id="f3" href="fonts/I.ttf"
+  media-type="application/x-font-ttf"/></manifest>
+ <spine><itemref idref="c1"/></spine></package>''' % UID
+
+CSS_VARIANTS = '''
+@font-face { font-family: "BookBody"; src: url(fonts/R.ttf); }
+@font-face { font-family: "BookBody"; src: url(fonts/B.ttf);
+  font-weight: bold; }
+@font-face { font-family: "BookBody"; src: url(fonts/I.ttf);
+  font-style: italic; }
+body { font-family: "BookBody", serif; }
+'''
+
+
+def _variant_data():
+    import glob
+    d = os.path.dirname(FONT_PATH)
+    return (open(os.path.join(d, 'DejaVuSans.ttf'), 'rb').read(),
+            open(os.path.join(d, 'DejaVuSans-Bold.ttf'), 'rb').read(),
+            open(os.path.join(d, 'DejaVuSans-Oblique.ttf'),
+                 'rb').read())
+
+
+def test_font_face_variants(tmp_path):
+    """Declared bold/italic @font-face variants of the body family
+    embed and carry their styled runs (instead of the standard-14
+    substitutes); an undeclared variant (bold-italic here) still
+    falls back to standard-14."""
+    reg, bold, ital = _variant_data()
+    epub = str(tmp_path / 'v.epub')
+    with zipfile.ZipFile(epub, 'w') as zf:
+        zf.writestr('mimetype', 'application/epub+zip')
+        zf.writestr('META-INF/container.xml', CONTAINER)
+        zf.writestr('content.opf', OPF_VARIANTS)
+        zf.writestr('style.css', CSS_VARIANTS)
+        zf.writestr('fonts/R.ttf', reg)
+        zf.writestr('fonts/B.ttf', bold)
+        zf.writestr('fonts/I.ttf', ital)
+        zf.writestr('c1.xhtml', XHTML %
+                    ('<p>roman body with <b>BOLDWORDS run</b> and '
+                     '<i>ITALWORDS run</i> and '
+                     '<b><i>BOTHWORDS</i></b> here</p>'))
+    out = str(tmp_path / 'out.pdf')
+    assert main([epub, out]) == 0
+    r = PdfReader(out)
+    c = r.page_contents(0)
+    # bold and italic runs switch to the variant Type0 faces (hex)
+    assert re.search(rb'/F7B 10 Tf <[0-9a-f]+> Tj', c)
+    assert re.search(rb'/F7I 10 Tf <[0-9a-f]+> Tj', c)
+    # undeclared bold-italic falls back to the standard-14 face
+    assert re.search(rb'/F5 10 Tf \(BOTHWORDS\) Tj', c)
+    # resources carry all three embedded faces with the right programs
+    fonts = r.resolve(r.resolve(r.pages()[0]['Resources'])['Font'])
+    for nm, data in (('F7', reg), ('F7B', bold), ('F7I', ital)):
+        t0 = r.resolve(fonts[nm])
+        assert str(r.resolve(t0.get('Subtype'))) == 'Type0'
+        desc = r.resolve(r.resolve(t0['DescendantFonts'])[0])
+        fd = r.resolve(desc['FontDescriptor'])
+        assert r.resolve(fd['FontFile2']).decoded() == data
+    # text extraction recovers words across all variant faces
+    from archive_pdf_tools_tpu.pdf.textextract import (
+        extract_page_glyphs, group_words)
+    glyphs, _w, _h = extract_page_glyphs(r, 0)
+    words = [w[0] for w in group_words(glyphs)]
+    for want in ('roman', 'BOLDWORDS', 'ITALWORDS', 'BOTHWORDS'):
+        assert want in words, words
