@@ -32,6 +32,48 @@ if _os.environ.get('APT_PLATFORM'):
 _os.environ.setdefault('JAX_COMPILATION_CACHE_DIR', '/tmp/jax_cache_apt')
 _os.environ.setdefault('JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS', '1')
 
+
+def _durable_cache_dir():
+    """Back /tmp/jax_cache_apt with a repo-local directory.
+
+    /tmp is periodically cleaned on this box (2026-08-20: the warm
+    cache shrank to 3 entries mid-day, which would cost a later bench
+    run 20-90 s of remote compile per kernel).  Real cache files live
+    in <repo>/.jax_cache; /tmp/jax_cache_apt becomes a symlink that
+    any process can cheaply recreate.  Entirely best-effort: every
+    failure path leaves the plain /tmp dir behavior."""
+    tmp = '/tmp/jax_cache_apt'
+    if _os.environ.get('JAX_COMPILATION_CACHE_DIR') != tmp:
+        return                      # user pointed elsewhere: respect it
+    backing = _os.path.join(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+        '.jax_cache')
+    try:
+        _os.makedirs(backing, exist_ok=True)
+        if _os.path.islink(tmp):
+            return                  # already migrated
+        if _os.path.isdir(tmp):
+            # adopt any entries a pre-migration process wrote, then
+            # swap the dir for a symlink (rename is atomic; losing the
+            # race to another process just leaves their symlink)
+            import shutil
+            for name in _os.listdir(tmp):
+                dst = _os.path.join(backing, name)
+                if not _os.path.exists(dst):
+                    try:
+                        shutil.copy2(_os.path.join(tmp, name), dst)
+                    except OSError:
+                        pass
+            aside = tmp + '.old.%d' % _os.getpid()
+            _os.rename(tmp, aside)
+            shutil.rmtree(aside, ignore_errors=True)
+        _os.symlink(backing, tmp)
+    except OSError:
+        pass
+
+
+_durable_cache_dir()
+
 from .const import VERSION, PRODUCER, __version__  # noqa: F401
 
 
