@@ -855,6 +855,34 @@ def _extract_flow(zf, doc_path):
                     if ctext:
                         flow.append(('text', ctext, clinks, cruns,
                                      block_meta(cap)))
+            def int_attr(el2, name):
+                try:
+                    return max(1, int(el2.get(name) or 1))
+                except ValueError:
+                    return 1
+
+            def cell_wfrac(td):
+                """Declared cell width as a fraction of the column
+                box (CSS width or the width= attribute; % direct,
+                px/pt/em against COL_W)."""
+                v = (_el_style(td, css_rules).get('width')
+                     or td.get('width') or '').strip()
+                if not v:
+                    return None
+                if v.endswith('%'):
+                    try:
+                        return min(max(float(v[:-1]), 1.0), 95.0) / 100
+                    except ValueError:
+                        return None
+                wl = _css_len(v)
+                if wl:
+                    return min(max(wl * _PX_TO_PT / COL_W, 0.02), 0.95)
+                return None
+
+            tst = _el_style(p, css_rules)
+            bspec = (tst.get('border') or tst.get('border-width')
+                     or p.get('border') or '').strip().lower()
+            border = bool(bspec) and not bspec.startswith(('0', 'none'))
             rows = []
             for tr in p.iter():
                 if not isinstance(tr.tag, str) or \
@@ -867,16 +895,16 @@ def _extract_flow(zf, doc_path):
                     tdl = (etree.QName(td).localname or '').lower()
                     if tdl in ('td', 'th'):
                         ctext, clinks, cruns = _text_and_links(td)
-                        try:
-                            span = max(1, int(td.get('colspan') or 1))
-                        except ValueError:
-                            span = 1
                         cells.append((ctext, clinks, cruns,
-                                      tdl == 'th', span))
+                                      tdl == 'th',
+                                      int_attr(td, 'colspan'),
+                                      int_attr(td, 'rowspan'),
+                                      cell_wfrac(td)))
                 if cells:
                     rows.append(cells)
             if rows:
-                flow.append(('table', rows, None, None, None))
+                flow.append(('table', rows, None, None,
+                             {'border': True} if border else None))
         elif local in BLOCKS:
             # text only (nested imgs were already collected above in
             # document order by this same iteration).  A block nested
@@ -1514,15 +1542,22 @@ def main(argv=None):
             y -= leading * len(text_run)
             text_run = []
 
-        def emit_row(cells, nlines, hdr):
+        def emit_row(cells, nlines, hdr, border=False):
             """One table row: every cell a BT block at its column x,
-            all sharing the row's top baseline grid."""
+            all sharing the row's top baseline grid.  Border tables
+            outline each cell (a rowspan cell's rect covers its own
+            content height)."""
             nonlocal y
             size, leading = FONT_SIZE, LEADING
-            for x_off, cell_lines in cells:
+            for x_off, cell_w, cell_lines, own_h in cells:
+                cx = MARGIN + x_off
+                if border:
+                    rh = leading * (own_h if own_h > nlines
+                                    else nlines)
+                    ops.append(b'q 0.5 w %g %g %g %g re S Q' %
+                               (cx - 3.0, y - rh, cell_w + 6.0, rh))
                 if not cell_lines:
                     continue
-                cx = MARGIN + x_off
                 ops.append(b'BT /F1 %g Tf %g %g Td %g TL' %
                            (size, cx, y, leading))
                 post = []
@@ -1580,7 +1615,8 @@ def main(argv=None):
                 flush_text()
                 run_color = None     # cells render black (emit_styled
                                      # restores to run_color)
-                emit_row(item[1], item[2], item[3])
+                emit_row(item[1], item[2], item[3],
+                         item[4] if len(item) > 4 else False)
             elif item[0] == 'float':
                 # floated image: drawn at the current y WITHOUT
                 # advancing it — the following narrow-wrapped lines
@@ -2117,36 +2153,99 @@ def main(argv=None):
             if kind not in ('text', 'li', 'quote'):
                 flush_float()
             if kind == 'table' and proportional:
-                # grid layout: equal columns with a 6 pt gutter, header
-                # cells bold, every cell wrapped to its column width
-                ncols = max(sum(c[4] for c in r) for r in payload)
+                # grid layout: column widths honor declared cell
+                # widths (equal shares otherwise), 6 pt gutters,
+                # header cells bold; rowspan cells blank their column
+                # in the rows they span; border tables draw cell rects
+                tmeta2 = bmeta or {}
+                border = bool(tmeta2.get('border'))
                 gutter = 6.0
-                cw = max((COL_W - gutter * (ncols - 1)) / ncols, 36.0)
+                # pass 1: column count + declared widths under
+                # rowspan carries ({col: [rows_left, span]})
+                carry = {}
+                ncols = 1
+                wfrac = {}
+                for row in payload:
+                    coli = 0
+                    new = {}
+                    for c in row:
+                        while coli in carry:
+                            coli += carry[coli][1]
+                        if c[6] and c[4] == 1 and coli not in wfrac:
+                            wfrac[coli] = c[6]
+                        if c[5] > 1:
+                            new[coli] = [c[5] - 1, c[4]]
+                        coli += c[4]
+                    ncols = max(ncols, coli)
+                    for k in list(carry):
+                        carry[k][0] -= 1
+                        if carry[k][0] <= 0:
+                            del carry[k]
+                    carry.update(new)
+                boxw = COL_W - gutter * (ncols - 1)
+                declared = sum(wfrac.get(i, 0.0) for i in range(ncols))
+                nfree = sum(1 for i in range(ncols) if i not in wfrac)
+                free = max(1.0 - min(declared, 0.9), 0.05)
+                cws = [max(boxw * (wfrac[i] if i in wfrac
+                                   else free / max(nfree, 1)), 24.0)
+                       for i in range(ncols)]
+                xoffs = [0.0]
+                for cwv in cws[:-1]:
+                    xoffs.append(xoffs[-1] + cwv + gutter)
                 size = FONT_SIZE
+                # pass 2: the same carry walk, plus pending-line
+                # accounting so a rowspan cell taller than its own row
+                # gets its full height before its column unblanks
+                # ({col: [rows_left, span, lines_left]})
+                carry = {}
                 for row in payload:
                     cells = []
-                    nlines = 0
+                    nlines = 1
                     hdr = False
                     coli = 0
-                    for ctext, clinks, cruns, is_th, span in row:
+                    new = {}
+                    for ctext, clinks, cruns, is_th, span, rspan, \
+                            _wf in row:
+                        while coli in carry:
+                            coli += carry[coli][1]
+                        coli = min(coli, ncols - 1)
                         hdr = hdr or is_th
                         if is_th:
                             cruns = [(0, len(ctext), 1)]
-                        cspecs = [(a, b, classify_href(h, doc_base, doc))
+                        cspecs = [(a, b,
+                                   classify_href(h, doc_base, doc))
                                   for a, b, h in (clinks or ())]
-                        cspecs = [s for s in cspecs if s[2] is not None]
-                        # a colspan-N cell owns N columns plus the
-                        # gutters between them
-                        cell_w = cw * span + gutter * (span - 1)
+                        cspecs = [s for s in cspecs
+                                  if s[2] is not None]
+                        span_eff = min(span, ncols - coli)
+                        cell_w = sum(cws[coli:coli + span_eff]) + \
+                            gutter * (span_eff - 1)
                         cl = wrapped_lines(ctext, cspecs, cruns,
                                            body_widths, size, cell_w)
-                        cells.append(((cw + gutter) * coli, cl))
-                        coli += span
-                        nlines = max(nlines, len(cl))
+                        cells.append((xoffs[coli], cell_w, cl,
+                                      len(cl)))
+                        if rspan > 1:
+                            new[coli] = [rspan - 1, span_eff, len(cl)]
+                        else:
+                            nlines = max(nlines, len(cl))
+                        coli += span_eff
+                    # a carry expiring after this row must have shown
+                    # all its remaining lines by the row's end
+                    for st3 in carry.values():
+                        if st3[0] == 1:
+                            nlines = max(nlines, st3[2])
+                    for k in list(carry):
+                        carry[k][0] -= 1
+                        carry[k][2] = max(0, carry[k][2] - nlines)
+                        if carry[k][0] <= 0:
+                            del carry[k]
+                    for k in new:
+                        new[k][2] = max(0, new[k][2] - nlines)
+                    carry.update(new)
                     if nlines > ROWS:
                         # degenerate over-tall row: cells fall back to
                         # sequential paragraphs (degradation contract)
-                        for x_off, cl in cells:
+                        for _x, _cw, cl, _oh in cells:
                             for ln in cl:
                                 cur_items.append(('line',) + ln[0:1]
                                                  + ('b', ln[1], ln[2],
@@ -2157,7 +2256,8 @@ def main(argv=None):
                         continue
                     if cur_rows + nlines > ROWS:
                         flush_page()
-                    cur_items.append(('row', cells, nlines, hdr))
+                    cur_items.append(('row', cells, nlines, hdr,
+                                      border))
                     cur_rows += nlines
                 if cur_items:
                     cur_items.append(('line', b'', 'b', None, None,
@@ -2166,7 +2266,7 @@ def main(argv=None):
                 continue
             if kind == 'table':     # monospace fallback: cells as rows
                 for row in payload:
-                    for ctext, _cl, _cr, _th, _sp in row:
+                    for ctext, _cl, _cr, _th, _sp, _rs, _wf in row:
                         for line, cs, ce in _wrap(ctext, COLS):
                             cur_items.append(('line', line, 'b'))
                             cur_rows += 1

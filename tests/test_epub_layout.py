@@ -660,3 +660,71 @@ def test_font_size_wraps_narrower(tmp_path):
     if cur:
         paras.append(cur)
     assert len(paras) == 2 and paras[1] > 1.5 * paras[0]
+
+
+def test_table_rowspan_blanks_column(tmp_path):
+    """A rowspan cell occupies its column across the spanned rows:
+    following rows' cells shift past it, and the spanned rows never
+    render another cell at that column."""
+    epub = str(tmp_path / 'rs.epub')
+    _epub(epub, '<table>'
+                '<tr><td rowspan="2">SPANCELL</td><td>R1C2</td></tr>'
+                '<tr><td>R2C2</td></tr>'
+                '<tr><td>R3C1</td><td>R3C2</td></tr></table>')
+    out = str(tmp_path / 'out.pdf')
+    assert main([epub, out]) == 0
+    c = _content(out)
+    cells = {}
+    for m in re.finditer(
+            rb'BT /F1 10 Tf ([\d.]+) ([\d.]+) Td [\d.]+ TL', c):
+        mm = re.search(rb'\(([^)]+)\)', c[m.end():m.end() + 80])
+        if mm:
+            cells[mm.group(1)] = (float(m.group(1)),
+                                  float(m.group(2)))
+    # row 2's only cell lands in COLUMN 2 (same x as R1C2), not col 1
+    assert cells[b'R2C2'][0] == cells[b'R1C2'][0] > MARGIN
+    assert cells[b'SPANCELL'][0] == MARGIN
+    # row 3 reclaims column 1
+    assert cells[b'R3C1'][0] == MARGIN
+    assert cells[b'R3C2'][0] == cells[b'R1C2'][0]
+    # rows keep their own baselines in order
+    assert cells[b'SPANCELL'][1] == cells[b'R1C2'][1]
+    assert cells[b'R2C2'][1] < cells[b'R1C2'][1]
+    assert cells[b'R3C1'][1] < cells[b'R2C2'][1]
+
+
+def test_table_column_widths(tmp_path):
+    """Declared cell widths (CSS or width=) set the column split."""
+    epub = str(tmp_path / 'cw.epub')
+    _epub(epub, '<table><tr>'
+                '<td style="width: 75%">WIDECELL</td>'
+                '<td>NARROWCELL</td></tr></table>')
+    out = str(tmp_path / 'out.pdf')
+    assert main([epub, out]) == 0
+    c = _content(out)
+    m = re.search(rb'BT /F1 10 Tf ([\d.]+) [\d.]+ Td [\d.]+ TL\n'
+                  rb'\(NARROWCELL', c)
+    assert m
+    from archive_pdf_tools_tpu.cli.epub_to_pdf import COL_W
+    # column 2 starts at 75% of the box + gutter
+    boxw = COL_W - 6.0
+    assert abs(float(m.group(1)) - (MARGIN + boxw * 0.75 + 6.0)) < 1.0
+
+
+def test_table_borders(tmp_path):
+    """border tables outline every cell (including empty ones); a
+    borderless table draws no rects."""
+    epub = str(tmp_path / 'bd.epub')
+    _epub(epub, '<table border="1">'
+                '<tr><td>A1</td><td>B1</td></tr>'
+                '<tr><td>A2</td><td></td></tr></table>'
+                '<table><tr><td>NOBORD</td></tr></table>')
+    out = str(tmp_path / 'out.pdf')
+    assert main([epub, out]) == 0
+    c = _content(out)
+    rects = re.findall(rb'q 0.5 w [\d.-]+ [\d.]+ [\d.]+ [\d.]+ re S Q',
+                       c)
+    assert len(rects) == 4          # 2x2 grid, empty cell included
+    # the borderless table stays rect-free: no rect after its text
+    assert b'NOBORD' in c
+    assert not re.search(rb'NOBORD.*re S Q', c, re.S)
