@@ -1229,6 +1229,83 @@ def _xps_color(s):
         return None
 
 
+def _xps_indices(spec):
+    """Parse a Glyphs ``Indices`` attribute (ECMA-388 12.1.3) into
+    (consume_chars, gid, advance, uoffset) entries — advance/uoffset
+    in 1/100 em, gid/advance None when defaulted.  A ClusterMapping
+    ``(m:n)`` makes the cluster's first entry consume m chars and the
+    following n-1 entries consume 0.  vOffset parses but is dropped
+    (no vertical glyph shifts in this subset)."""
+    out = []
+    pending = 0
+    for part in spec.split(';'):
+        m = re.match(r'^(?:\((\d+)(?::(\d+))?\))?(\d+)?'
+                     r'(?:,(-?[\d.]+)?(?:,(-?[\d.]+)?'
+                     r'(?:,(-?[\d.]+)?)?)?)?$', part.strip())
+        if not m:
+            out.append((1, None, None, 0.0))
+            continue
+        if m.group(1):
+            cu = int(m.group(1))
+            pending = (int(m.group(2)) if m.group(2) else 1) - 1
+        elif pending > 0:
+            cu = 0
+            pending -= 1
+        else:
+            cu = 1
+        out.append((cu,
+                    int(m.group(3)) if m.group(3) else None,
+                    float(m.group(4)) if m.group(4) else None,
+                    float(m.group(5)) if m.group(5) else 0.0))
+    return out
+
+
+def _tj_from_indices(ef, text, spec):
+    """(TJ-array bytes, total advance in em) for a Glyphs run whose
+    Indices override glyph ids/advances/offsets.  The pen is
+    corrected around every glyph so the XPS advances land exactly:
+    TJ numbers are thousandths of em, positive moves the pen LEFT
+    (PDF 32000-1 9.4.3)."""
+    items = []               # int gid | float adjustment
+    pend = 0.0
+    total = 0.0
+    ci = 0
+    for cu, gid, adv100, uo in _xps_indices(spec):
+        ch = text[ci] if ci < len(text) else None
+        if gid is None:
+            if ch is None:
+                break
+            gid = ef.gid_of(ch) or 0
+        uv = ord(ch) if (ch is not None and cu) else 0
+        nat = ef.gid_adv(gid, uv)
+        des = adv100 / 100.0 if adv100 is not None else nat
+        off = uo / 100.0
+        pre = pend - off * 1000.0
+        if abs(pre) > 1e-4:
+            items.append(pre)
+        items.append(gid)
+        # after the glyph the pen sits at origin + uoffset + natural;
+        # the next origin must be at + desired advance
+        pend = (nat + off - des) * 1000.0
+        total += des
+        ci += cu
+    parts = []
+    run = []
+    for it in items:
+        if isinstance(it, int):
+            run.append(it)
+        else:
+            if run:
+                parts.append('<%s>' % ''.join('%04x' % (g & 0xffff)
+                                              for g in run))
+                run = []
+            parts.append('%g' % it)
+    if run:
+        parts.append('<%s>' % ''.join('%04x' % (g & 0xffff)
+                                      for g in run))
+    return ('[%s] TJ' % ' '.join(parts)).encode('ascii'), total
+
+
 def _xps_path_bbox(data):
     """Bounding box of all coordinates in an abbreviated path Data
     string (enough for the axis-aligned fill-rect subset)."""
@@ -1882,7 +1959,8 @@ def main(argv=None):
                 text = el.get('UnicodeString') or ''
                 if text.startswith('{}'):     # literal-brace escape
                     text = text[2:]
-                if not text.strip():
+                indices = (el.get('Indices') or '').strip()
+                if not text.strip() and not indices:
                     return
                 size = (float(el.get('FontRenderingEmSize') or 10.0)
                         * scale_of(m) * _XPS_UNIT)
@@ -1903,11 +1981,23 @@ def main(argv=None):
                 if ef is not None:
                     fname = efont_name(ef)
                     page_efonts[fname] = ef.type0_ref
-                    ops.append(b'BT /%s %g Tf %g %g %g rg %g %g Td '
-                               b'%s Tj ET'
-                               % (fname.encode(), size, col[0], col[1],
-                                  col[2], x, y, ef.hexstr(text)))
-                    tw = sum(ef.adv(c) for c in text) * size
+                    if indices:
+                        # Indices name glyphs/advances directly (1/100
+                        # em): kerned and justified XPS text lands on
+                        # its exact pen positions via TJ adjustments
+                        tj, tem = _tj_from_indices(ef, text, indices)
+                        ops.append(b'BT /%s %g Tf %g %g %g rg '
+                                   b'%g %g Td %s ET'
+                                   % (fname.encode(), size, col[0],
+                                      col[1], col[2], x, y, tj))
+                        tw = tem * size
+                    else:
+                        ops.append(b'BT /%s %g Tf %g %g %g rg '
+                                   b'%g %g Td %s Tj ET'
+                                   % (fname.encode(), size, col[0],
+                                      col[1], col[2], x, y,
+                                      ef.hexstr(text)))
+                        tw = sum(ef.adv(c) for c in text) * size
                 else:
                     ops.append(b'BT /F1 %g Tf %g %g %g rg %g %g Td '
                                b'(%s) Tj ET'

@@ -65,6 +65,13 @@ class EmbeddedTTF:
             except Exception:
                 aw = 0.5
             self._map[uv] = (gid, aw)
+        # gid -> advance, for raw-glyph-id users (XPS Indices)
+        self._gid_adv = []
+        for gname in order:
+            try:
+                self._gid_adv.append(hmtx[gname][0] / upem)
+            except Exception:
+                self._gid_adv.append(0.5)
         head = font['head']
         scale = 1000.0 / upem
         hhea = font['hhea']
@@ -106,6 +113,21 @@ class EmbeddedTTF:
             return 0.5
         self._used[ent[0]] = (ord(ch), ent[1])
         return ent[1]
+
+    def gid_of(self, ch):
+        """Glyph id of `ch` (cmap), or None when unmapped."""
+        ent = self._map.get(ord(ch))
+        return ent[0] if ent else None
+
+    def gid_adv(self, gid, uv=0):
+        """Advance of a RAW glyph id as an em fraction (XPS Indices
+        name glyphs directly).  Records usage; `uv` feeds ToUnicode
+        (0 = no mapping — glyphs without a backing character)."""
+        aw = self._gid_adv[gid] if 0 <= gid < len(self._gid_adv) \
+            else 0.5
+        if gid not in self._used or (uv and not self._used[gid][0]):
+            self._used[gid] = (uv, aw)
+        return aw
 
     def hexstr(self, s):
         """`s` as an Identity-H hex string literal (b'<...>'),
@@ -186,7 +208,8 @@ class EmbeddedTTF:
         if not self._is_otf:     # CIDToGIDMap is Type2-only
             cid[Name('CIDToGIDMap')] = Name('Identity')
         writer.set(self._cid_ref, cid)
-        pairs = sorted((gid, uv) for gid, (uv, _w) in self._used.items())
+        pairs = sorted((gid, uv) for gid, (uv, _w) in self._used.items()
+                       if uv)     # uv 0: raw gid with no char mapping
         bf = []
         for gid, uv in pairs:
             if uv > 0xffff:      # UTF-16BE surrogate pair

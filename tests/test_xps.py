@@ -214,3 +214,97 @@ def test_xps_plain_ttf_fonturi(tmp_path):
         r.resolve(fonts['F8'])['DescendantFonts'])[0])
     fd = r.resolve(desc['FontDescriptor'])
     assert r.resolve(fd['FontFile2']).decoded() == data
+
+
+def test_xps_glyph_indices(tmp_path):
+    """Glyphs ``Indices`` overrides: explicit glyph ids + advances
+    (1/100 em) render as a TJ array with pen corrections, link-rect
+    widths use the XPS advances, cluster maps consume their chars and
+    glyph-only runs (no UnicodeString) still render."""
+    from archive_pdf_tools_tpu.pdf.embedfont import EmbeddedTTF
+    import re as _re
+    data = _dejavu()
+    probe = EmbeddedTTF(data)
+    g_a, g_b = probe.gid_of('A'), probe.gid_of('B')
+    nat_a = probe.gid_adv(g_a)            # em fraction
+    member = 'Resources/body.ttf'
+    # A at a forced 200/100 em advance, B default; plus a glyphs-only
+    # run naming raw gids with no UnicodeString
+    fpage = ('<FixedPage xmlns="%s" Width="816" Height="1056">'
+             '<Glyphs OriginX="96" OriginY="192" FontRenderingEmSize="32"'
+             ' UnicodeString="AB" Indices="%d,200;%d" Fill="#FF000000"'
+             ' FontUri="/%s"/>'
+             '<Glyphs OriginX="96" OriginY="400"'
+             ' FontRenderingEmSize="16" Indices="%d;%d" FontUri="/%s"/>'
+             '</FixedPage>') % (XPS_NS, g_a, g_b, member,
+                                g_a, g_b, member)
+    src = str(tmp_path / 'doc.xps')
+    with zipfile.ZipFile(src, 'w') as zf:
+        zf.writestr('FixedDocSeq.fdseq',
+                    '<FixedDocumentSequence xmlns="%s">'
+                    '<DocumentReference Source="/Documents/1/'
+                    'FixedDoc.fdoc"/></FixedDocumentSequence>' % XPS_NS)
+        zf.writestr('Documents/1/FixedDoc.fdoc',
+                    '<FixedDocument xmlns="%s">'
+                    '<PageContent Source="Pages/1.fpage"/>'
+                    '</FixedDocument>' % XPS_NS)
+        zf.writestr('Documents/1/Pages/1.fpage', fpage)
+        zf.writestr(member, data)
+    out = str(tmp_path / 'out.pdf')
+    assert main([src, out]) == 0
+    from archive_pdf_tools_tpu.pdf.reader import PdfReader
+    r = PdfReader(out)
+    c = r.page_contents(0)
+    # run 1: TJ array with A's gid, a pen correction of
+    # (nat - 2.0) * 1000 em-milliunits, then B's gid
+    m = _re.search(rb'\[<%04x> (-?[\d.]+) <%04x>\] TJ'
+                   % (g_a, g_b), c)
+    assert m, c[:600]
+    assert abs(float(m.group(1)) - (nat_a - 2.0) * 1000) < 0.5
+    # glyphs-only run renders a TJ/Tj with both gids too
+    assert c.count(b'%04x' % g_a) >= 2
+    # extraction still sees the AB text (ToUnicode from the uv pairs)
+    from archive_pdf_tools_tpu.pdf.textextract import (
+        extract_page_glyphs, group_words)
+    glyphs, _w, _h = extract_page_glyphs(r, 0)
+    words = [w[0] for w in group_words(glyphs)]
+    assert 'AB' in words, words
+
+
+def test_xps_indices_cluster_and_uoffset(tmp_path):
+    """A (2:1) cluster consumes two chars for one glyph; uOffset
+    shifts the glyph without moving the pen."""
+    from archive_pdf_tools_tpu.pdf.embedfont import EmbeddedTTF
+    import re as _re
+    data = _dejavu()
+    probe = EmbeddedTTF(data)
+    g_f, g_x = probe.gid_of('f'), probe.gid_of('x')
+    nat_f = probe.gid_adv(g_f)
+    member = 'Resources/body.ttf'
+    fpage = ('<FixedPage xmlns="%s" Width="816" Height="1056">'
+             '<Glyphs OriginX="96" OriginY="192"'
+             ' FontRenderingEmSize="20" UnicodeString="fix"'
+             ' Indices="(2:1)%d;%d,,25" Fill="#FF000000"'
+             ' FontUri="/%s"/>'
+             '</FixedPage>') % (XPS_NS, g_f, g_x, member)
+    src = str(tmp_path / 'doc.xps')
+    with zipfile.ZipFile(src, 'w') as zf:
+        zf.writestr('FixedDocSeq.fdseq',
+                    '<FixedDocumentSequence xmlns="%s">'
+                    '<DocumentReference Source="/Documents/1/'
+                    'FixedDoc.fdoc"/></FixedDocumentSequence>' % XPS_NS)
+        zf.writestr('Documents/1/FixedDoc.fdoc',
+                    '<FixedDocument xmlns="%s">'
+                    '<PageContent Source="Pages/1.fpage"/>'
+                    '</FixedDocument>' % XPS_NS)
+        zf.writestr('Documents/1/Pages/1.fpage', fpage)
+        zf.writestr(member, data)
+    out = str(tmp_path / 'out.pdf')
+    assert main([src, out]) == 0
+    from archive_pdf_tools_tpu.pdf.reader import PdfReader
+    c = PdfReader(out).page_contents(0)
+    # uOffset 25/100 em on x: a -250 pre-adjustment before its gid
+    m = _re.search(rb'\[<%04x> (-?[\d.]+) <%04x>\] TJ'
+                   % (g_f, g_x), c)
+    assert m, c[:600]
+    assert abs(float(m.group(1)) - (-250.0)) < 0.5
