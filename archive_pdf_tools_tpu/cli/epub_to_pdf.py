@@ -27,6 +27,7 @@ drops LINK_NAMED internal links.
 """
 
 import argparse
+import math
 import posixpath
 import re
 import sys
@@ -1306,6 +1307,181 @@ def _tj_from_indices(ef, text, spec):
     return ('[%s] TJ' % ' '.join(parts)).encode('ascii'), total
 
 
+def _arc_to_beziers(x1, y1, rx, ry, phi_deg, large, sweep, x2, y2):
+    """SVG/XPS endpoint-parametrized elliptical arc -> cubic bezier
+    control points [(c1x, c1y, c2x, c2y, x, y), ...] (segments of at
+    most 90 deg; F.6.5 center conversion)."""
+    if rx == 0 or ry == 0 or (x1, y1) == (x2, y2):
+        return []
+    rx, ry = abs(rx), abs(ry)
+    phi = math.radians(phi_deg % 360.0)
+    cp, sp = math.cos(phi), math.sin(phi)
+    dx2, dy2 = (x1 - x2) / 2.0, (y1 - y2) / 2.0
+    x1p = cp * dx2 + sp * dy2
+    y1p = -sp * dx2 + cp * dy2
+    lam = (x1p / rx) ** 2 + (y1p / ry) ** 2
+    if lam > 1:
+        s = math.sqrt(lam)
+        rx, ry = rx * s, ry * s
+    num = rx * rx * ry * ry - rx * rx * y1p * y1p - ry * ry * x1p * x1p
+    den = rx * rx * y1p * y1p + ry * ry * x1p * x1p
+    co = math.sqrt(max(num / den, 0.0)) if den else 0.0
+    if large == sweep:
+        co = -co
+    cxp = co * rx * y1p / ry
+    cyp = -co * ry * x1p / rx
+    cx = cp * cxp - sp * cyp + (x1 + x2) / 2.0
+    cy = sp * cxp + cp * cyp + (y1 + y2) / 2.0
+
+    def ang(ux, uy, vx, vy):
+        d = math.hypot(ux, uy) * math.hypot(vx, vy)
+        if not d:
+            return 0.0
+        a = math.acos(max(-1.0, min(1.0, (ux * vx + uy * vy) / d)))
+        return -a if ux * vy - uy * vx < 0 else a
+
+    th1 = ang(1, 0, (x1p - cxp) / rx, (y1p - cyp) / ry)
+    dth = ang((x1p - cxp) / rx, (y1p - cyp) / ry,
+              (-x1p - cxp) / rx, (-y1p - cyp) / ry)
+    if not sweep and dth > 0:
+        dth -= 2 * math.pi
+    elif sweep and dth < 0:
+        dth += 2 * math.pi
+    nseg = max(1, int(math.ceil(abs(dth) / (math.pi / 2))))
+    out = []
+    for i in range(nseg):
+        a0 = th1 + dth * i / nseg
+        a1 = th1 + dth * (i + 1) / nseg
+        t = 4.0 / 3.0 * math.tan((a1 - a0) / 4.0)
+
+        def pt(a):
+            return (cx + rx * math.cos(a) * cp - ry * math.sin(a) * sp,
+                    cy + rx * math.cos(a) * sp + ry * math.sin(a) * cp)
+
+        def dpt(a):
+            return (-rx * math.sin(a) * cp - ry * math.cos(a) * sp,
+                    -rx * math.sin(a) * sp + ry * math.cos(a) * cp)
+
+        p0, p3 = pt(a0), pt(a1)
+        d0, d3 = dpt(a0), dpt(a1)
+        out.append((p0[0] + t * d0[0], p0[1] + t * d0[1],
+                    p3[0] - t * d3[0], p3[1] - t * d3[1],
+                    p3[0], p3[1]))
+    return out
+
+
+def _xps_path_pdf_ops(data, xf):
+    """Translate an XPS abbreviated path geometry (ECMA-388 G.5:
+    F/M/L/H/V/C/Q/A/Z, lowercase = relative) into PDF path
+    construction ops through ``xf(x, y) -> device pt`` (affine, so
+    transforming bezier control points is exact).  Returns
+    (ops bytes, nonzero_fill) or None when the data doesn't parse."""
+    toks = re.findall(
+        r'([A-Za-z])|([-+]?\d*\.?\d+(?:[eE][-+]?\d+)?)', data or '')
+    seq = [(t[0], None) if t[0] else (None, float(t[1])) for t in toks]
+    i, n = 0, len(seq)
+    nonzero = False
+    ops = []
+    cur = (0.0, 0.0)
+    start = (0.0, 0.0)
+
+    def take(k):
+        nonlocal i
+        if i + k > n or any(seq[j][0] is not None
+                            for j in range(i, i + k)):
+            raise ValueError
+        vals = [seq[j][1] for j in range(i, i + k)]
+        i += k
+        return vals
+
+    def emit(op, *pts):
+        if pts:
+            ops.append(b' '.join(b'%g %g' % xf(px, py)
+                                 for px, py in pts) + b' ' + op)
+        else:
+            ops.append(op)
+
+    try:
+        while i < n:
+            cmd, val = seq[i]
+            if cmd is None:
+                raise ValueError
+            i += 1
+            rel = cmd.islower()
+            c = cmd.upper()
+            if c == 'F':
+                nonzero = bool(take(1)[0])
+            elif c == 'M':
+                first = True
+                while i < n and seq[i][0] is None:
+                    x, y = take(2)
+                    if rel:
+                        x, y = cur[0] + x, cur[1] + y
+                    cur = (x, y)
+                    if first:
+                        start = cur
+                        emit(b'm', cur)
+                        first = False
+                    else:        # extra pairs: implicit line-tos
+                        emit(b'l', cur)
+            elif c == 'L':
+                while i < n and seq[i][0] is None:
+                    x, y = take(2)
+                    if rel:
+                        x, y = cur[0] + x, cur[1] + y
+                    cur = (x, y)
+                    emit(b'l', cur)
+            elif c in 'HV':
+                while i < n and seq[i][0] is None:
+                    (v,) = take(1)
+                    if c == 'H':
+                        cur = ((cur[0] + v) if rel else v, cur[1])
+                    else:
+                        cur = (cur[0], (cur[1] + v) if rel else v)
+                    emit(b'l', cur)
+            elif c == 'C':
+                while i < n and seq[i][0] is None:
+                    x1, y1, x2, y2, x, y = take(6)
+                    if rel:
+                        x1, y1 = cur[0] + x1, cur[1] + y1
+                        x2, y2 = cur[0] + x2, cur[1] + y2
+                        x, y = cur[0] + x, cur[1] + y
+                    emit(b'c', (x1, y1), (x2, y2), (x, y))
+                    cur = (x, y)
+            elif c == 'Q':
+                while i < n and seq[i][0] is None:
+                    qx, qy, x, y = take(4)
+                    if rel:
+                        qx, qy = cur[0] + qx, cur[1] + qy
+                        x, y = cur[0] + x, cur[1] + y
+                    c1 = (cur[0] + 2.0 / 3 * (qx - cur[0]),
+                          cur[1] + 2.0 / 3 * (qy - cur[1]))
+                    c2 = (x + 2.0 / 3 * (qx - x),
+                          y + 2.0 / 3 * (qy - y))
+                    emit(b'c', c1, c2, (x, y))
+                    cur = (x, y)
+            elif c == 'A':
+                while i < n and seq[i][0] is None:
+                    rx, ry, rot, large, sweep, x, y = take(7)
+                    if rel:
+                        x, y = cur[0] + x, cur[1] + y
+                    for c1x, c1y, c2x, c2y, ex, ey in _arc_to_beziers(
+                            cur[0], cur[1], rx, ry, rot,
+                            bool(large), bool(sweep), x, y):
+                        emit(b'c', (c1x, c1y), (c2x, c2y), (ex, ey))
+                    cur = (x, y)
+            elif c == 'Z':
+                ops.append(b'h')
+                cur = start
+            else:
+                raise ValueError
+    except (ValueError, IndexError):
+        return None
+    if not ops:
+        return None
+    return b' '.join(ops), nonzero
+
+
 def _xps_path_bbox(data):
     """Bounding box of all coordinates in an abbreviated path Data
     string (enough for the axis-aligned fill-rect subset)."""
@@ -2047,11 +2223,15 @@ def main(argv=None):
                             x0, y0, name.encode()))
                     return
                 col = _xps_color(el.get('Fill'))
+                stroke = _xps_color(el.get('Stroke'))
+                try:
+                    sw = float(el.get('StrokeThickness') or 1.0)
+                except ValueError:
+                    sw = 1.0
                 data = el.get('Data') or ''
-                # solid fill: only the axis-aligned-rectangle subset
-                # (M/L/Z commands whose points all sit on the bbox
-                # corners) — anything fancier is skipped, not faked
-                if col is not None and data and \
+                # axis-aligned solid rect fast path keeps a crisp
+                # `re f` (M/L/Z whose points all sit on bbox corners)
+                if col is not None and stroke is None and data and \
                         not set(re.findall(r'[A-Za-z]', data)) - set('MLZ'):
                     bbox = _xps_path_bbox(data)
                     if bbox:
@@ -2069,6 +2249,30 @@ def main(argv=None):
                                                  bl[0], bl[1],
                                                  tr[0] - bl[0],
                                                  tr[1] - bl[1]))
+                            return
+                # general geometry: the full abbreviated-path grammar
+                # (lines, beziers, arcs) as PDF path ops, filled
+                # (even-odd default, F1 = nonzero) and/or stroked
+                if data and (col is not None or stroke is not None):
+                    pp = _xps_path_pdf_ops(
+                        data, lambda px, py: topdf(m, px, py))
+                    if pp:
+                        body, nonzero = pp
+                        pre = [b'q']
+                        if col is not None:
+                            pre.append(b'%g %g %g rg' % col)
+                        if stroke is not None:
+                            pre.append(b'%g %g %g RG' % stroke)
+                            pre.append(b'%g w' %
+                                       (sw * scale_of(m) * _XPS_UNIT))
+                        if col is not None and stroke is not None:
+                            paint = b'B' if nonzero else b'B*'
+                        elif col is not None:
+                            paint = b'f' if nonzero else b'f*'
+                        else:
+                            paint = b'S'
+                        ops.append(b' '.join(pre) + b' ' + body +
+                                   b' ' + paint + b' Q')
 
         walk(root, (1.0, 0.0, 0.0, 1.0, 0.0, 0.0))
         content = w.add(Stream({}, b'\n'.join(ops), deflate=True))

@@ -4,6 +4,7 @@ reference converts XPS through the same PyMuPDF call as EPUB,
 images positioned at their XPS coordinates (1/96 in -> pt)."""
 
 import io
+import re
 import zipfile
 
 import numpy as np
@@ -99,8 +100,8 @@ def test_xps_docinfo(tmp_path):
     assert 'XPS Title' in title
 
 
-def test_xps_multi_page_and_unfillable_path_skipped(tmp_path):
-    # curves are skipped, not faked as rectangles
+def test_xps_multi_page_and_curved_path(tmp_path):
+    # curves render as real bezier fills, not faked rectangles
     extra = ('<FixedPage xmlns="%s" Width="400" Height="400">'
              '<Path Fill="#FF00FF00" Data="M 0,0 C 10,10 20,20 30,0 Z"/>'
              '<Glyphs OriginX="10" OriginY="40" FontRenderingEmSize="12"'
@@ -113,7 +114,11 @@ def test_xps_multi_page_and_unfillable_path_skipped(tmp_path):
     assert r.page_count() == 2
     assert r.page_size(1) == (300.0, 300.0)
     c2 = r.page_contents(1)
-    assert b're f' not in c2          # the curve path was skipped
+    assert b're f' not in c2          # no rectangle faking
+    # M 0,0 -> (0, 300); C control points transformed (0.75 scale);
+    # XPS default fill rule is even-odd
+    assert re.search(rb'0 1 0 rg 0 300 m '
+                     rb'7\.5 292\.5 15 285 22\.5 300 c h f\* Q', c2)
     assert b'(p2) Tj' in c2
 
 
@@ -308,3 +313,33 @@ def test_xps_indices_cluster_and_uoffset(tmp_path):
                    % (g_f, g_x), c)
     assert m, c[:600]
     assert abs(float(m.group(1)) - (-250.0)) < 0.5
+
+
+def test_xps_arc_and_stroke(tmp_path):
+    """Elliptical arcs convert to beziers; stroked paths emit RG/w/S;
+    fill+stroke paints with B; F1 selects the nonzero rule."""
+    extra = ('<FixedPage xmlns="%s" Width="400" Height="400">'
+             '<Path Stroke="#FF0000FF" StrokeThickness="4"'
+             ' Data="M 100,100 A 50,50 0 0 1 200,100"/>'
+             '<Path Fill="#FFFF0000" Stroke="#FF000000"'
+             ' Data="F1 M 20,20 L 60,20 60,60 20,60 Z"/>'
+             '</FixedPage>') % XPS_NS
+    src = str(tmp_path / 'a.xps')
+    _xps(src, ext_pages=[extra])
+    out = str(tmp_path / 'out.pdf')
+    assert main([src, out]) == 0
+    c = PdfReader(out).page_contents(1)
+    # stroke-only arc: blue RG, 3 pt width (4 XPS units), bezier ops,
+    # painted S
+    m = re.search(rb'q 0 0 1 RG 3 w 75 225 m ((?:[\d. -]+ c ?)+) S Q',
+                  c)
+    assert m, c[:800]
+    # the arc lands on its endpoint (150, 225) in page space
+    assert b'150 225 c' in m.group(1)
+    # fill+stroke square: B with the nonzero rule (F1)
+    assert re.search(rb'q 1 0 0 rg 0 0 0 RG 0\.75 w 15 285 m .* h B Q',
+                     c)
+    # rasterizer draws it without error
+    from archive_pdf_tools_tpu.pdf.raster import Rasterizer
+    a = Rasterizer(PdfReader(out)).render_page(1)
+    assert (a < 128).any()
