@@ -1482,6 +1482,68 @@ def _xps_path_pdf_ops(data, xf):
     return b' '.join(ops), nonzero
 
 
+def _xps_geometry_data(el):
+    """Geometry of a <Path>: the ``Data`` attribute, or the child
+    ``<Path.Data>/<PathGeometry>`` form — its ``Figures`` attribute
+    is already abbreviated syntax; verbose ``PathFigure`` / segment
+    children (PolyLineSegment, PolyBezierSegment,
+    PolyQuadraticBezierSegment, ArcSegment) are synthesized into the
+    abbreviated string so one translator serves both."""
+    data = el.get('Data')
+    if data:
+        return data
+    geom = None
+    for ch in el:
+        if isinstance(ch.tag, str) and \
+                (etree.QName(ch).localname or '') == 'Path.Data':
+            for g in ch.iter():
+                if isinstance(g.tag, str) and \
+                        (etree.QName(g).localname or '') == \
+                        'PathGeometry':
+                    geom = g
+                    break
+    if geom is None:
+        return ''
+    parts = []
+    if (geom.get('FillRule') or '').lower() == 'nonzero':
+        parts.append('F1')
+    figs = (geom.get('Figures') or '').strip()
+    if figs:
+        parts.append(figs)
+        return ' '.join(parts)
+    for fig in geom:
+        if not isinstance(fig.tag, str) or \
+                (etree.QName(fig).localname or '') != 'PathFigure':
+            continue
+        sp = (fig.get('StartPoint') or '0,0').strip()
+        parts.append('M %s' % sp)
+        for seg in fig:
+            if not isinstance(seg.tag, str):
+                continue
+            sl = etree.QName(seg).localname or ''
+            pts = (seg.get('Points') or '').strip()
+            if sl == 'PolyLineSegment' and pts:
+                parts.append('L %s' % pts)
+            elif sl == 'PolyBezierSegment' and pts:
+                parts.append('C %s' % pts)
+            elif sl == 'PolyQuadraticBezierSegment' and pts:
+                parts.append('Q %s' % pts)
+            elif sl == 'ArcSegment':
+                size = (seg.get('Size') or '0,0').strip()
+                rot = (seg.get('RotationAngle') or '0').strip()
+                large = '1' if (seg.get('IsLargeArc') or
+                                '').lower() == 'true' else '0'
+                sweep = '1' if (seg.get('SweepDirection') or
+                                'Clockwise').lower() == 'clockwise' \
+                    else '0'
+                pt = (seg.get('Point') or '0,0').strip()
+                parts.append('A %s %s %s %s %s'
+                             % (size, rot, large, sweep, pt))
+        if (fig.get('IsClosed') or '').lower() == 'true':
+            parts.append('Z')
+    return ' '.join(parts)
+
+
 def _xps_path_bbox(data):
     """Bounding box of all coordinates in an abbreviated path Data
     string (enough for the axis-aligned fill-rect subset)."""
@@ -2193,7 +2255,7 @@ def main(argv=None):
                 m = _mat_mul(ctm, _xps_transform_of(el))
                 spec = nav_spec(el)
                 if spec is not None:
-                    bbox = _xps_path_bbox(el.get('Data') or '')
+                    bbox = _xps_path_bbox(_xps_geometry_data(el))
                     if bbox:
                         bl = topdf(m, bbox[0], bbox[3])
                         tr = topdf(m, bbox[2], bbox[1])
@@ -2228,7 +2290,7 @@ def main(argv=None):
                     sw = float(el.get('StrokeThickness') or 1.0)
                 except ValueError:
                     sw = 1.0
-                data = el.get('Data') or ''
+                data = _xps_geometry_data(el)
                 # axis-aligned solid rect fast path keeps a crisp
                 # `re f` (M/L/Z whose points all sit on bbox corners)
                 if col is not None and stroke is None and data and \

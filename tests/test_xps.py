@@ -343,3 +343,31 @@ def test_xps_arc_and_stroke(tmp_path):
     from archive_pdf_tools_tpu.pdf.raster import Rasterizer
     a = Rasterizer(PdfReader(out)).render_page(1)
     assert (a < 128).any()
+
+
+def test_xps_verbose_path_geometry(tmp_path):
+    """The verbose <Path.Data>/<PathGeometry> form renders through
+    the same translator (Figures attribute and PathFigure/segment
+    children both)."""
+    extra = ('<FixedPage xmlns="%s" Width="400" Height="400">'
+             '<Path Fill="#FF00FF00"><Path.Data>'
+             '<PathGeometry Figures="M 20,20 L 60,20 60,60 Z"/>'
+             '</Path.Data></Path>'
+             '<Path Fill="#FFFF0000"><Path.Data><PathGeometry'
+             ' FillRule="NonZero">'
+             '<PathFigure StartPoint="100,100" IsClosed="true">'
+             '<PolyLineSegment Points="140,100 140,140"/>'
+             '<PolyBezierSegment Points="150,150 160,160 170,140"/>'
+             '</PathFigure></PathGeometry></Path.Data></Path>'
+             '</FixedPage>') % XPS_NS
+    src = str(tmp_path / 'v.xps')
+    _xps(src, ext_pages=[extra])
+    out = str(tmp_path / 'out.pdf')
+    assert main([src, out]) == 0
+    c = PdfReader(out).page_contents(1)
+    # Figures attribute triangle: even-odd fill
+    assert re.search(rb'q 0 1 0 rg 15 285 m 45 285 l 45 255 l h f\* Q',
+                     c)
+    # verbose figure: nonzero fill with the bezier and closed path
+    assert re.search(rb'q 1 0 0 rg 75 225 m 105 225 l 105 195 l '
+                     rb'[\d. ]+ c h f Q', c)
