@@ -2303,7 +2303,10 @@ def main(argv=None):
                         x0_, y0_, x1_, y1_ = bbox
                         corners = {(x0_, y0_), (x0_, y1_),
                                    (x1_, y0_), (x1_, y1_)}
-                        if pts <= corners:
+                        # all four corners must appear: three of them
+                        # is a TRIANGLE (caught by the verbose-path
+                        # test), not a rectangle
+                        if pts == corners:
                             bl = topdf(m, x0_, y1_)
                             tr = topdf(m, x1_, y0_)
                             ops.append(b'q %g %g %g rg %g %g %g %g re '
