@@ -950,6 +950,13 @@ def _extract_flow(zf, doc_path):
                 flow.append((kind, text, links, runs, meta))
                 if _page_break(_el_style(p, css_rules), 'after'):
                     flow.append(('pb', None, None, None, None))
+        elif local == 'svg':
+            # inline vector drawing -> Form XObject block at its flow
+            # position; <image> refs inside are collected separately
+            # by the img branch (the form skips them)
+            if _in_tag(p, ('table', 'svg') + BLOCKS):
+                continue
+            flow.append(('svg', p, None, None, None))
         elif local in CONTAINERS:
             # bare text directly inside a container (and tails after
             # its nested blocks); nested blocks/containers emit their
@@ -1384,6 +1391,8 @@ def _xps_path_pdf_ops(data, xf):
     ops = []
     cur = (0.0, 0.0)
     start = (0.0, 0.0)
+    last_c = None        # last cubic control point (for SVG S)
+    last_q = None        # last quadratic control point (for SVG T)
 
     def take(k):
         nonlocal i
@@ -1409,6 +1418,10 @@ def _xps_path_pdf_ops(data, xf):
             i += 1
             rel = cmd.islower()
             c = cmd.upper()
+            if c not in 'CS':
+                last_c = None        # smooth-reflection state resets
+            if c not in 'QT':
+                last_q = None
             if c == 'F':
                 nonzero = bool(take(1)[0])
             elif c == 'M':
@@ -1448,6 +1461,21 @@ def _xps_path_pdf_ops(data, xf):
                         x, y = cur[0] + x, cur[1] + y
                     emit(b'c', (x1, y1), (x2, y2), (x, y))
                     cur = (x, y)
+                    last_c = (x2, y2)
+            elif c == 'S':
+                # SVG smooth cubic: c1 reflects the previous control
+                # point about the current point (SVG 1.1 8.3.6; not
+                # XPS, but the translator also serves inline SVG)
+                while i < n and seq[i][0] is None:
+                    x2, y2, x, y = take(4)
+                    if rel:
+                        x2, y2 = cur[0] + x2, cur[1] + y2
+                        x, y = cur[0] + x, cur[1] + y
+                    c1 = (2 * cur[0] - last_c[0],
+                          2 * cur[1] - last_c[1]) if last_c else cur
+                    emit(b'c', c1, (x2, y2), (x, y))
+                    cur = (x, y)
+                    last_c = (x2, y2)
             elif c == 'Q':
                 while i < n and seq[i][0] is None:
                     qx, qy, x, y = take(4)
@@ -1460,6 +1488,23 @@ def _xps_path_pdf_ops(data, xf):
                           y + 2.0 / 3 * (qy - y))
                     emit(b'c', c1, c2, (x, y))
                     cur = (x, y)
+                    last_q = (qx, qy)
+            elif c == 'T':
+                # SVG smooth quadratic: control point reflects
+                while i < n and seq[i][0] is None:
+                    x, y = take(2)
+                    if rel:
+                        x, y = cur[0] + x, cur[1] + y
+                    qx, qy = (2 * cur[0] - last_q[0],
+                              2 * cur[1] - last_q[1]) \
+                        if last_q else cur
+                    c1 = (cur[0] + 2.0 / 3 * (qx - cur[0]),
+                          cur[1] + 2.0 / 3 * (qy - cur[1]))
+                    c2 = (x + 2.0 / 3 * (qx - x),
+                          y + 2.0 / 3 * (qy - y))
+                    emit(b'c', c1, c2, (x, y))
+                    cur = (x, y)
+                    last_q = (qx, qy)
             elif c == 'A':
                 while i < n and seq[i][0] is None:
                     rx, ry, rot, large, sweep, x, y = take(7)
@@ -1480,6 +1525,198 @@ def _xps_path_pdf_ops(data, xf):
     if not ops:
         return None
     return b' '.join(ops), nonzero
+
+
+# --- inline SVG drawings (EPUB covers/diagrams) -----------------------
+
+_KAPPA = 0.5522847498307936
+
+
+def _svg_len(v, default=0.0):
+    m = re.match(r'^\s*(-?[\d.]+)', str(v)) if v is not None else None
+    return float(m.group(1)) if m else default
+
+
+def _svg_transform(s):
+    """SVG transform list -> one (a, b, c, d, e, f) matrix (SVG 1.1
+    7.6: left-to-right, later entries applied to coordinates first —
+    matching _mat_mul(parent, child))."""
+    mt = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+    for m in re.finditer(r'([a-zA-Z]+)\s*\(([^)]*)\)', s or ''):
+        op = m.group(1).lower()
+        try:
+            args = [float(v) for v in
+                    re.split(r'[\s,]+', m.group(2).strip()) if v]
+        except ValueError:
+            continue
+        if op == 'translate' and args:
+            t = (1, 0, 0, 1, args[0], args[1] if len(args) > 1 else 0)
+        elif op == 'scale' and args:
+            t = (args[0], 0, 0,
+                 args[1] if len(args) > 1 else args[0], 0, 0)
+        elif op == 'matrix' and len(args) == 6:
+            t = tuple(args)
+        elif op == 'rotate' and args:
+            a = math.radians(args[0])
+            r = (math.cos(a), math.sin(a),
+                 -math.sin(a), math.cos(a), 0, 0)
+            if len(args) >= 3:
+                cx, cy = args[1], args[2]
+                t = _mat_mul(_mat_mul((1, 0, 0, 1, cx, cy), r),
+                             (1, 0, 0, 1, -cx, -cy))
+            else:
+                t = r
+        else:
+            continue
+        mt = _mat_mul(mt, t)
+    return mt
+
+
+_SVG_STYLE_KEYS = ('fill', 'stroke', 'stroke-width', 'fill-rule')
+
+
+def _svg_form_ops(svg):
+    """Render an inline <svg> subtree's vector shapes (path, rect,
+    circle, ellipse, line, polyline, polygon; <g> groups with
+    transforms) into PDF ops for a Form XObject.  Returns
+    (ops bytes, w_pt, h_pt) or None when nothing drawable.  Image
+    refs inside the svg are NOT drawn here (the flow collects them
+    separately); gradients/filters/text are skipped."""
+    vb = (svg.get('viewBox') or '').strip()
+    if vb:
+        try:
+            vx, vy, vw, vh = [float(v) for v in re.split(r'[\s,]+', vb)]
+        except ValueError:
+            return None
+    else:
+        vx = vy = 0.0
+        vw = _svg_len(svg.get('width'), 0.0)
+        vh = _svg_len(svg.get('height'), 0.0)
+    if vw <= 0 or vh <= 0:
+        return None
+    w_pt = _svg_len(svg.get('width'), vw) * _PX_TO_PT
+    h_pt = _svg_len(svg.get('height'), vh) * _PX_TO_PT
+    if w_pt <= 0 or h_pt <= 0:
+        w_pt, h_pt = vw * _PX_TO_PT, vh * _PX_TO_PT
+    sx, sy = w_pt / vw, h_pt / vh
+    out = [b'%g 0 0 %g %g %g cm' % (sx, -sy, -vx * sx, h_pt + vy * sy)]
+    found = [0]
+    ident = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+
+    def ellipse_path(cx, cy, rx, ry):
+        k = _KAPPA
+        return (b'%g %g m '
+                b'%g %g %g %g %g %g c %g %g %g %g %g %g c '
+                b'%g %g %g %g %g %g c %g %g %g %g %g %g c h'
+                % (cx + rx, cy,
+                   cx + rx, cy + k * ry, cx + k * rx, cy + ry,
+                   cx, cy + ry,
+                   cx - k * rx, cy + ry, cx - rx, cy + k * ry,
+                   cx - rx, cy,
+                   cx - rx, cy - k * ry, cx - k * rx, cy - ry,
+                   cx, cy - ry,
+                   cx + k * rx, cy - ry, cx + rx, cy - k * ry,
+                   cx + rx, cy))
+
+    def poly_path(el, close):
+        pts = [float(v) for v in
+               re.split(r'[\s,]+', (el.get('points') or '').strip())
+               if v]
+        if len(pts) < 4:
+            return None
+        segs = [b'%g %g m' % (pts[0], pts[1])]
+        for j in range(2, len(pts) - 1, 2):
+            segs.append(b'%g %g l' % (pts[j], pts[j + 1]))
+        if close:
+            segs.append(b'h')
+        return b' '.join(segs)
+
+    def paint(body, st, local):
+        fill = (st.get('fill') or 'black').strip().lower()
+        fcol = None if fill in ('none', 'transparent') or \
+            local == 'line' else (_css_color(fill) or (0, 0, 0))
+        sv = (st.get('stroke') or 'none').strip().lower()
+        scol = None if sv in ('none', 'transparent') else _css_color(sv)
+        if fcol is None and scol is None:
+            return
+        pre = [b'q']
+        if fcol is not None:
+            pre.append(b'%g %g %g rg' % fcol)
+        if scol is not None:
+            pre.append(b'%g %g %g RG' % scol)
+            pre.append(b'%g w' % _svg_len(st.get('stroke-width'), 1.0))
+        eo = (st.get('fill-rule') or '').strip().lower() == 'evenodd'
+        if fcol is not None and scol is not None:
+            op = b'B*' if eo else b'B'
+        elif fcol is not None:
+            op = b'f*' if eo else b'f'
+        else:
+            op = b'S'
+        out.append(b' '.join(pre) + b' ' + body + b' ' + op + b' Q')
+        found[0] += 1
+
+    def walk(el, inh):
+        if not isinstance(el.tag, str):
+            return
+        local = (etree.QName(el).localname or '').lower()
+        st = dict(inh)
+        for k in _SVG_STYLE_KEYS:
+            if el.get(k) is not None:
+                st[k] = el.get(k)
+        st.update({k: v for k, v in
+                   _parse_inline_style(el.get('style')).items()
+                   if k in _SVG_STYLE_KEYS})
+        tr = (el.get('transform') or '').strip()
+        pre = b'q %g %g %g %g %g %g cm' % _svg_transform(tr) \
+            if tr else None
+        body = None
+        if local == 'path':
+            pp = _xps_path_pdf_ops(el.get('d') or '',
+                                   lambda px, py: (px, py))
+            if pp:
+                body = pp[0]
+        elif local == 'rect':
+            wv, hv = _svg_len(el.get('width')), _svg_len(el.get('height'))
+            if wv > 0 and hv > 0:
+                body = b'%g %g %g %g re' % (
+                    _svg_len(el.get('x')), _svg_len(el.get('y')),
+                    wv, hv)
+        elif local == 'circle':
+            r = _svg_len(el.get('r'))
+            if r > 0:
+                body = ellipse_path(_svg_len(el.get('cx')),
+                                    _svg_len(el.get('cy')), r, r)
+        elif local == 'ellipse':
+            rx, ry = _svg_len(el.get('rx')), _svg_len(el.get('ry'))
+            if rx > 0 and ry > 0:
+                body = ellipse_path(_svg_len(el.get('cx')),
+                                    _svg_len(el.get('cy')), rx, ry)
+        elif local == 'line':
+            body = b'%g %g m %g %g l' % (
+                _svg_len(el.get('x1')), _svg_len(el.get('y1')),
+                _svg_len(el.get('x2')), _svg_len(el.get('y2')))
+        elif local == 'polyline':
+            body = poly_path(el, close=False)
+        elif local == 'polygon':
+            body = poly_path(el, close=True)
+        if body is not None:
+            if pre:
+                out.append(pre)
+            paint(body, st, local)
+            if pre:
+                out.append(b'Q')
+        elif local in ('svg', 'g', 'a', 'switch'):
+            if pre:
+                out.append(pre)
+            for ch in el:
+                walk(ch, st)
+            if pre:
+                out.append(b'Q')
+
+    walk(svg, {})
+    if not found[0]:
+        return None
+    return b'\n'.join(out), w_pt, h_pt
 
 
 def _xps_geometry_data(el):
@@ -1992,6 +2229,33 @@ def main(argv=None):
         cur_items.append(('img', ref, w_pt, h_pt))
         cur_rows += rows
 
+    def add_svg_block(el):
+        """Inline <svg> -> Form XObject block in the flow.  The
+        form's /Matrix normalizes its BBox to the unit square so the
+        emitter's image cm (width 0 0 height x y) places it exactly
+        like a raster image."""
+        nonlocal cur_rows
+        res = _svg_form_ops(el)
+        if res is None:
+            return
+        body, wv, hv = res
+        ref = w.add(Stream({Name('Type'): Name('XObject'),
+                            Name('Subtype'): Name('Form'),
+                            Name('BBox'): [0, 0, round(wv, 2),
+                                           round(hv, 2)],
+                            Name('Matrix'): [round(1.0 / wv, 8), 0, 0,
+                                             round(1.0 / hv, 8), 0, 0]},
+                           body, deflate=True))
+        max_w = PAGE_W - 2 * MARGIN
+        max_h = PAGE_H - 2 * MARGIN - LEADING
+        scale = min(max_w / max(wv, 1e-6), max_h / max(hv, 1e-6), 1.0)
+        w_pt, h_pt = wv * scale, hv * scale
+        rows = int(-(-h_pt // LEADING))
+        if cur_rows + rows > ROWS:
+            flush_page()
+        cur_items.append(('img', ref, w_pt, h_pt))
+        cur_rows += rows
+
     def render_fixed_page(doc):
         """One pre-paginated spine document -> one PDF page at the
         declared viewport size, with absolutely-positioned images and
@@ -2494,6 +2758,10 @@ def main(argv=None):
                     flush_page()
                 cur_items.append(('rule',))
                 cur_rows += 1
+                continue
+            if kind == 'svg':
+                flush_float()
+                add_svg_block(payload)
                 continue
             if kind == 'img':
                 fl = plinks       # float side ('left'/'right') or None

@@ -728,3 +728,80 @@ def test_table_borders(tmp_path):
     # the borderless table stays rect-free: no rect after its text
     assert b'NOBORD' in c
     assert not re.search(rb'NOBORD.*re S Q', c, re.S)
+
+
+def test_inline_svg_renders_as_vector_block(tmp_path):
+    """An inline <svg> (cover art, diagrams) becomes a Form XObject
+    at its flow position: shapes with fills/strokes/transforms render
+    as vector ops; an svg holding only an <image> ref keeps the
+    raster path (no empty form)."""
+    svg = ('<svg xmlns="http://www.w3.org/2000/svg" width="200"'
+           ' height="100" viewBox="0 0 200 100">'
+           '<rect x="10" y="10" width="80" height="40" fill="#800000"/>'
+           '<circle cx="150" cy="50" r="30" fill="none"'
+           ' stroke="blue" stroke-width="4"/>'
+           '<g transform="translate(20,60)">'
+           '<path d="M 0,0 L 40,0 Q 60,20 40,30 Z" fill="green"/>'
+           '</g></svg>')
+    epub = str(tmp_path / 'v.epub')
+    _epub(epub, '<p>before art</p>%s<p>after art</p>' % svg)
+    out = str(tmp_path / 'out.pdf')
+    assert main([epub, out]) == 0
+    r = PdfReader(out)
+    page = r.pages()[0]
+    xo = r.resolve(r.resolve(page['Resources']).get('XObject'))
+    assert xo, 'no XObject placed'
+    form = r.resolve(list(xo.values())[0])
+    assert str(r.resolve(form.dict['Subtype'])) == 'Form'
+    body = form.decoded()
+    # rect at (10,10)-(90,50) in user units, maroon fill
+    assert re.search(rb'q 0\.50\d* 0 0 rg 10 10 80 40 re f Q', body)
+    # stroked circle: blue RG 4 w with bezier arcs
+    assert re.search(rb'q 0 0 1 RG 4 w 180 50 m .* c .* S Q', body)
+    # transformed group wraps its path in q cm ... Q
+    assert re.search(rb'q 1 0 0 1 20 60 cm\nq 0 0\.5 0 rg 0 0 m '
+                     rb'40 0 l .* c h f Q\nQ', body)
+    # the page keeps text around the drawing in order
+    c = r.page_contents(0)
+    assert c.find(b'before art') < c.find(b'/Im0 Do') \
+        < c.find(b'after art')
+    # rasterizes with visible ink from the shapes
+    from archive_pdf_tools_tpu.pdf.raster import Rasterizer
+    import numpy as np
+    a = Rasterizer(r).render_page(0)
+    assert int((a[:, :, 2].astype(int) - a[:, :, 0] > 40).sum()) > 20
+
+
+def test_svg_image_only_keeps_raster_path(tmp_path):
+    import io
+    from PIL import Image
+    buf = io.BytesIO()
+    Image.new('RGB', (60, 40), (9, 99, 199)).save(buf, 'JPEG')
+    with zipfile.ZipFile(str(tmp_path / 'c.epub'), 'w') as zf:
+        zf.writestr('mimetype', 'application/epub+zip')
+        zf.writestr('META-INF/container.xml', CONTAINER)
+        zf.writestr('content.opf', '''<?xml version="1.0"?>
+<package xmlns="http://www.idpf.org/2007/opf" version="3.0">
+ <metadata xmlns:dc="http://purl.org/dc/elements/1.1/">
+  <dc:title>Cover</dc:title></metadata>
+ <manifest><item id="c1" href="c1.xhtml"
+  media-type="application/xhtml+xml"/>
+ <item id="im" href="art.jpg" media-type="image/jpeg"/></manifest>
+ <spine><itemref idref="c1"/></spine></package>''')
+        zf.writestr('art.jpg', buf.getvalue())
+        zf.writestr('c1.xhtml',
+                    '<?xml version="1.0"?>\n<html xmlns='
+                    '"http://www.w3.org/1999/xhtml"><body>'
+                    '<svg xmlns="http://www.w3.org/2000/svg"'
+                    ' viewBox="0 0 60 40">'
+                    '<image xmlns:xlink="http://www.w3.org/1999/xlink"'
+                    ' xlink:href="art.jpg" width="60" height="40"/>'
+                    '</svg></body></html>')
+    out = str(tmp_path / 'out.pdf')
+    assert main([str(tmp_path / 'c.epub'), out]) == 0
+    r = PdfReader(out)
+    xo = r.resolve(r.resolve(r.pages()[0]['Resources'])['XObject'])
+    imgs = [r.resolve(v) for v in xo.values()]
+    # exactly the raster image, no empty vector form
+    assert len(imgs) == 1
+    assert str(r.resolve(imgs[0].dict['Subtype'])) == 'Image'
