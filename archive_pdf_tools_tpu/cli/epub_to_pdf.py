@@ -584,6 +584,30 @@ def _text_and_links(el, pre=False, stop=None):
     return stripped, out, runs
 
 
+def _apply_ttrans(text, mode):
+    """CSS text-transform, length-preserving per char (a char whose
+    case mapping changes length stays as-is, so link/style-run char
+    offsets remain exact)."""
+    if mode == 'uppercase':
+        return ''.join(c.upper() if len(c.upper()) == 1 else c
+                       for c in text)
+    if mode == 'lowercase':
+        return ''.join(c.lower() if len(c.lower()) == 1 else c
+                       for c in text)
+    if mode == 'capitalize':
+        out = []
+        prev_alpha = False
+        for c in text:
+            if c.isalpha() and not prev_alpha:
+                u = c.upper()
+                out.append(u if len(u) == 1 else c)
+            else:
+                out.append(c)
+            prev_alpha = c.isalpha()
+        return ''.join(out)
+    return text
+
+
 def _merge_link_runs(runs, lnks, n):
     """Merge style runs (bold=1|italic=2 bits) with link char ranges
     (bit 4) into one segment list for the emitter, so anchors render
@@ -770,12 +794,13 @@ def _extract_flow(zf, doc_path):
 
         ml = side_len('margin', 'left') + side_len('padding', 'left')
         mr = side_len('margin', 'right') + side_len('padding', 'right')
-        # color and font-size inherit: nearest explicit ancestor wins
+        # color, font-size, text-transform and line-height inherit:
+        # nearest explicit ancestor value wins for each
         node = el
-        need_col, need_fs = True, True
+        need_col = need_fs = need_tt = need_lh = True
         for _ in range(4):
             if node is None or not isinstance(node.tag, str) or \
-                    not (need_col or need_fs):
+                    not (need_col or need_fs or need_tt or need_lh):
                 break
             nst = st if node is el else _el_style(node, css_rules)
             if need_col:
@@ -791,6 +816,26 @@ def _extract_flow(zf, doc_path):
                     if abs(fs - FONT_SIZE) > 0.01:
                         meta['size_pt'] = fs
                     need_fs = False
+            if need_tt:
+                tv = (nst.get('text-transform') or '').strip().lower()
+                if tv in ('uppercase', 'lowercase', 'capitalize'):
+                    meta['ttrans'] = tv
+                    need_tt = False
+                elif tv == 'none':
+                    need_tt = False
+            if need_lh:
+                lhv = (nst.get('line-height') or '').strip().lower()
+                if lhv == 'normal':
+                    need_lh = False
+                elif lhv:
+                    if re.match(r'^[\d.]+$', lhv):
+                        meta['lh'] = ('mult', float(lhv))
+                        need_lh = False
+                    else:
+                        lpx = _css_len(lhv)
+                        if lpx:
+                            meta['lh'] = ('abs', lpx * _PX_TO_PT)
+                            need_lh = False
             node = node.getparent() if hasattr(node, 'getparent') \
                 else None
         if ml > 0:
@@ -810,7 +855,8 @@ def _extract_flow(zf, doc_path):
     BLOCKS = ('p', 'h1', 'h2', 'h3', 'h4', 'h5', 'h6', 'li',
               'blockquote', 'td', 'th', 'dt', 'dd', 'caption',
               'figcaption', 'pre')
-    KIND = {'li': 'li', 'blockquote': 'quote', 'pre': 'pre'}
+    KIND = {'li': 'li', 'blockquote': 'quote', 'pre': 'pre',
+            'dd': 'quote'}
     # container elements: only their DIRECT text (bare text in a
     # <div>, tails after nested blocks) becomes a flow entry — the
     # nested blocks produce their own entries.  Without this, text
@@ -2054,7 +2100,7 @@ def main(argv=None):
                 return
             fname, size, leading, _u = STYLES[run_style]
             if run_size:
-                size, leading = run_size, run_size * 1.3
+                size, leading = run_size
             x_text = MARGIN + run_indent
             if run_color:
                 # rg is graphics state (BT/ET does not reset it):
@@ -2920,19 +2966,35 @@ def main(argv=None):
                           else mono_widths if style == 'm'
                           else body_widths)
                 size = STYLES[style][1]
-                # per-block CSS font-size overrides the style size
-                # (body/embedded/heading faces; pre keeps Courier 9)
+                # per-block CSS font-size / line-height override the
+                # style metrics (body/embedded/heading faces; pre
+                # keeps Courier 9); text-transform rewrites chars in
+                # place (length-preserving, offsets stay exact)
                 osize = bm.get('size_pt') \
                     if style in ('b', 'e', 'h') else None
                 if osize:
                     size = osize
+                if style != 'm' and bm.get('ttrans'):
+                    payload = _apply_ttrans(payload, bm['ttrans'])
+                lh = bm.get('lh') if style in ('b', 'e', 'h') else None
+                ovr = None
+                if osize or lh:
+                    if lh and lh[0] == 'mult':
+                        lead = lh[1] * size
+                    elif lh:
+                        lead = lh[1]
+                    else:
+                        lead = size * 1.3
+                    lead = min(max(lead, size * 1.05), size * 4.0)
+                    ovr = (size, lead)
+                    units = lead / LEADING
+                else:
+                    units = STYLES[style][3]
                 specs = [(a, b, classify_href(href, doc_base, doc))
                          for a, b, href in (plinks or ())]
                 specs = [s for s in specs if s[2] is not None]
                 if style in ('h', 'm'):
                     pruns = None      # head/pre faces carry no runs
-                units = (size * 1.3 / LEADING) if osize \
-                    else STYLES[style][3]
                 if pending_float is not None and style in ('b', 'e'):
                     # float layout: the image sits at the left/right
                     # margin; this block's first fl_rows lines wrap in
@@ -2959,7 +3021,7 @@ def main(argv=None):
                     for line, llinks, lruns, adv_line in head:
                         cur_items.append(('line', line, style, llinks,
                                           lruns, adv_line, n_ind,
-                                          colr, osize))
+                                          colr, ovr))
                         cur_rows += units
                     for _ in range(fl_rows - len(head)):
                         cur_items.append(('line', b'', style, None,
@@ -2982,7 +3044,7 @@ def main(argv=None):
                                              else None):
                             cur_items.append(('line', line, style,
                                               llinks, lruns, adv_line,
-                                              indent, colr, osize))
+                                              indent, colr, ovr))
                             cur_rows += units
                             if cur_rows >= ROWS:
                                 flush_page()
@@ -3016,7 +3078,7 @@ def main(argv=None):
                         cur_items.append(('line', line, style, llinks,
                                           lruns, adv_line,
                                           indent + ti_pt, colr,
-                                          osize))
+                                          ovr))
                         cur_rows += units
                         if cur_rows >= ROWS:
                             flush_page()
@@ -3037,7 +3099,7 @@ def main(argv=None):
                                              else None):
                             cur_items.append(('line', line, style,
                                               llinks, lruns, adv_line,
-                                              indent, colr, osize))
+                                              indent, colr, ovr))
                             cur_rows += units
                             if cur_rows >= ROWS:
                                 flush_page()
@@ -3055,7 +3117,7 @@ def main(argv=None):
                                                 'center' else rem)
                         cur_items.append(('line', line, style, llinks,
                                           lruns, adv_line, ind, colr,
-                                          osize))
+                                          ovr))
                         cur_rows += units
                         if cur_rows >= ROWS:
                             flush_page()

@@ -805,3 +805,44 @@ def test_svg_image_only_keeps_raster_path(tmp_path):
     # exactly the raster image, no empty vector form
     assert len(imgs) == 1
     assert str(r.resolve(imgs[0].dict['Subtype'])) == 'Image'
+
+
+def test_text_transform_and_line_height(tmp_path):
+    """text-transform rewrites characters length-preserving (link
+    offsets stay exact); line-height scales the leading (unitless
+    multiple of the block size, or absolute)."""
+    epub = str(tmp_path / 'tt.epub')
+    _epub(epub, '<p style="text-transform: uppercase">shout '
+                '<a href="https://x.org/">quiet link</a> words</p>'
+                '<p style="text-transform: capitalize">the quick '
+                'brown fox</p>'
+                '<p style="line-height: 2">double spaced paragraph '
+                'line</p>'
+                '<p style="line-height: 26px">absolute leading</p>')
+    out = str(tmp_path / 'out.pdf')
+    assert main([epub, out]) == 0
+    c = _content(out)
+    assert b'SHOUT ' in c and b'QUIET LINK' in c and b'WORDS' in c
+    assert b'The Quick Brown Fox' in c
+    # line-height 2 -> 20 pt TL at the 10 pt body
+    assert re.search(rb'BT /F1 10 Tf [\d.]+ [\d.]+ Td 20 TL\n'
+                     rb'\(double spaced', c)
+    # 26 px -> 19.5 pt
+    assert re.search(rb'Td 19\.5 TL\n\(absolute leading', c)
+    # the uppercased link still carries its annotation with a rect
+    r = PdfReader(out)
+    annots = r.resolve(r.pages()[0].get('Annots'))
+    assert annots and len(annots) == 1
+
+
+def test_dd_indents(tmp_path):
+    epub = str(tmp_path / 'dl.epub')
+    _epub(epub, '<dl><dt>Term</dt><dd>Definition text</dd></dl>')
+    out = str(tmp_path / 'out.pdf')
+    assert main([epub, out]) == 0
+    c = _content(out)
+    m = re.search(rb'Tf ([\d.]+) [\d.]+ Td [\d.]+ TL\n\(Definition',
+                  c)
+    assert m and float(m.group(1)) == MARGIN + 24.0
+    m = re.search(rb'Tf ([\d.]+) [\d.]+ Td [\d.]+ TL\n\(Term', c)
+    assert m and float(m.group(1)) == MARGIN
