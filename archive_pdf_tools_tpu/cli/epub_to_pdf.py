@@ -35,6 +35,7 @@ import zipfile
 
 from lxml import etree
 
+from ..const import __version__
 from ..pdf.writer import PdfWriter, Name, Stream
 from ..pdf.embedfont import EmbeddedTTF
 
@@ -1847,7 +1848,15 @@ def main(argv=None):
     parser.add_argument('outfile')
     args = parser.parse_args(argv)
 
-    zf = zipfile.ZipFile(args.infile)
+    with open(args.infile, 'rb') as _probe:
+        if _probe.read(5) == b'%PDF-':
+            # same contract as the reference CLI (bin/epub-to-pdf:43)
+            raise SystemExit('document is PDF already')
+    try:
+        zf = zipfile.ZipFile(args.infile)
+    except zipfile.BadZipFile:
+        raise SystemExit('%s: not an EPUB/XPS/CBZ (zip) document'
+                         % args.infile)
     xps = is_xps(args.infile, zf)
     cbz = not xps and is_cbz(args.infile, zf)
     enc_map, pkg_uid = {}, ''
@@ -3193,6 +3202,12 @@ def main(argv=None):
 
     w.set(catalog_ref, catalog)
     info = {}
+    # reference parity: stamp converter Producer/Creator when the
+    # input carries none (/root/reference/bin/epub-to-pdf:52-60)
+    info[Name('Producer')] = \
+        'Internet Archive PDF converter (archive-pdf-tools-tpu %s)' \
+        % __version__
+    info[Name('Creator')] = 'Internet Archive PDF converter'
     if 'title' in meta:
         info[Name('Title')] = meta['title']
     if 'creator' in meta:

@@ -323,3 +323,46 @@ class TestPdfcomp:
         out = str(tmp_path / 'pc2.pdf')
         assert pdfcomp_main([src, out]) == 0
         assert PdfReader(out).page_count() == 2
+
+
+def test_epub_to_pdf_rejects_pdf_and_stamps_producer(tmp_path):
+    """Reference-CLI contract: PDF input exits with 'document is PDF
+    already' (bin/epub-to-pdf:43); output carries the converter
+    Producer/Creator (bin/epub-to-pdf:52-60)."""
+    import pytest
+    import zipfile
+    from archive_pdf_tools_tpu.cli.epub_to_pdf import main as e2p
+    pdfish = tmp_path / 'in.pdf'
+    pdfish.write_bytes(b'%PDF-1.4\n%%EOF\n')
+    with pytest.raises(SystemExit, match='document is PDF already'):
+        e2p([str(pdfish), str(tmp_path / 'o.pdf')])
+    notzip = tmp_path / 'junk.epub'
+    notzip.write_bytes(b'garbage bytes')
+    with pytest.raises(SystemExit, match='not an EPUB/XPS/CBZ'):
+        e2p([str(notzip), str(tmp_path / 'o.pdf')])
+    # a real conversion stamps Producer/Creator
+    src = tmp_path / 'b.epub'
+    with zipfile.ZipFile(str(src), 'w') as zf:
+        zf.writestr('mimetype', 'application/epub+zip')
+        zf.writestr('META-INF/container.xml',
+                    '<?xml version="1.0"?><container xmlns="urn:oasis:'
+                    'names:tc:opendocument:xmlns:container" version='
+                    '"1.0"><rootfiles><rootfile full-path="c.opf" '
+                    'media-type="application/oebps-package+xml"/>'
+                    '</rootfiles></container>')
+        zf.writestr('c.opf', '<?xml version="1.0"?>'
+                    '<package xmlns="http://www.idpf.org/2007/opf" '
+                    'version="3.0"><metadata xmlns:dc="http://purl.'
+                    'org/dc/elements/1.1/"><dc:title>T</dc:title>'
+                    '</metadata><manifest><item id="c1" href="c.xhtml"'
+                    ' media-type="application/xhtml+xml"/></manifest>'
+                    '<spine><itemref idref="c1"/></spine></package>')
+        zf.writestr('c.xhtml', '<html xmlns="http://www.w3.org/1999/'
+                    'xhtml"><body><p>hello</p></body></html>')
+    out = str(tmp_path / 'out.pdf')
+    assert e2p([str(src), out]) == 0
+    from archive_pdf_tools_tpu.pdf.reader import PdfReader
+    info = PdfReader(out).info()
+    prod = info.get('Producer')
+    prod = prod.decode() if isinstance(prod, bytes) else str(prod)
+    assert 'Internet Archive PDF converter' in prod
