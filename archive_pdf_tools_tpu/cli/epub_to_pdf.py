@@ -115,6 +115,115 @@ def _spine_docs(zf, opf_path):
     return docs, meta
 
 
+def _epub_toc(zf, opf_path):
+    """The book's declared table of contents as a nested tree of
+    (title, doc_path, children): the EPUB 3 nav document
+    (manifest item with properties~=nav, its epub:type="toc" <nav>)
+    first, the EPUB 2 NCX navMap otherwise, [] when neither parses.
+    The reference recovers exactly this via PyMuPDF's get_toc()/
+    set_toc() (bin/epub-to-pdf:47-48)."""
+    try:
+        opf = etree.fromstring(zf.read(opf_path))
+    except Exception:
+        return []
+    base = posixpath.dirname(opf_path)
+    names = set(zf.namelist())
+
+    def respath(doc_base, href):
+        path = posixpath.normpath(
+            posixpath.join(doc_base, href.split('#')[0]))
+        return path if path in names else None
+
+    nav_href = ncx_href = None
+    for item in opf.findall('.//{*}manifest/{*}item'):
+        props = (item.get('properties') or '').split()
+        if 'nav' in props:
+            nav_href = item.get('href')
+        if (item.get('media-type') or '') == \
+                'application/x-dtbncx+xml':
+            ncx_href = item.get('href')
+    if nav_href:
+        path = respath(base, nav_href)
+        if path:
+            try:
+                root = etree.fromstring(zf.read(path))
+                nav_base = posixpath.dirname(path)
+                for nav in root.iter('{*}nav'):
+                    typ = nav.get(
+                        '{http://www.idpf.org/2007/ops}type') or ''
+                    if 'toc' not in typ.split():
+                        continue
+
+                    def ol_entries(ol):
+                        out = []
+                        for li in ol:
+                            if not isinstance(li.tag, str) or \
+                                    (etree.QName(li).localname or
+                                     '') != 'li':
+                                continue
+                            title, target, kids = '', None, []
+                            for ch in li:
+                                if not isinstance(ch.tag, str):
+                                    continue
+                                cl = etree.QName(ch).localname or ''
+                                if cl in ('a', 'span'):
+                                    title = ' '.join(
+                                        ch.itertext()).strip()
+                                    if cl == 'a' and ch.get('href'):
+                                        target = respath(
+                                            nav_base, ch.get('href'))
+                                elif cl == 'ol':
+                                    kids = ol_entries(ch)
+                            if title or kids:
+                                out.append((title, target, kids))
+                        return out
+
+                    for ch in nav:
+                        if isinstance(ch.tag, str) and \
+                                (etree.QName(ch).localname or '') \
+                                == 'ol':
+                            entries = ol_entries(ch)
+                            if entries:
+                                return entries
+            except Exception:
+                pass
+    if ncx_href:
+        path = respath(base, ncx_href)
+        if path:
+            try:
+                root = etree.fromstring(zf.read(path))
+                ncx_base = posixpath.dirname(path)
+
+                def navpoints(parent):
+                    out = []
+                    for np in parent:
+                        if not isinstance(np.tag, str) or \
+                                (etree.QName(np).localname or '') != \
+                                'navPoint':
+                            continue
+                        title, target = '', None
+                        for ch in np:
+                            if not isinstance(ch.tag, str):
+                                continue
+                            cl = etree.QName(ch).localname or ''
+                            if cl == 'navLabel':
+                                title = ' '.join(
+                                    ch.itertext()).strip()
+                            elif cl == 'content' and ch.get('src'):
+                                target = respath(ncx_base,
+                                                 ch.get('src'))
+                        out.append((title, target, navpoints(np)))
+                    return out
+
+                for nm in root.iter('{*}navMap'):
+                    entries = navpoints(nm)
+                    if entries:
+                        return entries
+            except Exception:
+                pass
+    return []
+
+
 def _encryption_map(zf):
     """META-INF/encryption.xml -> {zip path: algorithm URI}.  EPUBs
     ship their @font-face fonts 'mangled' this way routinely (IDPF
@@ -1860,6 +1969,7 @@ def main(argv=None):
     xps = is_xps(args.infile, zf)
     cbz = not xps and is_cbz(args.infile, zf)
     enc_map, pkg_uid = {}, ''
+    toc_tree = []
     if xps or cbz:
         docs, meta = [], (_xps_meta(zf) if xps else {})
     else:
@@ -1867,6 +1977,7 @@ def main(argv=None):
         docs, meta = _spine_docs(zf, opf)
         enc_map = _encryption_map(zf)
         pkg_uid = _package_uid(zf, opf)
+        toc_tree = _epub_toc(zf, opf)
 
     w = PdfWriter()
     catalog_ref = w.reserve()
@@ -3181,7 +3292,53 @@ def main(argv=None):
                       Name('Count'): len(page_refs)})
     catalog = {Name('Type'): Name('Catalog'), Name('Pages'): pages_ref}
 
-    if chapter_pages:
+    def toc_resolvable(entries):
+        return any(doc_first_page.get(t) is not None or
+                   toc_resolvable(kids)
+                   for _ti, t, kids in entries)
+
+    def emit_outline(entries, parent_ref):
+        """Nested (title, target, kids) -> linked outline items;
+        returns (sibling refs, total visible count)."""
+        items = []
+        total = 0
+        for title, target, kids in entries:
+            ref = w.reserve()
+            item = {Name('Title'): title or '',
+                    Name('Parent'): parent_ref}
+            pidx = doc_first_page.get(target) if target else None
+            if pidx is not None and pidx < len(page_refs):
+                item[Name('Dest')] = [page_refs[pidx], Name('XYZ'),
+                                      None, None, None]
+            if kids:
+                kid_refs, kcount = emit_outline(kids, ref)
+                if kid_refs:
+                    item[Name('First')] = kid_refs[0]
+                    item[Name('Last')] = kid_refs[-1]
+                    item[Name('Count')] = kcount
+                    total += kcount
+            items.append((ref, item))
+            total += 1
+        for i, (ref, item) in enumerate(items):
+            if i > 0:
+                item[Name('Prev')] = items[i - 1][0]
+            if i + 1 < len(items):
+                item[Name('Next')] = items[i + 1][0]
+            w.set(ref, item)
+        return [r for r, _ in items], total
+
+    if toc_tree and toc_resolvable(toc_tree):
+        # the book's own declared TOC (nav doc / NCX), nested — what
+        # the reference recovers via get_toc()/set_toc()
+        outlines_ref = w.reserve()
+        kid_refs, total = emit_outline(toc_tree, outlines_ref)
+        w.set(outlines_ref, {Name('Type'): Name('Outlines'),
+                             Name('First'): kid_refs[0],
+                             Name('Last'): kid_refs[-1],
+                             Name('Count'): total})
+        catalog[Name('Outlines')] = outlines_ref
+    elif chapter_pages:
+        # fallback: first heading of each spine document
         outlines_ref = w.reserve()
         item_refs = [w.reserve() for _ in chapter_pages]
         for i, (title, pidx) in enumerate(chapter_pages):

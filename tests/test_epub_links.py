@@ -10,6 +10,8 @@ links.
 
 import zipfile
 
+import pytest
+
 from archive_pdf_tools_tpu.cli.epub_to_pdf import main, MARGIN, PAGE_W
 from archive_pdf_tools_tpu.pdf.reader import PdfReader, PRef
 
@@ -170,3 +172,103 @@ def test_xps_navigate_uri(tmp_path):
     # path bbox 96..288 x 384..432 XPS units
     assert abs(gx0 - 96 * 0.75) < 0.5 and abs(gx1 - 288 * 0.75) < 0.5
     assert abs(gy1 - (1056 - 384) * 0.75) < 0.5
+
+
+# --- declared TOC (nav / NCX) -> nested outline ----------------------
+
+def _toc_epub(path, use_nav):
+    nav = ('<?xml version="1.0"?><html xmlns="http://www.w3.org/1999'
+           '/xhtml" xmlns:epub="http://www.idpf.org/2007/ops"><body>'
+           '<nav epub:type="toc"><ol>'
+           '<li><a href="c1.xhtml">Part One</a><ol>'
+           '<li><a href="c1.xhtml">Chapter 1</a></li>'
+           '<li><a href="c2.xhtml">Chapter 2</a></li></ol></li>'
+           '<li><a href="c3.xhtml">Part Two</a></li>'
+           '</ol></nav></body></html>')
+    ncx = ('<?xml version="1.0"?><ncx xmlns="http://www.daisy.org/'
+           'z3986/2005/ncx/" version="2005-1"><navMap>'
+           '<navPoint id="n1"><navLabel><text>Part One</text>'
+           '</navLabel><content src="c1.xhtml"/>'
+           '<navPoint id="n2"><navLabel><text>Chapter 2</text>'
+           '</navLabel><content src="c2.xhtml"/></navPoint>'
+           '</navPoint>'
+           '<navPoint id="n3"><navLabel><text>Part Two</text>'
+           '</navLabel><content src="c3.xhtml"/></navPoint>'
+           '</navMap></ncx>')
+    items = ['<item id="c%d" href="c%d.xhtml" media-type='
+             '"application/xhtml+xml"/>' % (i, i) for i in (1, 2, 3)]
+    if use_nav:
+        items.append('<item id="nav" href="nav.xhtml" properties='
+                     '"nav" media-type="application/xhtml+xml"/>')
+    else:
+        items.append('<item id="ncx" href="toc.ncx" media-type='
+                     '"application/x-dtbncx+xml"/>')
+    opf = ('<?xml version="1.0"?><package xmlns="http://www.idpf.org'
+           '/2007/opf" version="3.0"><metadata xmlns:dc="http://purl'
+           '.org/dc/elements/1.1/"><dc:title>TOC Book</dc:title>'
+           '</metadata><manifest>%s</manifest><spine>'
+           '<itemref idref="c1"/><itemref idref="c2"/>'
+           '<itemref idref="c3"/></spine></package>'
+           % ''.join(items))
+    with zipfile.ZipFile(path, 'w') as zf:
+        zf.writestr('mimetype', 'application/epub+zip')
+        zf.writestr('META-INF/container.xml', CONTAINER)
+        zf.writestr('content.opf', opf)
+        if use_nav:
+            zf.writestr('nav.xhtml', nav)
+        else:
+            zf.writestr('toc.ncx', ncx)
+        for i in (1, 2, 3):
+            zf.writestr('c%d.xhtml' % i,
+                        '<html xmlns="http://www.w3.org/1999/xhtml">'
+                        '<body><p>chapter %d body</p></body></html>'
+                        % i)
+
+
+def _outline_tree(r):
+    cat = r.resolve(r.trailer['Root'])
+    out = r.resolve(cat.get('Outlines'))
+
+    def walk(ref):
+        items = []
+        while ref is not None:
+            it = r.resolve(ref)
+            title = it.get('Title')
+            title = title.decode() if isinstance(title, bytes) \
+                else str(title)
+            dest = it.get('Dest')
+            kids = walk(it.get('First')) if it.get('First') else []
+            items.append((title, dest is not None, kids))
+            ref = it.get('Next')
+        return items
+
+    return walk(out.get('First')), int(r.resolve(out['Count']))
+
+
+@pytest.mark.parametrize('use_nav', [True, False])
+def test_declared_toc_nested_outline(tmp_path, use_nav):
+    """The book's declared TOC (EPUB 3 nav doc or EPUB 2 NCX) becomes
+    the nested PDF outline — what the reference recovers via
+    get_toc()/set_toc() (bin/epub-to-pdf:47-48) — instead of the
+    flat first-heading fallback."""
+    src = str(tmp_path / 't.epub')
+    _toc_epub(src, use_nav)
+    out = str(tmp_path / 'out.pdf')
+    assert main([src, out]) == 0
+    r = PdfReader(out)
+    tree, count = _outline_tree(r)
+    if use_nav:
+        assert [t for t, _d, _k in tree] == ['Part One', 'Part Two']
+        assert [t for t, _d, _k in tree[0][2]] == \
+            ['Chapter 1', 'Chapter 2']
+        assert count == 4
+    else:
+        assert [t for t, _d, _k in tree] == ['Part One', 'Part Two']
+        assert [t for t, _d, _k in tree[0][2]] == ['Chapter 2']
+        assert count == 3
+    # every emitted item carries a resolvable Dest
+    def all_dests(items):
+        for _t, has_dest, kids in items:
+            assert has_dest
+            all_dests(kids)
+    all_dests(tree)
