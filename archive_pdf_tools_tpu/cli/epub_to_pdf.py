@@ -868,9 +868,9 @@ def _extract_flow(zf, doc_path):
                 return None
             ta = (_el_style(node, css_rules).get('text-align')
                   or node.get('align') or '').strip().lower()
-            if ta in ('center', 'right'):
+            if ta in ('center', 'right', 'justify'):
                 return ta
-            if ta in ('left', 'justify'):   # explicit: stop the walk
+            if ta == 'left':                # explicit: stop the walk
                 return None
             if (etree.QName(node).localname or '').lower() == 'center':
                 return 'center'
@@ -2230,7 +2230,10 @@ def main(argv=None):
             ops.append(b'BT /%s %g Tf %g %g Td %g TL' %
                        (fname.encode(), size, x_text, y, leading))
             post = []     # stroked decorations drawn after ET
-            for i, (line, llinks, lruns, adv) in enumerate(text_run):
+            for i, (line, llinks, lruns, adv, twv) in \
+                    enumerate(text_run):
+                if twv:            # justified line: word spacing
+                    ops.append(b'%g Tw' % twv)
                 if (lruns or llinks) and styled:
                     emit_styled(line,
                                 _merge_link_runs(lruns, llinks,
@@ -2241,12 +2244,17 @@ def main(argv=None):
                     ops.append(b"%s '" % cur_efont.hexstr(line))
                 else:
                     ops.append(b"(%s) '" % _esc(line))
+                if twv:
+                    ops.append(b'0 Tw')
+                sp = b' ' if isinstance(line, bytes) else ' '
                 # lines advance down TL each: line i's baseline sits at
                 # y - leading*(i+1)
                 for off0, off1, spec in (llinks or ()):
                     ybase = y - leading * (i + 1)
-                    x0 = x_text + measure(line, off0, adv)
-                    x1 = x_text + measure(line, off1, adv)
+                    x0 = x_text + measure(line, off0, adv) + \
+                        (twv or 0.0) * line[:off0].count(sp)
+                    x1 = x_text + measure(line, off1, adv) + \
+                        (twv or 0.0) * line[:off1].count(sp)
                     links.append(((x0, ybase - 0.25 * size,
                                    x1, ybase + 0.85 * size),) + spec)
                     uy = ybase - 0.15 * size
@@ -2321,7 +2329,8 @@ def main(argv=None):
                 text_run.append((item[1],
                                  item[3] if len(item) > 3 else None,
                                  item[4] if len(item) > 4 else None,
-                                 item[5] if len(item) > 5 else None))
+                                 item[5] if len(item) > 5 else None,
+                                 item[9] if len(item) > 9 else None))
             elif item[0] == 'rule':
                 # <hr>: a hairline across the column, one row tall
                 flush_text()
@@ -3180,8 +3189,25 @@ def main(argv=None):
                     return sum(widths[b] for b in line) * size
 
                 align = (bmeta or {}).get('align')
-                ti_pt = 0.0 if align \
+                ti_pt = 0.0 if align in ('center', 'right') \
                     else (bmeta or {}).get('indent_pt', 0.0)
+
+                def tw_of(line, adv_line, avail_w, is_last):
+                    """Word-spacing for text-align: justify — body
+                    face only ('b': Tw applies to byte-32 in simple
+                    fonts but NOT to Identity-H embedded runs), never
+                    the paragraph's last line, capped so short lines
+                    don't open rivers."""
+                    if align != 'justify' or style != 'b' or is_last:
+                        return None
+                    lw = (sum(adv_line) if adv_line is not None
+                          else sum(widths[b] for b in line) * size)
+                    nsp = (line.count(b' ') if isinstance(line, bytes)
+                           else line.count(' '))
+                    rem = avail_w - lw
+                    if nsp and 0 < rem <= 0.35 * avail_w:
+                        return rem / nsp
+                    return None
                 ti_pt = min(ti_pt, avail * 0.5)
                 if ti_pt > 0 and style != 'm':
                     # first-line text-indent: two-phase wrap (first
@@ -3197,8 +3223,10 @@ def main(argv=None):
                             if efont is not None else None):
                         cur_items.append(('line', line, style, llinks,
                                           lruns, adv_line,
-                                          indent + ti_pt, colr,
-                                          ovr))
+                                          indent + ti_pt, colr, ovr,
+                                          tw_of(line, adv_line,
+                                                avail - ti_pt,
+                                                len(l1) == 1)))
                         cur_rows += units
                         if cur_rows >= ROWS:
                             flush_page()
@@ -3212,32 +3240,39 @@ def main(argv=None):
                                   if b > cs0] or None
                         tl = _wrap_prop(payload[cs0:], widths, size,
                                         avail, adv=t_adv)
-                        for line, llinks, lruns, adv_line in \
-                                rebase_lines(tl, t_specs, t_runs,
-                                             t_adv, src=payload[cs0:]
-                                             if efont is not None
-                                             else None):
+                        rl = list(rebase_lines(tl, t_specs, t_runs,
+                                               t_adv, src=payload[cs0:]
+                                               if efont is not None
+                                               else None))
+                        for k, (line, llinks, lruns, adv_line) in \
+                                enumerate(rl):
                             cur_items.append(('line', line, style,
                                               llinks, lruns, adv_line,
-                                              indent, colr, ovr))
+                                              indent, colr, ovr,
+                                              tw_of(line, adv_line,
+                                                    avail,
+                                                    k + 1 == len(rl))))
                             cur_rows += units
                             if cur_rows >= ROWS:
                                 flush_page()
                 else:
-                    for line, llinks, lruns, adv_line in wrapped_lines(
-                            payload, specs, pruns, widths, size,
-                            avail, pre=(style == 'm'),
-                            efont=efont):
+                    wl = list(wrapped_lines(
+                        payload, specs, pruns, widths, size,
+                        avail, pre=(style == 'm'), efont=efont))
+                    for k, (line, llinks, lruns, adv_line) in \
+                            enumerate(wl):
                         ind = indent
-                        if align:
+                        if align in ('center', 'right'):
                             rem = avail - _line_w(line,
-                                                             adv_line)
+                                                  adv_line)
                             if rem > 0:
                                 ind = indent + (rem / 2 if align ==
                                                 'center' else rem)
                         cur_items.append(('line', line, style, llinks,
                                           lruns, adv_line, ind, colr,
-                                          ovr))
+                                          ovr,
+                                          tw_of(line, adv_line, avail,
+                                                k + 1 == len(wl))))
                         cur_rows += units
                         if cur_rows >= ROWS:
                             flush_page()

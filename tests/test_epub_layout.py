@@ -846,3 +846,32 @@ def test_dd_indents(tmp_path):
     assert m and float(m.group(1)) == MARGIN + 24.0
     m = re.search(rb'Tf ([\d.]+) [\d.]+ Td [\d.]+ TL\n\(Term', c)
     assert m and float(m.group(1)) == MARGIN
+
+
+def test_justify(tmp_path):
+    """text-align: justify stretches word gaps with per-line Tw so
+    every full line ends at the column edge; the paragraph's last
+    line stays ragged; text-indent composes."""
+    words = ' '.join('justy%02d' % i for i in range(40))
+    epub = str(tmp_path / 'j.epub')
+    _epub(epub, '<p style="text-align: justify; text-indent: 2em">'
+                '%s</p>' % words)
+    out = str(tmp_path / 'out.pdf')
+    assert main([epub, out]) == 0
+    c = _content(out)
+    from archive_pdf_tools_tpu.cli.epub_to_pdf import COL_W
+    # every line but the last carries a Tw, reset after
+    tws = re.findall(rb'([\d.]+) Tw\n\(([^)]+)\) \'\n0 Tw', c)
+    lines = re.findall(rb'\(([^)]+)\) \'', c)
+    assert len(tws) == len(lines) - 1 >= 2
+    # measured: chars + Tw*gaps lands on the column edge (first line
+    # indented by 2em = 32 px = 24 pt)
+    from archive_pdf_tools_tpu.pdf.raster import _std14_widths
+    from archive_pdf_tools_tpu.cli.epub_to_pdf import _PlainResolver
+    wmap = _std14_widths(_PlainResolver,
+                         {'BaseFont': 'Times-Roman'})
+    for k, (twb, line) in enumerate(tws):
+        lw = sum(wmap.get(b, 0.5) for b in line) * 10.0
+        full = lw + float(twb) * line.count(b' ')
+        want = COL_W - 24.0 if k == 0 else COL_W
+        assert abs(full - want) < 0.1, (k, full, want)
