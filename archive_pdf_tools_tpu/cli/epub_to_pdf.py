@@ -887,9 +887,21 @@ def _extract_flow(zf, doc_path):
         if al:
             meta['align'] = al
         st = _el_style(el, css_rules)
-        ti = _css_len(st.get('text-indent'))
+
+        def pct_or_len(v):
+            """CSS length in pt; % resolves against the column
+            width (the containing block here)."""
+            v = (v or '').strip()
+            m2 = re.match(r'^(-?[\d.]+)\s*%$', v)
+            if m2:
+                return float(m2.group(1)) / 100.0 * COL_W
+            lv = _css_len(v)
+            return lv * _PX_TO_PT if lv is not None else None
+
+        ti = pct_or_len(st.get('text-indent'))
         if ti and ti > 0:
-            meta['indent_pt'] = ti * _PX_TO_PT
+            meta['indent_pt'] = ti
+
         def side_len(kind, side):
             # longhand wins over the 1-4 value shorthand (CSS order:
             # top right bottom left; 2-3 values mirror right onto left)
@@ -900,7 +912,7 @@ def _extract_flow(zf, doc_path):
                     v = sh[1] if len(sh) >= 2 else sh[0]
                     if side == 'left' and len(sh) == 4:
                         v = sh[3]
-            return _css_len(v, 0) or 0
+            return pct_or_len(v) or 0
 
         ml = side_len('margin', 'left') + side_len('padding', 'left')
         mr = side_len('margin', 'right') + side_len('padding', 'right')
@@ -949,9 +961,9 @@ def _extract_flow(zf, doc_path):
             node = node.getparent() if hasattr(node, 'getparent') \
                 else None
         if ml > 0:
-            meta['ml_pt'] = ml * _PX_TO_PT
+            meta['ml_pt'] = ml
         if mr > 0:
-            meta['mr_pt'] = mr * _PX_TO_PT
+            meta['mr_pt'] = mr
         return meta or None
 
     def resolve_src(el):

@@ -13,9 +13,10 @@ fontTools parses the font (same dependency split as ``pdf/glyphs.py``:
 fontTools is the independent font-program parser, the PDF-side logic
 is ours).  TrueType-outline sfnts embed as CIDFontType2/FontFile2;
 CFF-flavored OpenType (``OTTO``) as CIDFontType0 with FontFile3
-``/OpenType``.  WOFF and unparsable inputs raise ``ValueError`` and
-the caller falls back to standard-14 substitutes (documented
-degradation).
+``/OpenType``; WOFF1 is unwrapped to its plain sfnt first (WOFF2
+would need brotli, absent here).  Unparsable inputs raise
+``ValueError`` and the caller falls back to standard-14 substitutes
+(documented degradation).
 """
 
 import io
@@ -37,6 +38,19 @@ class EmbeddedTTF:
     def __init__(self, data):
         if not HAVE_FONTTOOLS:
             raise ValueError('fontTools unavailable')
+        if data[:4] == b'wOFF':
+            # WOFF1 is a zlib-wrapped sfnt: let fontTools unwrap it
+            # and re-save the plain font program (WOFF2 would need
+            # brotli, absent here -> falls through to the raise)
+            try:
+                wf = TTFont(io.BytesIO(data), fontNumber=0)
+                wf.flavor = None
+                buf = io.BytesIO()
+                wf.save(buf)
+                wf.close()
+                data = buf.getvalue()
+            except Exception:
+                pass
         if data[:4] not in (b'\x00\x01\x00\x00', b'true', b'ttcf',
                             b'OTTO'):
             raise ValueError('not an sfnt font program')

@@ -875,3 +875,67 @@ def test_justify(tmp_path):
         full = lw + float(twb) * line.count(b' ')
         want = COL_W - 24.0 if k == 0 else COL_W
         assert abs(full - want) < 0.1, (k, full, want)
+
+
+def test_percent_margins_and_woff_font(tmp_path):
+    """% margins resolve against the column width; a WOFF1 @font-face
+    still embeds (unwrapped to its plain sfnt)."""
+    import io as _io
+    import os
+    import matplotlib
+    from fontTools.ttLib import TTFont
+    from archive_pdf_tools_tpu.cli.epub_to_pdf import COL_W
+    epub = str(tmp_path / 'pm.epub')
+    _epub(epub, '<p style="margin-left: 10%">PCTBLOCK text</p>')
+    out = str(tmp_path / 'out.pdf')
+    assert main([epub, out]) == 0
+    c = _content(out)
+    m = re.search(rb'BT /F1 10 Tf ([\d.]+) [\d.]+ Td', c)
+    xs = [float(mm.group(1)) for mm in re.finditer(
+        rb'BT /F1 10 Tf ([\d.]+) [\d.]+ Td', c)]
+    assert any(abs(x - (MARGIN + COL_W * 0.10)) < 0.01 for x in xs), xs
+    # WOFF body font
+    src = os.path.join(os.path.dirname(matplotlib.__file__),
+                       'mpl-data', 'fonts', 'ttf', 'DejaVuSans.ttf')
+    f = TTFont(src)
+    f.flavor = 'woff'
+    buf = _io.BytesIO()
+    f.save(buf)
+    woff = buf.getvalue()
+    with zipfile.ZipFile(str(tmp_path / 'w.epub'), 'w') as zf:
+        zf.writestr('mimetype', 'application/epub+zip')
+        zf.writestr('META-INF/container.xml', CONTAINER)
+        zf.writestr('content.opf', '''<?xml version="1.0"?>
+<package xmlns="http://www.idpf.org/2007/opf" version="3.0">
+ <metadata xmlns:dc="http://purl.org/dc/elements/1.1/">
+  <dc:title>W</dc:title></metadata>
+ <manifest><item id="c1" href="c1.xhtml"
+  media-type="application/xhtml+xml"/>
+  <item id="css" href="s.css" media-type="text/css"/>
+  <item id="f1" href="B.woff"
+  media-type="application/font-woff"/></manifest>
+ <spine><itemref idref="c1"/></spine></package>''')
+        zf.writestr('s.css', '@font-face { font-family: "BW"; '
+                    'src: url(B.woff); } body { font-family: "BW"; }')
+        zf.writestr('B.woff', woff)
+        zf.writestr('c1.xhtml',
+                    '<?xml version="1.0"?>\n<html xmlns='
+                    '"http://www.w3.org/1999/xhtml"><head><link rel='
+                    '"stylesheet" type="text/css" href="s.css"/>'
+                    '</head><body><p>woff body words</p>'
+                    '</body></html>')
+    out2 = str(tmp_path / 'out2.pdf')
+    assert main([str(tmp_path / 'w.epub'), out2]) == 0
+    r = PdfReader(out2)
+    c2 = r.page_contents(0)
+    assert re.search(rb'/F7 10 Tf', c2)     # embedded face in use
+    fonts = r.resolve(r.resolve(r.pages()[0]['Resources'])['Font'])
+    desc = r.resolve(r.resolve(
+        r.resolve(fonts['F7'])['DescendantFonts'])[0])
+    fd = r.resolve(desc['FontDescriptor'])
+    ff = r.resolve(fd['FontFile2']).decoded()
+    assert ff[:4] == b'\x00\x01\x00\x00'    # plain sfnt, unwrapped
+    from archive_pdf_tools_tpu.pdf.textextract import (
+        extract_page_glyphs, group_words)
+    glyphs, _w, _h = extract_page_glyphs(r, 0)
+    assert 'woff' in [w[0] for w in group_words(glyphs)]
