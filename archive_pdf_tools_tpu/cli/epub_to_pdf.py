@@ -1573,8 +1573,15 @@ def _xps_path_pdf_ops(data, xf):
 
     def emit(op, *pts):
         if pts:
-            ops.append(b' '.join(b'%g %g' % xf(px, py)
-                                 for px, py in pts) + b' ' + op)
+            dev = [xf(px, py) for px, py in pts]
+            for dx, dy in dev:
+                # overflowed coordinates (1e309 in the data, arc
+                # degeneracies) must void the whole path, not leak
+                # 'inf'/'nan' tokens into the content stream
+                if not (math.isfinite(dx) and math.isfinite(dy)):
+                    raise ValueError
+            ops.append(b' '.join(b'%g %g' % d for d in dev) +
+                       b' ' + op)
         else:
             ops.append(op)
 

@@ -371,3 +371,28 @@ def test_xps_verbose_path_geometry(tmp_path):
     # verbose figure: nonzero fill with the bezier and closed path
     assert re.search(rb'q 1 0 0 rg 75 225 m 105 225 l 105 195 l '
                      rb'[\d. ]+ c h f Q', c)
+
+
+def test_path_parser_robustness():
+    """Garbage and overflowed geometry degrades to None (never
+    crashes, never leaks inf/nan into content ops) — the degradation
+    contract extended to the path translator."""
+    import random
+    from archive_pdf_tools_tpu.cli.epub_to_pdf import (
+        _xps_path_pdf_ops, _xps_indices, _svg_transform)
+    ident = lambda x, y: (x, y)
+    for s in ('M 1e309,0 L 5,5', 'A 1e308,1,0,0,1,5,5',
+              'M 0,0 C 1e310,0 0,0 1,1', 'M nan,0 L 1,1'):
+        r = _xps_path_pdf_ops(s, ident)
+        assert r is None or (b'inf' not in r[0] and
+                             b'nan' not in r[0]), (s, r)
+    rng = random.Random(7)
+    alphabet = 'MLHVCQAZSTmlhvcqazst0123456789.,- ()%#;:eE'
+    for _ in range(1500):
+        s = ''.join(rng.choice(alphabet)
+                    for _ in range(rng.randint(0, 50)))
+        r = _xps_path_pdf_ops(s, ident)       # must never raise
+        if r is not None:
+            assert b'inf' not in r[0] and b'nan' not in r[0]
+        _xps_indices(s)
+        _svg_transform(s)
