@@ -2423,15 +2423,14 @@ def main(argv=None):
         cur_items.append(('img', ref, w_pt, h_pt))
         cur_rows += rows
 
-    def add_svg_block(el):
-        """Inline <svg> -> Form XObject block in the flow.  The
-        form's /Matrix normalizes its BBox to the unit square so the
-        emitter's image cm (width 0 0 height x y) places it exactly
-        like a raster image."""
-        nonlocal cur_rows
+    def svg_form_ref(el):
+        """Inline <svg> -> unit-square-normalized Form XObject:
+        (ref, w_pt, h_pt) or None.  The /Matrix maps the BBox to the
+        unit square so the image emitters' cm (width 0 0 height x y)
+        places it exactly like a raster image."""
         res = _svg_form_ops(el)
         if res is None:
-            return
+            return None
         body, wv, hv = res
         ref = w.add(Stream({Name('Type'): Name('XObject'),
                             Name('Subtype'): Name('Form'),
@@ -2440,6 +2439,14 @@ def main(argv=None):
                             Name('Matrix'): [round(1.0 / wv, 8), 0, 0,
                                              round(1.0 / hv, 8), 0, 0]},
                            body, deflate=True))
+        return ref, wv, hv
+
+    def add_svg_block(el):
+        nonlocal cur_rows
+        res = svg_form_ref(el)
+        if res is None:
+            return
+        ref, wv, hv = res
         max_w = PAGE_W - 2 * MARGIN
         max_h = PAGE_H - 2 * MARGIN - LEADING
         scale = min(max_w / max(wv, 1e-6), max_h / max(hv, 1e-6), 1.0)
@@ -2511,6 +2518,20 @@ def main(argv=None):
                                   oy + _css_len(style.get('top'), 0.0),
                                   ew, eh))
                 return
+            if local == 'svg':
+                # vector shapes render as a positioned form; the walk
+                # continues so nested <image> refs embed as raster
+                sres = svg_form_ref(el)
+                if sres is not None:
+                    sref, fw, fh = sres
+                    ew = _css_len(style.get('width')) or \
+                        _css_len(el.get('width')) or fw / _PX_TO_PT
+                    eh = _css_len(style.get('height')) or \
+                        _css_len(el.get('height')) or fh / _PX_TO_PT
+                    items.append(('img', sref,
+                                  ox + _css_len(style.get('left'), 0.0),
+                                  oy + _css_len(style.get('top'), 0.0),
+                                  ew, eh))
             if style.get('position') in ('absolute', 'fixed'):
                 ox = ox + _css_len(style.get('left'), 0.0)
                 oy = oy + _css_len(style.get('top'), 0.0)

@@ -143,3 +143,47 @@ def test_reflow_unchanged(tmp_path):
     assert main([epub, out]) == 0
     r = PdfReader(out)
     assert r.page_size(0) == (612.0, 792.0)
+
+
+def test_fixed_layout_svg_shapes(tmp_path):
+    """A pre-paginated page drawn as an inline <svg> renders its
+    vector shapes as a positioned Form XObject while the nested
+    <image> ref still embeds as raster."""
+    with zipfile.ZipFile(str(tmp_path / 'f.epub'), 'w') as zf:
+        zf.writestr('mimetype', 'application/epub+zip')
+        zf.writestr('META-INF/container.xml', CONTAINER)
+        zf.writestr('content.opf', '''<?xml version="1.0"?>
+<package xmlns="http://www.idpf.org/2007/opf" version="3.0">
+ <metadata xmlns:dc="http://purl.org/dc/elements/1.1/">
+  <dc:title>SVG page</dc:title>
+  <meta property="rendition:layout">pre-paginated</meta></metadata>
+ <manifest><item id="p1" href="p1.xhtml"
+  media-type="application/xhtml+xml"/>
+  <item id="im" href="art.jpg" media-type="image/jpeg"/></manifest>
+ <spine><itemref idref="p1"/></spine></package>''')
+        zf.writestr('art.jpg', _jpeg_bytes())
+        zf.writestr('p1.xhtml',
+                    '<?xml version="1.0"?>\n<html xmlns="http://www.'
+                    'w3.org/1999/xhtml"><head><meta name="viewport" '
+                    'content="width=400, height=600"/></head><body>'
+                    '<svg xmlns="http://www.w3.org/2000/svg" '
+                    'xmlns:xlink="http://www.w3.org/1999/xlink" '
+                    'viewBox="0 0 400 600" width="400" height="600">'
+                    '<rect x="0" y="0" width="400" height="80" '
+                    'fill="#336699"/>'
+                    '<image xlink:href="art.jpg" x="10" y="100" '
+                    'width="80" height="60"/>'
+                    '</svg></body></html>')
+    out = str(tmp_path / 'out.pdf')
+    assert main([str(tmp_path / 'f.epub'), out]) == 0
+    r = PdfReader(out)
+    assert r.page_count() == 1
+    assert r.page_size(0) == (300.0, 450.0)   # 400x600 px at 0.75
+    xo = r.resolve(r.resolve(r.pages()[0]['Resources'])['XObject'])
+    subs = sorted(str(r.resolve(r.resolve(v).dict['Subtype']))
+                  for v in xo.values())
+    assert subs == ['Form', 'Image']
+    # the form draws the header band
+    form = [r.resolve(v) for v in xo.values()
+            if str(r.resolve(r.resolve(v).dict['Subtype'])) == 'Form'][0]
+    assert b'0 0 400 80 re f' in form.decoded()
